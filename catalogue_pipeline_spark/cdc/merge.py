@@ -1,0 +1,226 @@
+"""MERGE a resolved change set into the transcripts state table.
+
+This is the engine's ``MERGE INTO`` — the J1–J5 semantics of the reference
+(SURVEY.md §2.3) in one declarative plan:
+
+  * J1 insert detection  — change keys absent from state → inserted
+  * J2 update detection  — row-diff computed; no-op updates counted, and
+                           buckets with zero actual change are NOT rewritten
+  * J3 timestamp gate    — winner register replaced iff change wins the total
+                           order ``(ts, op_pri, offset)`` (``>=`` +
+                           delete-dominance via op_pri, resolve.py)
+  * J4 deletes           — winning deletes become tombstones (kept so later
+                           stale updates still lose; deletes are one-way for
+                           older data, sierra_reader.py:50-53)
+  * J5 content keep      — payload follows the independent non-delete
+                           register, so tombstones keep replayable payload
+
+Both registers merge as MAX — associative/commutative/idempotent — so any
+range partitioning, overlap, or duplicate delivery converges to the same
+bytes (the parity oracle in oracle.py applies events one-at-a-time and must
+match exactly).
+
+Physical shape (scale rationale):
+  * The state table is hash-bucketed by ``conv_id`` (lake/table.py). Only
+    buckets containing changed keys are read and rewritten (copy-on-write at
+    bucket granularity) — merge cost ∝ |change set|, not |table|.
+  * The change side of the join is usually ≪ the state side; AQE broadcasts
+    it at runtime. The state side arrives pre-pruned to affected buckets.
+  * Buckets where every change lost the LWW gate (pure stale/duplicate
+    replay) are detected and NOT rewritten — the reference's
+    skip-write-when-unchanged (V3, WorkMatcher.scala:66-91); overlapping
+    windows (build_windows.py:57-65) therefore cost ~nothing.
+
+Exactly-once: the caller passes ``range_id``/offset bounds; they are written
+into the SAME snapshot summary as the data (lake commit = one atomic rename),
+so "was this range applied?" is answerable from the table itself even if the
+checkpoint write after it is lost (SURVEY.md §7.4 hard part #2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..lake.table import LakeTable, bucket_expr
+from .schema import STATE_SCHEMA
+
+STATE_COLS = [f.name for f in STATE_SCHEMA.fields]
+
+
+@dataclass
+class ApplyMetrics:
+    """Per-range lineage counters (A7, transformer.py:170-199)."""
+
+    events_in: int = 0
+    keys_in: int = 0
+    events_applied: int = 0      # rows actually changed (insert/update/delete)
+    inserts: int = 0
+    updates: int = 0
+    deletes: int = 0
+    noop_updates: int = 0        # change present but row byte-identical (V2)
+    dedup_drops: int = 0         # in-batch losers + rows losing the LWW gate
+    late_arrivals: int = 0       # change ts older than current per-key max
+    buckets_affected: int = 0
+    buckets_rewritten: int = 0
+
+    def as_map(self) -> dict[str, str]:
+        return {k: str(v) for k, v in self.__dict__.items()}
+
+    def add(self, other: "ApplyMetrics") -> None:
+        for k, v in other.__dict__.items():
+            setattr(self, k, getattr(self, k) + v)
+
+
+def merge_into_state(
+    spark: SparkSession,
+    table: LakeTable,
+    resolved: DataFrame,
+    changeset_id: str,
+    range_summary: dict | None = None,
+) -> tuple[int | None, ApplyMetrics]:
+    """Apply a resolved change set (output of resolve_lww) to ``table``.
+
+    Returns ``(snapshot_id, metrics)``; snapshot_id is None when the merge
+    was a complete no-op (nothing committed — V3).
+    """
+    nb = table.num_buckets
+    src = resolved.withColumn("_b", bucket_expr("conv_id", nb))
+
+    # state side pruned to affected buckets only — file-level pruning via the
+    # bucket manifest, not a post-scan filter
+    affected = sorted(r["_b"] for r in src.select("_b").distinct().collect())
+    tgt = table.read(spark, buckets=affected)
+
+    j = src.alias("s").join(
+        tgt.alias("t"), on=["conv_id", "turn_idx"], how="full_outer"
+    )
+
+    has_s = F.col("s.ts").isNotNull()
+    has_t = F.col("t.ts").isNotNull()
+    s_key = F.struct("s.ts", "s.op_pri", "s.offset")
+    t_key = F.struct("t.ts", "t.op_pri", "t.offset")
+    src_wins = has_s & (~has_t | (s_key >= t_key))
+
+    # non-delete register: independent max on (nd_ts, nd_offset); null-aware
+    s_nd = F.struct("s.nd_ts", "s.nd_offset")
+    t_nd = F.struct("t.nd_ts", "t.nd_offset")
+    nd_from_s = has_s & F.col("s.nd_ts").isNotNull() & (
+        ~has_t | F.col("t.nd_ts").isNull() | (s_nd >= t_nd)
+    )
+
+    def reg(c: str, cond) -> F.Column:
+        return F.when(cond, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+
+    new = j.select(
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        reg("role", nd_from_s).alias("role"),
+        reg("text", nd_from_s).alias("text"),
+        reg("tool", nd_from_s).alias("tool"),
+        reg("ts", src_wins).alias("ts"),
+        reg("op_pri", src_wins).alias("op_pri"),
+        reg("offset", src_wins).alias("offset"),
+        reg("nd_ts", nd_from_s).alias("nd_ts"),
+        reg("nd_offset", nd_from_s).alias("nd_offset"),
+        reg("deleted", src_wins).alias("deleted"),
+        has_s.alias("_has_s"),
+        has_t.alias("_has_t"),
+        src_wins.alias("_src_wins"),
+        (has_s & has_t & ~src_wins).alias("_lost"),
+        (has_s & has_t & (F.col("s.ts") < F.col("t.ts"))).alias("_late"),
+        F.coalesce(F.col("s.n_events"), F.lit(0)).alias("_n_events"),
+        F.coalesce(F.col("s._b"), bucket_expr("conv_id", nb)).alias("_b"),
+        F.col("t.deleted").alias("_t_deleted"),
+        # row-identical test vs target (V2/V3 no-op detection)
+        (
+            has_t
+            & reg("role", nd_from_s).eqNullSafe(F.col("t.role"))
+            & reg("text", nd_from_s).eqNullSafe(F.col("t.text"))
+            & reg("tool", nd_from_s).eqNullSafe(F.col("t.tool"))
+            & reg("ts", src_wins).eqNullSafe(F.col("t.ts"))
+            & reg("op_pri", src_wins).eqNullSafe(F.col("t.op_pri"))
+            & reg("offset", src_wins).eqNullSafe(F.col("t.offset"))
+            & reg("nd_ts", nd_from_s).eqNullSafe(F.col("t.nd_ts"))
+            & reg("nd_offset", nd_from_s).eqNullSafe(F.col("t.nd_offset"))
+            & reg("deleted", src_wins).eqNullSafe(F.col("t.deleted"))
+        ).alias("_same"),
+    ).withColumn("_changed", F.col("_has_s") & ~F.col("_same"))
+
+    new = new.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        stats = (
+            new.groupBy("_b")
+            .agg(
+                F.sum(F.when(F.col("_changed") & ~F.col("_has_t"), 1).otherwise(0)).alias("ins"),
+                F.sum(
+                    F.when(
+                        F.col("_changed") & F.col("_has_t") & (F.col("deleted") == "false"), 1
+                    ).otherwise(0)
+                ).alias("upd"),
+                F.sum(
+                    F.when(
+                        F.col("_changed")
+                        & (F.col("deleted") == "true")
+                        & (~F.col("_has_t") | (F.col("_t_deleted") == "false")),
+                        1,
+                    ).otherwise(0)
+                ).alias("del_"),
+                F.sum(F.when(F.col("_has_s") & F.col("_same"), 1).otherwise(0)).alias("noop"),
+                F.sum(F.col("_lost").cast("long")).alias("lost"),
+                F.sum(F.col("_late").cast("long")).alias("late"),
+                F.sum("_n_events").alias("nev"),
+                F.sum(F.when(F.col("_n_events") > 0, 1).otherwise(0)).alias("keys"),
+                F.sum(F.col("_changed").cast("long")).alias("changed"),
+            )
+            .collect()
+        )
+        m = ApplyMetrics()
+        rewrite: list[int] = []
+        for r in stats:
+            m.inserts += r["ins"] or 0
+            m.updates += r["upd"] or 0
+            m.deletes += r["del_"] or 0
+            m.noop_updates += r["noop"] or 0
+            m.dedup_drops += r["lost"] or 0
+            m.late_arrivals += r["late"] or 0
+            m.events_in += r["nev"] or 0
+            m.keys_in += r["keys"] or 0
+            if (r["changed"] or 0) > 0:
+                rewrite.append(r["_b"])
+        m.events_applied = m.inserts + m.updates + m.deletes
+        # in-batch losers: events folded into each key beyond the winner
+        m.dedup_drops += m.events_in - m.keys_in
+        m.buckets_affected = len(affected)
+        m.buckets_rewritten = len(rewrite)
+
+        if not rewrite:
+            return None, m  # V3: nothing changed anywhere, no commit at all
+
+        new_state = new.filter(F.col("_b").isin(rewrite)).select(*STATE_COLS)
+        summary = {
+            "range": dict(range_summary or {}),
+            "metrics": m.as_map(),
+        }
+        snap = table.overwrite_buckets(
+            new_state,
+            buckets=rewrite,
+            changeset_id=changeset_id,
+            summary=summary,
+            sort_cols=["conv_id", "turn_idx"],
+        )
+        return snap.snapshot_id, m
+    finally:
+        new.unpersist()
+
+
+def visible_transcripts(state: DataFrame) -> DataFrame:
+    """User-facing view: drop tombstones and bookkeeping; the per-turn text
+    equality invariant is checked on this projection under stable
+    ``(conv_id, turn_idx)`` ordering."""
+    return state.filter(F.col("deleted") == "false").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )

@@ -1,0 +1,224 @@
+"""The replay driver: checkpointed, resumable, exactly-once range application.
+
+The Spark rendering of the reference's window harvester + window store loop
+(window_harvester.py:163-182, window_store.py:98-126, SURVEY.md §3.2):
+
+    plan offset ranges → for each unapplied range:
+        read binlog slice (parquet min/max pruning on ``offset``)
+        → SchemaRegistry.normalize (schema evolution, V-mapping)
+        → resolve_lww (two max-registers per key)
+        → merge_into_state (bucket-pruned copy-on-write MERGE; the range id
+          and offsets land in the SAME atomic table commit — the fence)
+        → checkpoint row success (cache of the fence)
+
+Exactly-once story (V5/V7/V8):
+  * a range is APPLIED iff its range_id appears in a snapshot summary of the
+    target table — written atomically with the data;
+  * on startup the driver reconciles checkpoint rows with the snapshot chain,
+    so a crash after data-commit but before checkpoint-write is repaired,
+    not re-applied;
+  * re-applying a range anyway would be harmless (max-register merge is
+    idempotent; the no-op merge commits nothing) — fencing exists to avoid
+    the wasted work, matching "UpdateNotApplied = benign" (Updater.scala).
+
+Ranges may OVERLAP (``overlap`` > 0) like the reference's 1-minute window
+overlap (build_windows.py:57-65) — idempotence makes that safe; it exists so
+a binlog tailer never misses boundary records.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lake.table import LakeTable
+from .checkpoints import CheckpointStore
+from .merge import ApplyMetrics, merge_into_state
+from .resolve import resolve_lww
+from .schema import STATE_SCHEMA, SchemaRegistry
+
+
+@dataclass
+class Range:
+    range_id: str
+    start: int  # inclusive
+    end: int    # exclusive
+
+
+def plan_ranges(
+    min_offset: int, max_offset_exclusive: int, range_size: int, overlap: int = 0
+) -> list[Range]:
+    """Fixed-size offset ranges covering [min, max); consecutive ranges may
+    overlap by ``overlap`` offsets (S2 semantics — dedup handled downstream).
+    Range ids are zero-padded so lexicographic == numeric order."""
+    out: list[Range] = []
+    start = min_offset
+    i = 0
+    while start < max_offset_exclusive:
+        end = min(start + range_size, max_offset_exclusive)
+        out.append(Range(f"{i:09d}", start, end))
+        start = end - overlap if end < max_offset_exclusive else end
+        i += 1
+    return out
+
+
+class CrashInjected(RuntimeError):
+    """Test hook: simulated crash at a chosen point in the commit protocol."""
+
+
+@dataclass
+class ReplayReport:
+    ranges_total: int = 0
+    ranges_applied: int = 0
+    ranges_skipped: int = 0
+    events_scanned: int = 0
+    metrics: ApplyMetrics = field(default_factory=ApplyMetrics)
+
+
+class ReplayDriver:
+    def __init__(
+        self,
+        spark: SparkSession,
+        binlog_path: str,
+        table: LakeTable,
+        checkpoints: CheckpointStore,
+        registry: SchemaRegistry | None = None,
+    ):
+        self.spark = spark
+        self.binlog_path = binlog_path
+        self.table = table
+        self.checkpoints = checkpoints
+        self.registry = registry or SchemaRegistry()
+
+    # -- fencing ----------------------------------------------------------
+    def applied_range_ids(self) -> set[str]:
+        """Source of truth: range ids recorded in the table's own snapshot
+        summaries, unioned with checkpoint successes (V3 no-op ranges commit
+        no snapshot, so they appear only in the checkpoint)."""
+        applied = {
+            s.get("range", {}).get("range_id")
+            for s in self.table.summaries()
+            if s.get("range")
+        }
+        applied.discard(None)
+        return applied | self.checkpoints.successful_range_ids()
+
+    def reconcile(self) -> int:
+        """Repair checkpoint rows for ranges whose data commit landed but
+        whose checkpoint write was lost (crash between the two). Returns the
+        number of repaired rows."""
+        repaired = 0
+        ck_success = self.checkpoints.successful_range_ids()
+        for snap in self.table.history():
+            rng = snap.summary.get("range") or {}
+            rid = rng.get("range_id")
+            if rid and rid not in ck_success:
+                self.checkpoints.upsert(
+                    rid,
+                    int(rng.get("offset_start", -1)),
+                    int(rng.get("offset_end", -1)),
+                    "success",
+                    changeset_id=snap.summary.get("changeset_id"),
+                    snapshot_id=snap.snapshot_id,
+                    metrics=snap.summary.get("metrics"),
+                )
+                repaired += 1
+        return repaired
+
+    # -- apply ------------------------------------------------------------
+    def read_range(self, r: Range) -> DataFrame:
+        # offset predicate pushes down to parquet row-group stats; the binlog
+        # is written repartitionByRange(offset) so non-matching files are
+        # skipped wholesale
+        return self.spark.read.parquet(self.binlog_path).filter(
+            (F.col("offset") >= r.start) & (F.col("offset") < r.end)
+        )
+
+    def apply_range(self, r: Range, attempt: int = 1) -> tuple[int | None, ApplyMetrics]:
+        batch = self.registry.normalize(self.read_range(r))
+        resolved = resolve_lww(batch)
+        changeset_id = f"{r.range_id}-a{attempt}"
+        return merge_into_state(
+            self.spark,
+            self.table,
+            resolved,
+            changeset_id=changeset_id,
+            range_summary={
+                "range_id": r.range_id,
+                "offset_start": r.start,
+                "offset_end": r.end,
+            },
+        )
+
+    def run(
+        self,
+        ranges: list[Range],
+        crash_after_commit_of: str | None = None,
+        max_ranges: int | None = None,
+    ) -> ReplayReport:
+        """Apply all unapplied ranges in order. ``crash_after_commit_of``
+        simulates a crash AFTER the data commit of that range but BEFORE its
+        checkpoint write (the §7.4 #2 failure) — tests resume through it."""
+        self.reconcile()
+        applied = self.applied_range_ids()
+        rep = ReplayReport(ranges_total=len(ranges))
+        done = 0
+        for r in ranges:
+            if max_ranges is not None and done >= max_ranges:
+                break
+            if r.range_id in applied:
+                rep.ranges_skipped += 1
+                continue
+            row = self.checkpoints.get(r.range_id) or {}
+            attempt = int(row.get("attempts", 0)) + 1
+            self.checkpoints.upsert(r.range_id, r.start, r.end, "pending")
+            try:
+                snap_id, m = self.apply_range(r, attempt=attempt)
+            except Exception as e:  # noqa: BLE001 — recorded then re-raised
+                self.checkpoints.upsert(
+                    r.range_id, r.start, r.end, "failed", error=repr(e)[:500]
+                )
+                raise
+            if crash_after_commit_of == r.range_id:
+                raise CrashInjected(r.range_id)
+            self.checkpoints.upsert(
+                r.range_id,
+                r.start,
+                r.end,
+                "success",
+                changeset_id=f"{r.range_id}-a{attempt}",
+                snapshot_id=snap_id,
+                metrics=m.as_map(),
+            )
+            rep.ranges_applied += 1
+            rep.events_scanned += m.events_in
+            rep.metrics.add(m)
+            done += 1
+        return rep
+
+    # -- gap detection (S4) ------------------------------------------------
+    def coverage_gaps(self, upto_offset: int) -> list[tuple[int, int]]:
+        """Holes in successfully-applied offset coverage — the interval-sweep
+        gap detector (interval_arithmetic.py:47-94) over checkpoint rows."""
+        rows = sorted(
+            (
+                (int(r["offset_start"]), int(r["offset_end"]))
+                for r in self.checkpoints.all().values()
+                if r["state"] == "success"
+            ),
+        )
+        gaps: list[tuple[int, int]] = []
+        covered = 0
+        for s, e in rows:
+            if s > covered:
+                gaps.append((covered, s))
+            covered = max(covered, e)
+        if covered < upto_offset:
+            gaps.append((covered, upto_offset))
+        return gaps
+
+
+def state_schema_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], STATE_SCHEMA)

@@ -1,0 +1,97 @@
+"""Per-key last-writer-wins resolution with the reference's exact tie-breaks.
+
+The reference's conflict rules (SURVEY.md §1.3, §2.7):
+  * replace iff ``new.ts >= old.ts`` — ``>=``, not ``>`` ("latest to the
+    merger wins", TransformableOps.scala:135-150)
+  * at equal ts, a delete beats an update (delete-date coercion to 23:59:59,
+    sierra_reader.py:79-113) — encoded here as an op-priority column instead
+    of mutating timestamps
+  * remaining ties go to the newest arrival (offset order), which also makes
+    same-version-different-content corrections deterministic
+    (WorkGraphUpdater.scala:44-78 "last write wins… so the graph can re-form")
+
+All of this collapses into TWO max-registers per key (see schema.py):
+
+  winner   = max over (ts, op_pri, offset)  — gate + deleted flag
+  nd       = max over (ts, offset) of NON-delete events — the payload
+
+``max(struct(...))`` is an ordinary aggregate, so Spark executes it with
+map-side partial aggregation (hash-aggregate of PARTIAL maxes → shuffle →
+final). That is the engine's built-in skew armor: a hot conversation's
+millions of duplicate events reduce to one row per map partition BEFORE the
+shuffle, unlike a ``row_number`` window which must shuffle and sort every raw
+event. This is why the core dedup needs no explicit salting; an explicit
+salted two-phase variant lives in operators/skew.py for genuinely
+window-shaped operators.
+
+Max-registers are associative/commutative/idempotent, so resolve-then-merge
+over ANY partitioning of the binlog (overlapping ranges, duplicate delivery,
+crash/resume) converges to the same state — the engine's exactly-once story
+reduces to commit fencing only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# the LWW total order, shared by resolve (in-batch) and merge (vs state)
+ORDER_COLS = ["ts", "op_pri", "offset"]
+
+RESOLVED_COLS = [
+    "conv_id",
+    "turn_idx",
+    "role",
+    "text",
+    "tool",
+    "ts",
+    "op_pri",
+    "offset",
+    "nd_ts",
+    "nd_offset",
+    "deleted",
+    "n_events",
+]
+
+
+def with_op_pri(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "op_pri", F.when(F.col("op") == "delete", F.lit(1)).otherwise(F.lit(0))
+    )
+
+
+def resolve_lww(batch: DataFrame) -> DataFrame:
+    """Reduce a normalized binlog batch to one row per ``(conv_id, turn_idx)``
+    holding both max-registers.
+
+    Output columns: RESOLVED_COLS (state columns + ``n_events``, the number of
+    raw events folded into the key — feeds the dedup_drops metric).
+    """
+    ev = with_op_pri(batch)
+    agg = ev.groupBy("conv_id", "turn_idx").agg(
+        F.max(F.struct("ts", "op_pri", "offset", "op")).alias("w"),
+        # max ignores nulls ⇒ null register when the key only ever saw deletes
+        F.max(
+            F.when(
+                F.col("op") != "delete",
+                F.struct("ts", "offset", "role", "text", "tool"),
+            )
+        ).alias("nd"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        "conv_id",
+        "turn_idx",
+        F.col("nd.role").alias("role"),
+        F.col("nd.text").alias("text"),
+        F.col("nd.tool").alias("tool"),
+        F.col("w.ts").alias("ts"),
+        F.col("w.op_pri").alias("op_pri"),
+        F.col("w.offset").alias("offset"),
+        F.col("nd.ts").alias("nd_ts"),
+        F.col("nd.offset").alias("nd_offset"),
+        F.when(F.col("w.op") == "delete", F.lit("true"))
+        .otherwise(F.lit("false"))
+        .alias("deleted"),
+        "n_events",
+    )

@@ -1,0 +1,56 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference hand-rolls every optimization (SURVEY.md §4); on Spark we get
+pushdown / pruning / AQE for free but still have to *turn on* the right knobs:
+AQE (runtime re-planning + skew-join splitting), Arrow (vectorized Python
+boundary), and a shuffle-partition count sized to the core count rather than
+the 200 default (which at local scale creates thousands of empty tasks and at
+cluster scale is set per-job).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "catalogue-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster it is left unset so ``spark-submit`` controls it.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # one-ish partition per core locally; a real cluster run overrides
+        # this (or lets AQE coalesce) — see bench.py
+        shuffle_partitions = max(cpus, 8)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # parquet min/max stats drive file pruning on our sorted writes
+        # (the reference's id-sorted Iceberg tables, schemata.py:36-40)
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,134 @@
+"""Lake table format: atomic commits, snapshot isolation, time travel,
+bucket pruning, schema widening on read, snapshot expiry."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
+
+from catalogue_pipeline_spark.lake import CommitConflict, LakeTable
+
+SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("turn_idx", LongType(), False),
+        StructField("text", StringType(), True),
+    ]
+)
+
+
+def make_table(tmp_path, nb=4):
+    return LakeTable.create(
+        str(tmp_path / "t"), SCHEMA, bucket_key="conv_id", num_buckets=nb
+    )
+
+
+def test_create_and_empty_read(spark, tmp_path):
+    t = make_table(tmp_path)
+    df = t.read(spark)
+    assert df.count() == 0
+    assert df.schema == SCHEMA
+    assert t.current_snapshot_id() == 0
+
+
+def test_append_read_time_travel(spark, tmp_path):
+    t = make_table(tmp_path)
+    d1 = spark.createDataFrame([("a", 1, "x")], SCHEMA)
+    t.append(d1, changeset_id="cs1", sort_cols=["conv_id", "turn_idx"])
+    d2 = spark.createDataFrame([("b", 2, "y")], SCHEMA)
+    t.append(d2, changeset_id="cs2", sort_cols=["conv_id", "turn_idx"])
+    assert t.read(spark).count() == 2
+    # pinned snapshot read (V7 fencing)
+    assert t.read(spark, snapshot_id=1).count() == 1
+    assert [s.summary["changeset_id"] for s in t.history()[1:]] == ["cs1", "cs2"]
+
+
+def test_bucket_pruned_read(spark, tmp_path):
+    t = make_table(tmp_path, nb=8)
+    rows = [(f"c{i}", i, f"t{i}") for i in range(100)]
+    t.append(spark.createDataFrame(rows, SCHEMA), changeset_id="cs1")
+    snap = t.snapshot()
+    some_bucket = snap.files[0]["bucket"]
+    pruned = t.read(spark, buckets=[some_bucket])
+    full = t.read(spark, with_bucket_col=True)
+    expect = full.filter(F.col("__bucket") == some_bucket).count()
+    assert pruned.count() == expect > 0
+    # pruned read touches strictly fewer files
+    assert len([f for f in snap.files if f["bucket"] == some_bucket]) < len(snap.files)
+
+
+def test_overwrite_buckets_is_atomic_single_snapshot(spark, tmp_path):
+    t = make_table(tmp_path, nb=4)
+    rows = [(f"c{i}", i, "old") for i in range(20)]
+    t.append(spark.createDataFrame(rows, SCHEMA), changeset_id="cs1")
+    before = t.current_snapshot_id()
+    df = t.read(spark, with_bucket_col=True)
+    target_buckets = [r["__bucket"] for r in df.select("__bucket").distinct().collect()][:2]
+    new = (
+        t.read(spark, buckets=target_buckets)
+        .withColumn("text", F.lit("new"))
+    )
+    t.overwrite_buckets(new, buckets=target_buckets, changeset_id="cs2")
+    assert t.current_snapshot_id() == before + 1  # exactly one commit
+    got = t.read(spark)
+    assert got.count() == 20
+    n_new = got.filter(F.col("text") == "new").count()
+    assert n_new == t.read(spark, buckets=target_buckets).count()
+
+
+def test_commit_conflict_on_expected_parent(spark, tmp_path):
+    t = make_table(tmp_path)
+    d = spark.createDataFrame([("a", 1, "x")], SCHEMA)
+    t.append(d, changeset_id="cs1")
+    with pytest.raises(CommitConflict):
+        t.commit([], set(), {"operation": "noop"}, expected_parent=0)
+
+
+def test_metadata_count(spark, tmp_path):
+    t = make_table(tmp_path)
+    t.append(spark.createDataFrame([("a", 1, "x"), ("b", 2, "y")], SCHEMA), "cs1")
+    assert t.metadata_count() == 2
+
+
+def test_schema_widening_read(spark, tmp_path):
+    """Old files written with int32 read back under the widened int64 schema
+    (parquet type promotion) — scenario 10 plumbing."""
+    narrow = StructType(
+        [
+            StructField("conv_id", StringType(), False),
+            StructField("turn_idx", IntegerType(), False),
+            StructField("text", StringType(), True),
+        ]
+    )
+    t = LakeTable.create(str(tmp_path / "t"), narrow, bucket_key="conv_id", num_buckets=2)
+    t.append(spark.createDataFrame([("a", 1, "x")], narrow), "cs1")
+    # widen table schema via a metadata-only commit
+    t.commit([], set(), {"operation": "widen"}, schema=SCHEMA)
+    got = t.read(spark)
+    assert got.schema["turn_idx"].dataType == LongType()
+    assert got.collect()[0]["turn_idx"] == 1
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    t = make_table(tmp_path, nb=2)
+    for i in range(5):
+        t.append(spark.createDataFrame([(f"c{i}", i, "x")], SCHEMA), f"cs{i}")
+    # rewrite everything so old files become unreferenced
+    all_buckets = sorted({f["bucket"] for f in t.snapshot().files})
+    t.overwrite_buckets(t.read(spark), buckets=all_buckets, changeset_id="rw")
+    deleted = t.expire_snapshots(keep_last=1)
+    assert deleted > 0
+    assert t.read(spark).count() == 5  # current snapshot intact
+
+
+def test_summary_fencing_roundtrip(spark, tmp_path):
+    t = make_table(tmp_path)
+    t.append(
+        spark.createDataFrame([("a", 1, "x")], SCHEMA),
+        changeset_id="cs1",
+        summary={"range": {"range_id": "000000001"}},
+    )
+    assert any(
+        json.dumps(s).find("000000001") >= 0 for s in t.summaries()
+    )
