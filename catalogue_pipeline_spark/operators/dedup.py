@@ -1,0 +1,260 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All are declarative DataFrame compositions (no Python in the hot path):
+
+  exact            hash-groupBy on normalized text
+  n-gram Jaccard   shingle → explode → self-join on shingle → |∩|/|∪|
+  MinHash + LSH    shingle → portable 64-bit hash → m permutations
+                   (a_i·x+b_i mod p) → min per perm → band → bucket-join
+  SimHash          per-bit weighted sign sum over token hashes → 64-bit code
+  embedding cosine near-dup over an embedding array column
+
+Scale notes
+  * exact dedup and minhash signatures are pure groupBy aggregates —
+    map-side combinable, one shuffle.
+  * the shingle self-join (Jaccard) is quadratic per shingle bucket; LSH
+    exists precisely to bound candidate pairs at 100 TB — band/bucket join
+    touches only colliding docs.
+  * every hash is deterministic (md5-derived), so results are stable across
+    runs/cluster sizes AND reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# a large 61-bit Mersenne prime for the permutation universe
+MERSENNE_P = (1 << 61) - 1
+
+
+def norm_text(col) -> F.Column:
+    """Normalization shared with the oracle: lowercase, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def portable_hash64(col) -> F.Column:
+    """Deterministic 60-bit int from md5 — identical formula is expressible
+    in DuckDB SQL (see __spark_entry__), unlike xxhash64/murmur."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def word_shingles(col, k: int = 3) -> F.Column:
+    """Array of k-word shingles of the normalized text (distinct)."""
+    words = F.split(norm_text(col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))),
+        ).otherwise(F.array(F.concat_ws(" ", words)))
+    )
+
+
+# ---------------------------------------------------------------- exact dedup
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents: one row per duplicate
+    group with member ids and count (count > 1)."""
+    h = docs.select(
+        F.col(id_col), F.md5(norm_text(F.col(text_col))).alias("content_hash")
+    )
+    return (
+        h.groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_sort(F.collect_list(id_col)).alias("members"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ------------------------------------------------------------- n-gram Jaccard
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard over k-word shingle sets for all candidate pairs sharing
+    ≥1 shingle. Output: (id_a, id_b, jaccard) with id_a < id_b, ≥ threshold.
+
+    |∩| from the self-join; |∪| = |A|+|B|−|∩| from per-doc set sizes, so no
+    second pass over shingles.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), k)).alias("sh")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="sh")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        pairs.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ------------------------------------------------------------------- MinHash
+def _perm_coeffs(num_perm: int, seed: int = 1) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs — a simple LCG on the seed, no Python RNG
+    state, reproducible in SQL."""
+    coeffs = []
+    x = seed
+    for _ in range(num_perm):
+        x = (6364136223846793005 * x + 1442695040888963407) % MERSENNE_P
+        a = (x | 1) % MERSENNE_P
+        x = (6364136223846793005 * x + 1442695040888963407) % MERSENNE_P
+        b = x % MERSENNE_P
+        coeffs.append((a, b))
+    return coeffs
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    seed: int = 1,
+) -> DataFrame:
+    """(id, sig: array<bigint>[num_perm]) — min over shingles of
+    (a_i·h(shingle)+b_i) mod p per permutation. One explode + one groupBy
+    (map-side combinable mins)."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("sh"),
+    ).withColumn("h", portable_hash64(F.col("sh")))
+    aggs = []
+    for i, (a, b) in enumerate(_perm_coeffs(num_perm, seed)):
+        # (a*h + b) mod p — compute in double-safe 61-bit space via pmod on
+        # bigint; a*h can overflow int64, so reduce h mod p first and use
+        # 128-bit-safe decomposition: (a*(h mod p)) mod p done via decimal
+        hp = F.pmod(F.col("h"), F.lit(MERSENNE_P))
+        prod = F.pmod(
+            (hp.cast("decimal(38,0)") * F.lit(a).cast("decimal(38,0)"))
+            + F.lit(b).cast("decimal(38,0)"),
+            F.lit(MERSENNE_P).cast("decimal(38,0)"),
+        ).cast("bigint")
+        aggs.append(F.min(prod).alias(f"m{i}"))
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    seed: int = 1,
+) -> DataFrame:
+    """LSH band/bucket candidate pairs: split the signature into ``bands``
+    rows-per-band groups, bucket-join docs agreeing on any full band.
+    Output: (id_a, id_b, n_bands_shared). The scale path for near-dedup —
+    candidate generation never compares non-colliding docs."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(docs, id_col, text_col, k, num_perm, seed)
+    band_rows = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "-",
+                            F.lit(bi),
+                            *[
+                                F.col("sig")[bi * rows_per_band + j]
+                                for j in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    return (
+        band_rows.alias("a")
+        .join(band_rows.alias("b"), on=["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands_shared"))
+    )
+
+
+# ------------------------------------------------------------------- SimHash
+def simhash64(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """(id, simhash) — per-bit majority over token hashes. Built entirely
+    from explode + 64 conditional sums (one shuffle, map-side combinable)."""
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("t"),
+    ).withColumn("h", portable_hash64(F.col("t")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("id").agg(*bit_sums)
+    code = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("bigint") << b).otherwise(F.lit(0).cast("bigint"))
+        code = term if code is None else code + term
+    return agg.select("id", code.alias("simhash"))
+
+
+# --------------------------------------------------- embedding near-duplicate
+def embedding_near_duplicates(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold via brute-force self-join; cosine built
+    from zip_with/aggregate (JVM-side, no UDF). Quadratic — the LSH-bucketed
+    variant in similarity.py is the 100 TB path."""
+    def norm(df, pfx):
+        return df.select(
+            F.col(id_col).alias(f"{pfx}_id"),
+            F.col(vec_col).alias(f"{pfx}_v"),
+            F.sqrt(
+                F.aggregate(
+                    F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+                )
+            ).alias(f"{pfx}_n"),
+        )
+
+    a, b = norm(emb, "a"), norm(emb, "b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a_v"), F.col("b_v"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", dot / (F.col("a_n") * F.col("b_n")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b"), "cosine")
+    )

@@ -1,0 +1,119 @@
+"""Text analysis operators: language-ID heuristic, quality scoring, token
+counting, document fingerprinting. All native column expressions (regexp +
+arithmetic), fully codegen'd — and each reproducible in ANSI SQL for the
+DuckDB oracle.
+
+The reference's text machinery (X2 TextNormalisation, X1 period parsing) is
+per-record Scala; here the equivalents are vectorized expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets — a deterministic n-gram/stopword
+# heuristic, not a model (the container has no langid lib; the heuristic is
+# the operator, the word lists are swappable)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "que", "pour", "des"],
+    "es": ["el", "la", "los", "y", "es", "una", "en", "que", "por", "con"],
+}
+
+
+def _words(text_col) -> F.Column:
+    return F.split(F.lower(F.trim(text_col)), r"\s+")
+
+
+def token_count_expr(text_col) -> F.Column:
+    """Whitespace token count (BPE-ish subword estimate = chars/4 is also
+    exposed by text_quality)."""
+    t = F.trim(text_col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def _marker_hits(text_col, words: list[str]) -> F.Column:
+    # count occurrences of marker words (word-bounded) — pure regexp count
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text_col), F.lit(pattern), F.lit(0)))
+
+
+def detect_language(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, lang_pred, lang_score): argmax over per-language stopword-hit
+    rates. Ties break lexicographically for determinism."""
+    d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    hit_cols = []
+    for lang, words in sorted(LANG_MARKERS.items()):
+        d = d.withColumn(f"hits_{lang}", _marker_hits(F.col("t"), words))
+        hit_cols.append(lang)
+    toks = token_count_expr(F.col("t"))
+    best = F.greatest(*[F.col(f"hits_{m}") for m in hit_cols])
+    pred = F.coalesce(
+        *[F.when((F.col(f"hits_{m}") == best) & (best > 0), F.lit(m)) for m in hit_cols],
+        F.lit("unknown"),
+    )
+    return d.select(
+        "id",
+        pred.alias("lang_pred"),
+        (best / F.greatest(toks, F.lit(1))).alias("lang_score"),
+    )
+
+
+def text_quality(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Quality features + a composite score in [0,1]:
+    length, token count, mean word length, punctuation ratio, uppercase
+    ratio, digit ratio, stopword ratio, repetition ratio (distinct/total
+    tokens), subword estimate. The score formula is fixed and documented so
+    the oracle reproduces it exactly."""
+    t = F.col("t")
+    d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    n_chars = F.length(t)
+    toks = token_count_expr(t)
+    words = _words(t)
+    distinct_ratio = F.size(F.array_distinct(words)) / F.greatest(toks, F.lit(1))
+    punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]]", ""))
+    upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    stop_hits = _marker_hits(t, LANG_MARKERS["en"])
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    upper_ratio = upper / F.greatest(n_chars, F.lit(1))
+    digit_ratio = digits / F.greatest(n_chars, F.lit(1))
+    stop_ratio = stop_hits / F.greatest(toks, F.lit(1))
+    length_score = F.least(toks / F.lit(50.0), F.lit(1.0))
+    score = (
+        F.lit(0.3) * length_score
+        + F.lit(0.25) * F.least(stop_ratio * 3, F.lit(1.0))
+        + F.lit(0.25) * distinct_ratio
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0)))
+    )
+    return d.select(
+        "id",
+        n_chars.alias("n_chars"),
+        toks.alias("n_tokens"),
+        (F.ceil(n_chars / F.lit(4)).cast("bigint")).alias("n_subwords_est"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(upper_ratio, 6).alias("upper_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_token_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def fingerprint64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, fingerprint) — order-sensitive rolling document fingerprint:
+    md5 of the normalized text folded to 60 bits (portable to the oracle).
+    Distinct from simhash (similarity-preserving); this is an identity hash
+    for exact-content lineage (X7-style trace ids)."""
+    from .dedup import norm_text, portable_hash64
+
+    return docs.select(
+        F.col(id_col).alias("id"),
+        portable_hash64(norm_text(F.col(text_col))).alias("fingerprint"),
+    )
