@@ -1,38 +1,917 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full CDC replay of a changelog derived
+deterministically from the sf0.001 ``events`` table into a lake transcripts
+table, returning the visible transcripts.
+
+``queries()`` — one entry per implemented operator from SURVEY.md §2 (plus
+the training-data operators); each callable takes (spark, sf_dir).
+
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents. Omitted only for
+genuinely non-SQL-expressible ops (LSH candidate generation uses engine
+hashes; streaming/multimodal plumbing) — those get rows-only checks.
+
+Column names are aliased identically on both sides (the driver's compare
+sorts columns by name before hashing). Floating aggregates are computed via
+DECIMAL accumulation or rounded so both engines produce identical values.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from catalogue_pipeline_spark.cdc import (
+    STATE_SCHEMA,
+    SchemaRegistry,
+    plan_ranges,
+    resolve_lww,
+)
+from catalogue_pipeline_spark.cdc.checkpoints import CheckpointStore
+from catalogue_pipeline_spark.cdc.generator import write_binlog
+from catalogue_pipeline_spark.cdc.merge import visible_transcripts
+from catalogue_pipeline_spark.cdc.replay import ReplayDriver
+from catalogue_pipeline_spark.lake import LakeTable
+from catalogue_pipeline_spark.operators import (
+    cosine_topk_bruteforce,
+    detect_language,
+    exact_duplicates,
+    fingerprint64,
+    lsh_bucketed_topk,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+    text_quality,
+)
 
 
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# The transcript changelog derived from the ``events`` table (deterministic,
+# no external data): error events are deletes; key = (u<user_id>,
+# event_id % 16); payload = props. Shared between Spark and oracle SQL.
+# --------------------------------------------------------------------------
+def _changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    is_del = F.col("event_type") == "error"
+    role = (
+        F.when(F.col("event_type") == "signup", F.lit("user"))
+        .when(F.col("event_type") == "purchase", F.lit("assistant"))
+        .when(F.col("event_type") == "click", F.lit("tool"))
+        .when(F.col("event_type") == "view", F.lit("system"))
+    )
+    return ev.select(
+        F.col("event_id").alias("offset"),
+        F.when(is_del, F.lit("delete")).otherwise(F.lit("upsert")).alias("op"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(16)).cast("long").alias("turn_idx"),
+        F.when(is_del, F.lit(None).cast("string")).otherwise(role).alias("role"),
+        F.when(is_del, F.lit(None).cast("string")).otherwise(F.col("props")).alias("text"),
+        F.when(
+            F.col("event_type") == "click",
+            F.concat(F.lit("tool_"), F.pmod(F.col("event_id"), F.lit(5)).cast("string")),
+        ).otherwise(F.lit(None).cast("string")).alias("tool"),
+        F.col("ts"),
+        F.lit(3).alias("schema_ver"),
+    )
+
+
+_SQL_LOG = """
+    SELECT event_id AS offset,
+           CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+           'u' || CAST(user_id AS VARCHAR) AS conv_id,
+           CAST(event_id % 16 AS BIGINT) AS turn_idx,
+           CASE WHEN event_type = 'error' THEN NULL
+                WHEN event_type = 'signup' THEN 'user'
+                WHEN event_type = 'purchase' THEN 'assistant'
+                WHEN event_type = 'click' THEN 'tool'
+                WHEN event_type = 'view' THEN 'system' END AS role,
+           CASE WHEN event_type = 'error' THEN NULL ELSE props END AS text,
+           CASE WHEN event_type = 'click' THEN 'tool_' || CAST(event_id % 5 AS VARCHAR) END AS tool,
+           ts
+    FROM events
+"""
+
+_SQL_CDC_VISIBLE = f"""
+WITH log AS ({_SQL_LOG}),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY conv_id, turn_idx
+           ORDER BY ts DESC,
+                    CASE WHEN op = 'delete' THEN 1 ELSE 0 END DESC,
+                    "offset" DESC
+         ) AS rn
+  FROM log)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: end-to-end checkpointed CDC replay (binlog → resolve →
+    bucketed MERGE → visible transcripts) over sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    work = tempfile.mkdtemp(prefix="cps-entry-")
+    binlog = os.path.join(work, "binlog")
+    write_binlog(_changelog(spark, sf_dir), binlog, ranges=4)
+    table = LakeTable.create(
+        os.path.join(work, "transcripts"), STATE_SCHEMA, bucket_key="conv_id", num_buckets=8
+    )
+    driver = ReplayDriver(spark, binlog, table, CheckpointStore(os.path.join(work, "ck")))
+    n = _changelog(spark, sf_dir).agg(F.max("offset")).collect()[0][0] + 1
+    driver.run(plan_ranges(0, n, range_size=max(n // 4, 1)))
+    return visible_transcripts(table.read(spark))
+
+
+# --------------------------------------------------------------------------
+# queries + oracles
+# --------------------------------------------------------------------------
+def _q01_cdc_apply(spark, sf_dir):
+    """A2/J1-J5: in-memory LWW apply of the whole changelog (SURVEY §2.4 A2,
+    §2.3 J1-J5; reference TransformableOps.scala:135-183)."""
+    reg = SchemaRegistry()
+    resolved = resolve_lww(reg.normalize(_changelog(spark, sf_dir)))
+    return resolved.filter(F.col("deleted") == "false").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
+def _q02_cdc_replay_e2e(spark, sf_dir):
+    """S13/V7/V8 end-to-end: same answer as q01 but through the lake table,
+    checkpointed ranges and commit fencing (pipeline_store.py:205-235)."""
+    work = tempfile.mkdtemp(prefix="cps-q02-")
+    try:
+        binlog = os.path.join(work, "binlog")
+        write_binlog(_changelog(spark, sf_dir), binlog, ranges=4)
+        table = LakeTable.create(
+            os.path.join(work, "transcripts"), STATE_SCHEMA, bucket_key="conv_id", num_buckets=8
+        )
+        driver = ReplayDriver(spark, binlog, table, CheckpointStore(os.path.join(work, "ck")))
+        n = _changelog(spark, sf_dir).agg(F.max("offset")).collect()[0][0] + 1
+        driver.run(plan_ranges(0, n, range_size=max(n // 4, 1)))
+        out = visible_transcripts(table.read(spark))
+        # materialize before the tmpdir vanishes
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _q03_lww_latest_event(spark, sf_dir):
+    """A2: per-key latest record via max-struct (map-side combinable) —
+    the core dedup primitive (CalmStore.scala:42-70)."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    agg = ev.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("w")
+    )
+    return agg.select(
+        "user_id",
+        F.col("w.event_id").alias("event_id"),
+        F.col("w.event_type").alias("event_type"),
+        F.col("w.value").alias("value"),
+        F.col("w.ts").alias("ts"),
+    )
+
+
+def _q04_max_ts_per_user(spark, sf_dir):
+    """A1: aggregate modifiedTime = max(children) (TransformableOps.scala:40-58)."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return ev.groupBy("user_id").agg(
+        F.max("ts").alias("max_ts"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def _q05_counts_by_type(spark, sf_dir):
+    """A6/S9: counts per namespace/state (pipeline_store.py:75-86)."""
+    return (
+        spark.read.parquet(_t(sf_dir, "events"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q06_insert_detection(spark, sf_dir):
+    """J1: ids absent from the existing store → insert set
+    (pipeline_store.py:258-263) as a left_anti join."""
+    ev = spark.read.parquet(_t(sf_dir, "events")).select("user_id").distinct()
+    cust = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .filter(F.col("c_custkey") <= 100)  # the "existing store" subset
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+    return ev.join(cust, on="user_id", how="left_anti")
+
+
+def _q07_delete_detection(spark, sf_dir):
+    """J4: existing ids absent from the new snapshot → soft-delete set
+    (adapter_store.py:150-172)."""
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    ev = spark.read.parquet(_t(sf_dir, "events")).select(
+        F.col("user_id").alias("c_custkey")
+    ).distinct()
+    return (
+        cust.join(ev, on="c_custkey", how="left_anti")
+        .select("c_custkey", "c_name")
+        .withColumn("deleted", F.lit(True))
+    )
+
+
+def _q08_update_detection(spark, sf_dir):
+    """J2: content diff — keys whose first and last payloads differ; the
+    timestamp alone never triggers an update (pipeline_store.py:265-288)."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    agg = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.struct("ts", "event_id", "value")).alias("first"),
+        F.max(F.struct("ts", "event_id", "value")).alias("last"),
+    )
+    return (
+        agg.select(
+            "user_id",
+            "event_type",
+            F.col("first.value").alias("first_value"),
+            F.col("last.value").alias("last_value"),
+        )
+        .filter(F.col("first_value") != F.col("last_value"))
+    )
+
+
+def _q09_ts_gate(spark, sf_dir):
+    """J3: LWW timestamp gate — keep rows newer than the stored baseline
+    (pipeline_store.py:290-302); baseline = last signup per user."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    base = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("base_ts"))
+    )
+    return (
+        ev.join(base, on="user_id")
+        .filter(F.col("ts") >= F.col("base_ts"))
+        .select("user_id", "event_id", "ts")
+    )
+
+
+def _q10_content_preserve(spark, sf_dir):
+    """J5: deletes with null content take content from the newest visible
+    record (adapter_store.py:91-148)."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    agg = ev.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type")).alias("w"),
+        F.max(
+            F.when(F.col("event_type") != "error", F.struct("ts", "event_id", "props"))
+        ).alias("nd"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("w.event_type").alias("last_event_type"),
+        F.col("nd.props").alias("effective_props"),
+    )
+
+
+def _q11_gap_detection(spark, sf_dir):
+    """S4: holes in harvested coverage — per-user gaps > 1h between
+    consecutive events (interval_arithmetic.py:47-94 as lag window)."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(
+            F.col("prev_ts").isNotNull()
+            & (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 3600)
+        )
+        .select(
+            "user_id",
+            F.col("prev_ts").alias("gap_start"),
+            F.col("ts").alias("gap_end"),
+        )
+    )
+
+
+def _q12_session_merge(spark, sf_dir):
+    """A5: interval coverage via sort+sweep — sessions = merged [ts, ts+300s)
+    intervals per user; returns sessions per user."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("e", F.unix_timestamp("ts") + 300)
+        .withColumn("s", F.unix_timestamp("ts"))
+        .withColumn(
+            "prev_max",
+            F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "new_session",
+            F.when(F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1).otherwise(0),
+        )
+    )
+    return marked.groupBy("user_id").agg(F.sum("new_session").alias("n_sessions"))
+
+
+def _q13_derived_bound(spark, sf_dir):
+    """S8: derived-bound rewrite — cheap single-column agg first, then a
+    stats-prunable bound on the main scan (pipeline_store.py:121-165)."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    bound = (
+        ev.filter((F.col("event_type") == "signup") & (F.col("user_id") == 0))
+        .agg(F.min("ts"))
+        .collect()[0][0]
+    )
+    return (
+        ev.filter(F.col("ts") >= F.lit(bound))
+        .agg(F.count(F.lit(1)).alias("n_after_bound"))
+    )
+
+
+def _q14_component_digest(spark, sf_dir):
+    """A3/O2/G2: deterministic group digest — sha256 over '+'-joined sorted
+    distinct members (SubgraphId.scala:14-23)."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return ev.groupBy("user_id").agg(
+        F.sha2(F.concat_ws("+", F.array_sort(F.collect_set("event_type"))), 256).alias(
+            "subgraph_id"
+        ),
+        F.size(F.collect_set("event_type")).alias("n_types"),
+    )
+
+
+def _q15_precedence(spark, sf_dir):
+    """O3: target precedence = first match in fixed rule order
+    (TargetPrecedence.scala:10-32)."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    order = ["purchase", "signup", "click", "view", "error"]
+    score = F.lit(len(order))
+    for i, v in reversed(list(enumerate(order))):
+        score = F.when(F.col("event_type") == v, F.lit(i)).otherwise(score)
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc("score"), F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+def _q16_chunking(spark, sf_dir):
+    """O5: fixed-size chunk assignment (find_work.py:58-77, 10k-id
+    partitions; here 25 users per chunk)."""
+    users = spark.read.parquet(_t(sf_dir, "events")).select("user_id").distinct()
+    w = Window.orderBy("user_id")
+    return (
+        users.withColumn("chunk_id", F.floor((F.row_number().over(w) - 1) / 25).cast("long"))
+        .groupBy("chunk_id")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def _q17_set_difference(spark, sf_dir):
+    """J8/O4: edge set-difference — event types a user had in week 1 but not
+    after (base_graph_remover_incremental.py:44-55), via array ops."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    cut = "2024-01-29 00:00:00"
+    agg = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.array_distinct(
+                F.collect_list(F.when(F.col("ts") < cut, F.col("event_type")))
+            )
+        ).alias("before"),
+        F.array_sort(
+            F.array_distinct(
+                F.collect_list(F.when(F.col("ts") >= cut, F.col("event_type")))
+            )
+        ).alias("after"),
+    )
+    return agg.select(
+        "user_id", F.explode(F.array_except("before", "after")).alias("event_type")
+    )
+
+
+def _q18_json_extract(spark, sf_dir):
+    """X4: JSON field extraction + aggregate (props -> k)."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return ev.groupBy("user_id").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k")
+    )
+
+
+def _q19_trace_ids(spark, sf_dir):
+    """X7: md5 lineage trace ids (ElasticIndexer.scala:180-189)."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("event_id").alias("max_id")
+    )
+    return agg.select(
+        "user_id",
+        F.md5(
+            F.concat_ws("|", F.col("user_id"), F.col("n"), F.col("max_id"))
+        ).alias("trace_id"),
+    )
+
+
+def _q20_fingerprint(spark, sf_dir):
+    """Document fingerprinting (portable 60-bit md5 hash of normalized text)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return fingerprint64(docs).withColumnRenamed("id", "doc_id")
+
+
+def _q21_exact_dups(spark, sf_dir):
+    """Exact dedup: hash-groupBy duplicate groups. Canonicalization here is
+    the sorted unique-token bag (catches reordered/near-exact copies; the
+    strict byte-identical variant is operators.exact_duplicates, covered by
+    pytest)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    from catalogue_pipeline_spark.operators.dedup import norm_text
+
+    canon = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(norm_text(F.col("text")), " "))))
+    )
+    return (
+        docs.select(F.col("doc_id"), canon.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _q22_ngram_jaccard(spark, sf_dir):
+    """N-gram Jaccard near-dup pairs (k=3 word shingles, τ=0.2)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    out = ngram_jaccard_pairs(docs, k=3, threshold=0.2)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q23_token_stats(spark, sf_dir):
+    """Token counting (whitespace + chars/4 subword estimate)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    tq = text_quality(docs)
+    return tq.select(
+        F.col("id").alias("doc_id"), "n_chars", "n_tokens", "n_subwords_est"
+    )
+
+
+def _q24_text_quality(spark, sf_dir):
+    """Quality scoring: punctuation/upper/digit/stopword/repetition ratios +
+    composite score."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    tq = text_quality(docs)
+    return tq.select(
+        F.col("id").alias("doc_id"),
+        "punct_ratio",
+        "digit_ratio",
+        "stopword_ratio",
+        "distinct_token_ratio",
+        "quality_score",
+    )
+
+
+def _q25_lang_detect(spark, sf_dir):
+    """Language-ID n-gram/stopword heuristic."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return detect_language(docs).select(
+        F.col("id").alias("doc_id"),
+        "lang_pred",
+        F.round("lang_score", 6).alias("lang_score"),
+    )
+
+
+def _q26_cosine_topk(spark, sf_dir):
+    """Similarity search: exact brute-force cosine top-5 for queries
+    vec_id < 5."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk_bruteforce(emb, q, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+def _q27_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs among vec_id < 100 (τ=0.35,\n    the top of this corpus's similarity distribution)."""
+    from catalogue_pipeline_spark.operators import embedding_near_duplicates
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings")).filter(F.col("vec_id") < 100)
+    out = embedding_near_duplicates(emb, threshold=0.35)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+# --- classic relational layer (scan/join/agg/window machinery) -------------
+def _q28_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary; DECIMAL accumulation so both engines
+    agree exactly."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= "2024-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q29_top_orders(spark, sf_dir):
+    """TPC-H Q3-style: revenue per order for one segment (join orders ×
+    customer × lineitem; AQE broadcasts the dims)."""
+    cust = spark.read.parquet(_t(sf_dir, "customer")).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    return j.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
+
+
+def _q30_nation_volume(spark, sf_dir):
+    """TPC-H Q5-style multiway join with broadcast dims: revenue by nation."""
+    region = spark.read.parquet(_t(sf_dir, "region"))
+    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def _q31_topn_parts_per_brand(spark, sf_dir):
+    """Window top-N per group: 3 priciest parts per brand."""
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+    )
+
+
+def _q32_priority_semijoin(spark, sf_dir):
+    """TPC-H Q4-style EXISTS semi-join: orders with a late-shipped line."""
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    late = li.select("l_orderkey").distinct()
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --- rows-only (non-SQL-expressible) ---------------------------------------
+def _q33_minhash_signatures(spark, sf_dir):
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    sig = minhash_signatures(docs, num_perm=16)
+    return sig.select(F.col("id").alias("doc_id"), F.col("sig").cast("array<long>"))
+
+
+def _q34_simhash(spark, sf_dir):
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return simhash64(docs).withColumnRenamed("id", "doc_id")
+
+
+def _q35_lsh_topk(spark, sf_dir):
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < 5)
+    return lsh_bucketed_topk(emb, q, k=5, n_planes=6, n_tables=3)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_cdc_apply": _q01_cdc_apply,
+        "q02_cdc_replay_e2e": _q02_cdc_replay_e2e,
+        "q03_lww_latest_event": _q03_lww_latest_event,
+        "q04_max_ts_per_user": _q04_max_ts_per_user,
+        "q05_counts_by_type": _q05_counts_by_type,
+        "q06_insert_detection": _q06_insert_detection,
+        "q07_delete_detection": _q07_delete_detection,
+        "q08_update_detection": _q08_update_detection,
+        "q09_ts_gate": _q09_ts_gate,
+        "q10_content_preserve": _q10_content_preserve,
+        "q11_gap_detection": _q11_gap_detection,
+        "q12_session_merge": _q12_session_merge,
+        "q13_derived_bound": _q13_derived_bound,
+        "q14_component_digest": _q14_component_digest,
+        "q15_precedence": _q15_precedence,
+        "q16_chunking": _q16_chunking,
+        "q17_set_difference": _q17_set_difference,
+        "q18_json_extract": _q18_json_extract,
+        "q19_trace_ids": _q19_trace_ids,
+        "q20_fingerprint": _q20_fingerprint,
+        "q21_exact_dups": _q21_exact_dups,
+        "q22_ngram_jaccard": _q22_ngram_jaccard,
+        "q23_token_stats": _q23_token_stats,
+        "q24_text_quality": _q24_text_quality,
+        "q25_lang_detect": _q25_lang_detect,
+        "q26_cosine_topk": _q26_cosine_topk,
+        "q27_embedding_near_dup": _q27_embedding_near_dup,
+        "q28_pricing_summary": _q28_pricing_summary,
+        "q29_top_orders": _q29_top_orders,
+        "q30_nation_volume": _q30_nation_volume,
+        "q31_topn_parts_per_brand": _q31_topn_parts_per_brand,
+        "q32_priority_semijoin": _q32_priority_semijoin,
+        "q33_minhash_signatures": _q33_minhash_signatures,
+        "q34_simhash": _q34_simhash,
+        "q35_lsh_topk": _q35_lsh_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    # shared SQL fragments
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    words = f"regexp_split_to_array({norm}, ' ')"
+    phash = lambda e: f"CAST(('0x' || substr(md5({e}), 1, 15)) AS BIGINT)"  # noqa: E731
+    stop_en = "\\b(the|and|of|to|is|in|that|it|was|for)\\b"
+
+    sql: dict[str, str] = {}
+    sql["q01_cdc_apply"] = _SQL_CDC_VISIBLE
+    sql["q02_cdc_replay_e2e"] = _SQL_CDC_VISIBLE
+    sql["q03_lww_latest_event"] = """
+        SELECT user_id, event_id, event_type, value, ts FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+          FROM events) WHERE rn = 1
     """
-    return {}
+    sql["q04_max_ts_per_user"] = """
+        SELECT user_id, max(ts) AS max_ts, count(*) AS n_events FROM events GROUP BY user_id
+    """
+    sql["q05_counts_by_type"] = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+    sql["q06_insert_detection"] = """
+        SELECT DISTINCT user_id FROM events e
+        WHERE NOT EXISTS (
+          SELECT 1 FROM customer c WHERE c.c_custkey <= 100 AND c.c_custkey = e.user_id)
+    """
+    sql["q07_delete_detection"] = """
+        SELECT c_custkey, c_name, TRUE AS deleted FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+    """
+    sql["q08_update_detection"] = """
+        WITH ranked AS (
+          SELECT user_id, event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) rn_a,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) rn_d
+          FROM events)
+        SELECT f.user_id, f.event_type, f.value AS first_value, l.value AS last_value
+        FROM (SELECT * FROM ranked WHERE rn_a = 1) f
+        JOIN (SELECT * FROM ranked WHERE rn_d = 1) l USING (user_id, event_type)
+        WHERE f.value <> l.value
+    """
+    sql["q09_ts_gate"] = """
+        WITH base AS (
+          SELECT user_id, max(ts) AS base_ts FROM events WHERE event_type = 'signup' GROUP BY user_id)
+        SELECT e.user_id, e.event_id, e.ts FROM events e JOIN base b USING (user_id)
+        WHERE e.ts >= b.base_ts
+    """
+    sql["q10_content_preserve"] = """
+        WITH w AS (
+          SELECT user_id, event_type AS last_event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+          FROM events),
+        nd AS (
+          SELECT user_id, props AS effective_props,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+          FROM events WHERE event_type <> 'error')
+        SELECT w.user_id, w.last_event_type, nd.effective_props
+        FROM (SELECT * FROM w WHERE rn = 1) w
+        LEFT JOIN (SELECT * FROM nd WHERE rn = 1) nd USING (user_id)
+    """
+    sql["q11_gap_detection"] = """
+        SELECT user_id, prev_ts AS gap_start, ts AS gap_end FROM (
+          SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_ts
+          FROM events)
+        WHERE prev_ts IS NOT NULL AND epoch(ts) - epoch(prev_ts) > 3600
+    """
+    sql["q12_session_merge"] = """
+        WITH m AS (
+          SELECT user_id, epoch(ts) AS s, epoch(ts) + 300 AS e,
+                 max(epoch(ts) + 300) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+          FROM events)
+        SELECT user_id, sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END) AS n_sessions
+        FROM m GROUP BY user_id
+    """
+    sql["q13_derived_bound"] = """
+        SELECT count(*) AS n_after_bound FROM events
+        WHERE ts >= (SELECT min(ts) FROM events WHERE event_type = 'signup' AND user_id = 0)
+    """
+    sql["q14_component_digest"] = """
+        SELECT user_id,
+               sha256(string_agg(DISTINCT event_type, '+' ORDER BY event_type)) AS subgraph_id,
+               count(DISTINCT event_type) AS n_types
+        FROM events GROUP BY user_id
+    """
+    sql["q15_precedence"] = """
+        SELECT user_id, event_type, event_id FROM (
+          SELECT user_id, event_type, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+                   CASE event_type WHEN 'purchase' THEN 0 WHEN 'signup' THEN 1
+                        WHEN 'click' THEN 2 WHEN 'view' THEN 3 WHEN 'error' THEN 4 ELSE 5 END,
+                   ts DESC, event_id DESC) rn
+          FROM events) WHERE rn = 1
+    """
+    sql["q16_chunking"] = """
+        SELECT chunk_id, count(*) AS n_users FROM (
+          SELECT CAST(floor((ROW_NUMBER() OVER (ORDER BY user_id) - 1) / 25) AS BIGINT) AS chunk_id
+          FROM (SELECT DISTINCT user_id FROM events))
+        GROUP BY chunk_id
+    """
+    sql["q17_set_difference"] = """
+        SELECT DISTINCT b.user_id, b.event_type
+        FROM (SELECT DISTINCT user_id, event_type FROM events WHERE ts < TIMESTAMP '2024-01-29') b
+        WHERE NOT EXISTS (
+          SELECT 1 FROM events a
+          WHERE a.ts >= TIMESTAMP '2024-01-29' AND a.user_id = b.user_id AND a.event_type = b.event_type)
+    """
+    sql["q18_json_extract"] = """
+        SELECT user_id, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        FROM events GROUP BY user_id
+    """
+    sql["q19_trace_ids"] = """
+        SELECT user_id,
+               md5(CAST(user_id AS VARCHAR) || '|' || CAST(count(*) AS VARCHAR) || '|' || CAST(max(event_id) AS VARCHAR)) AS trace_id
+        FROM events GROUP BY user_id
+    """
+    sql["q20_fingerprint"] = f"""
+        SELECT doc_id, {phash(norm)} AS fingerprint FROM documents
+    """
+    sql["q21_exact_dups"] = f"""
+        SELECT md5(array_to_string(list_sort(list_distinct({words})), ' ')) AS content_hash,
+               count(*) AS n_docs, min(doc_id) AS keep_id
+        FROM documents GROUP BY 1 HAVING count(*) > 1
+    """
+    sql["q22_ngram_jaccard"] = f"""
+        WITH sh AS (
+          SELECT doc_id AS id, unnest(list_distinct(
+            CASE WHEN len({words}) >= 3 THEN
+              list_transform(range(1, len({words}) - 1), i -> array_to_string(({words})[i:i+2], ' '))
+            ELSE [array_to_string({words}, ' ')] END)) AS sh
+          FROM documents),
+        sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b USING (sh) WHERE a.id < b.id
+          GROUP BY a.id, b.id)
+        SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+        WHERE inter / (sa.sz + sb.sz - inter) >= 0.2
+    """
+    sql["q23_token_stats"] = """
+        SELECT doc_id, length(text) AS n_chars,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est
+        FROM documents
+    """
+    sql["q24_text_quality"] = f"""
+        WITH f AS (
+          SELECT doc_id,
+                 length(text) AS n_chars,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                 length(regexp_replace(text, '[^.,;:!?''"()\\[\\]]', '', 'g')) AS punct,
+                 length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+                 len(regexp_extract_all(lower(text), '{stop_en}')) AS stop_hits,
+                 len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS distinct_toks
+          FROM documents)
+        SELECT doc_id,
+               round(punct / greatest(n_chars, 1), 6) AS punct_ratio,
+               round(digits / greatest(n_chars, 1), 6) AS digit_ratio,
+               round(stop_hits / greatest(n_tokens, 1), 6) AS stopword_ratio,
+               round(distinct_toks / greatest(n_tokens, 1), 6) AS distinct_token_ratio,
+               round(
+                 0.3 * least(n_tokens / 50.0, 1.0)
+                 + 0.25 * least(stop_hits / greatest(n_tokens, 1) * 3, 1.0)
+                 + 0.25 * (distinct_toks / greatest(n_tokens, 1))
+                 + 0.2 * (1.0 - least(punct / greatest(n_chars, 1) * 5, 1.0)), 6) AS quality_score
+        FROM f
+    """
+    markers = {
+        "de": "\\b(der|die|und|das|ist|nicht|ein|mit|auf|zu)\\b",
+        "en": stop_en,
+        "es": "\\b(el|la|los|y|es|una|en|que|por|con)\\b",
+        "fr": "\\b(le|la|les|et|est|une|dans|que|pour|des)\\b",
+    }
+    hits = ", ".join(
+        f"len(regexp_extract_all(lower(text), '{pat}')) AS hits_{lang}"
+        for lang, pat in markers.items()
+    )
+    best = "greatest(hits_de, hits_en, hits_es, hits_fr)"
+    pred = (
+        "CASE WHEN " + best + " = 0 THEN 'unknown' "
+        + " ".join(
+            f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang in ["de", "en", "es", "fr"]
+        )
+        + " END"
+    )
+    sql["q25_lang_detect"] = f"""
+        WITH h AS (
+          SELECT doc_id, text, {hits},
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks
+          FROM documents)
+        SELECT doc_id, {pred} AS lang_pred,
+               round({best} / greatest(toks, 1), 6) AS lang_score
+        FROM h
+    """
+    dot = (
+        "list_sum(list_transform(range(1, len(q.embedding) + 1), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+    )
+    qn = "sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    cn = "sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    sql["q26_cosine_topk"] = f"""
+        WITH scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {dot} / ({qn} * {cn}) AS cos_raw
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+          FROM scored)
+        WHERE rank <= 5
+    """
+    sql["q27_embedding_near_dup"] = f"""
+        SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+               round({dot} / ({qn} * {cn}), 4) AS cosine
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 100 AND c.vec_id < 100 AND q.vec_id < c.vec_id
+          AND {dot} / ({qn} * {cn}) >= 0.35
+    """
+    sql["q28_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """
+    sql["q29_top_orders"] = """
+        SELECT o_orderkey, o_orderdate,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """
+    sql["q30_nation_volume"] = """
+        SELECT r_name, n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """
+    sql["q31_topn_parts_per_brand"] = """
+        SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+          SELECT p_brand, p_partkey, p_retailprice,
+                 ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+          FROM part) WHERE rn <= 3
+    """
+    sql["q32_priority_semijoin"] = """
+        SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        GROUP BY o_orderpriority
+    """
+    # q33/q34/q35: engine-hash / stochastic-bucket ops — rows-only checks
+    return sql

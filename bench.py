@@ -1,0 +1,137 @@
+"""Benchmark harness.
+
+Runs (a) the headline CDC replay — a deterministic synthetic binlog replayed
+end-to-end into a lake transcripts table (the BASELINE.json primary metric:
+change-events/sec applied) and (b) the headline analytic queries from
+__spark_entry__ at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "cdc": {"events": N, "events_per_sec": X, "seconds": S}}
+
+Knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), BENCH_EVENTS (default 2,000,000),
+BENCH_SKIP_QUERIES=1 to run only the CDC replay (used by the scaling bench).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from catalogue_pipeline_spark.cdc import STATE_SCHEMA, plan_ranges  # noqa: E402
+from catalogue_pipeline_spark.cdc.checkpoints import CheckpointStore  # noqa: E402
+from catalogue_pipeline_spark.cdc.generator import generate_binlog, write_binlog  # noqa: E402
+from catalogue_pipeline_spark.cdc.replay import ReplayDriver  # noqa: E402
+from catalogue_pipeline_spark.lake import LakeTable  # noqa: E402
+from catalogue_pipeline_spark.session import build_session  # noqa: E402
+
+HEADLINE = [
+    "q01_cdc_apply",
+    "q03_lww_latest_event",
+    "q12_session_merge",
+    "q22_ngram_jaccard",
+    "q24_text_quality",
+    "q26_cosine_topk",
+    "q28_pricing_summary",
+    "q29_top_orders",
+    "q30_nation_volume",
+]
+
+
+def bench_cdc_replay(spark, n_events: int, cpus: int) -> dict:
+    """The primary metric: end-to-end replay throughput of a synthetic
+    binlog (generate → write → checkpointed resolve+merge replay)."""
+    work = tempfile.mkdtemp(prefix="cps-bench-")
+    try:
+        binlog = os.path.join(work, "binlog")
+        n_convs = max(n_events // 200, 10)
+        t0 = time.time()
+        write_binlog(
+            generate_binlog(spark, n_events, n_convs=n_convs, turns_per_conv=20, seed=42),
+            binlog,
+            ranges=max(cpus, 8),
+        )
+        gen_sec = time.time() - t0
+        table = LakeTable.create(
+            os.path.join(work, "transcripts"),
+            STATE_SCHEMA,
+            bucket_key="conv_id",
+            num_buckets=max(cpus * 2, 16),
+        )
+        driver = ReplayDriver(spark, binlog, table, CheckpointStore(os.path.join(work, "ck")))
+        # 4 ranges: enough commits to exercise the protocol, large enough to
+        # amortize fixed costs (the flush_every trade, window_harvester.py)
+        ranges = plan_ranges(0, n_events, range_size=max(n_events // 4, 1))
+        t1 = time.time()
+        rep = driver.run(ranges)
+        apply_sec = time.time() - t1
+        rows = table.metadata_count()
+        return {
+            "events": n_events,
+            "events_per_sec": round(n_events / apply_sec, 1),
+            "seconds": round(apply_sec, 2),
+            "generate_seconds": round(gen_sec, 2),
+            "final_rows": rows,
+            "events_applied": rep.metrics.events_applied,
+            "dedup_drops": rep.metrics.dedup_drops,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("BENCH_EVENTS", "2000000"))
+    skip_queries = os.environ.get("BENCH_SKIP_QUERIES") == "1"
+
+    spark = build_session("cps-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen path once so query timings measure the plan
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    qtimes: dict[str, float] = {}
+    total = 0.0
+    if not skip_queries:
+        qs = entrymod.queries()
+        for name in HEADLINE:
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            dt_ = time.time() - t0
+            qtimes[name] = round(dt_, 3)
+            total += dt_
+            print(f"# {name}: {n} rows in {dt_:.2f}s", file=sys.stderr)
+
+    cdc = bench_cdc_replay(spark, n_events, cpus)
+    total += cdc["seconds"]
+    print(f"# cdc_replay: {cdc}", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    out = {
+        "metric": "change-events/sec applied (end-to-end CDC replay into lake table) + headline query suite",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cdc": cdc,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -219,7 +219,9 @@ def simhash64(
     agg = tok.groupBy("id").agg(*bit_sums)
     code = None
     for b in range(bits):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("bigint") << b).otherwise(F.lit(0).cast("bigint"))
+        term = F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)
+        ).otherwise(F.lit(0).cast("bigint"))
         code = term if code is None else code + term
     return agg.select("id", code.alias("simhash"))
 

@@ -101,8 +101,9 @@ def test_ngram_jaccard(spark, docs):
 def test_minhash_lsh_finds_near_dups(spark, docs):
     sig = minhash_signatures(docs, num_perm=16)
     assert sig.count() == 6 and len(sig.first()["sig"]) == 16
+    # single-row bands: recall for a 0.4-jaccard pair = 1-(1-0.4)^16 ≈ 0.9997
     cand = {
-        (r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs, num_perm=16, bands=8).collect()
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs, num_perm=16, bands=16).collect()
     }
     assert (1, 2) in cand and (1, 3) in cand and (1, 4) in cand
     assert (5, 6) not in cand
