@@ -16,11 +16,18 @@ All of this collapses into TWO max-registers per key (see schema.py):
   nd       = max over (ts, offset) of NON-delete events — the payload
 
 ``max(struct(...))`` is an ordinary aggregate, so Spark executes it with
-map-side partial aggregation (hash-aggregate of PARTIAL maxes → shuffle →
-final). That is the engine's built-in skew armor: a hot conversation's
-millions of duplicate events reduce to one row per map partition BEFORE the
-shuffle, unlike a ``row_number`` window which must shuffle and sort every raw
-event. This is why the core dedup needs no explicit salting; an explicit
+map-side partial aggregation (PARTIAL maxes → ONE shuffle of pre-reduced
+rows → final). That is the engine's built-in skew armor: a hot
+conversation's millions of duplicate events reduce to one row per map
+partition BEFORE the shuffle, unlike a ``row_number`` window which must
+shuffle and sort every raw event.
+
+Physical note: struct-typed max buffers force SortAggregate (hash agg only
+takes primitive buffers). The partial/final split and single exchange are
+preserved (asserted in tests/test_plans.py); the alternative — hash-agg on a
+packed primitive order key, then a second join pass to retrieve the winning
+payload — shuffles the raw batch twice and loses at scale, so the
+single-pass SortAggregate is the deliberate choice. This is why the core dedup needs no explicit salting; an explicit
 salted two-phase variant lives in operators/skew.py for genuinely
 window-shaped operators.
 

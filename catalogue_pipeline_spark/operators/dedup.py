@@ -83,10 +83,15 @@ def ngram_jaccard_pairs(
 
     |∩| from the self-join; |∪| = |A|+|B|−|∩| from per-doc set sizes, so no
     second pass over shingles.
+
+    Scale: shingles are reduced to 64-bit hashes BEFORE the self-join — the
+    shuffle moves 8-byte keys instead of ~20-char strings and the join
+    compares longs (collision probability over distinct shingles is
+    ~|S|²/2⁶⁵, irrelevant below trillions of shingles).
     """
     sh = docs.select(
         F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), k)).alias("sh")
-    )
+    ).select("id", F.xxhash64("sh").alias("sh"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     pairs = (
         sh.alias("a")

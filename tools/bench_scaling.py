@@ -1,0 +1,79 @@
+"""Scaling-efficiency evidence for the north rule: run the identical CDC
+replay job (same input size, same code) at two parallelism levels —
+local[8] (N) and local[32] (4N) — and report throughput at both plus
+efficiency = (T_4N / T_N) / 4. Writes BENCH/BASELINE.md.
+
+Usage: python tools/bench_scaling.py [n_events]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_at(cpus: int, n_events: int) -> dict:
+    env = dict(os.environ)
+    env.update(
+        SPARK_GRAFT_CPUS=str(cpus),
+        BENCH_EVENTS=str(n_events),
+        BENCH_SKIP_QUERIES="1",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=REPO,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    r8 = run_at(8, n_events)
+    r32 = run_at(32, n_events)
+    t8 = r8["cdc"]["events_per_sec"]
+    t32 = r32["cdc"]["events_per_sec"]
+    eff = (t32 / t8) / 4.0
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = f"""# BENCH/BASELINE — scaling efficiency evidence
+
+The north rule's two-cluster-size criterion, evidenced in-sandbox by running
+the IDENTICAL end-to-end CDC replay (deterministic {n_events:,}-event binlog
+→ schema-normalize → LWW resolve → bucketed copy-on-write MERGE into the
+lake transcripts table, 4 checkpointed ranges) at two local parallelism
+levels on the same machine and input.
+
+| parallelism | wall sec (apply) | events/sec | final rows |
+|---|---|---|---|
+| local[8]  (N)  | {r8["cdc"]["seconds"]} | {t8:,.0f} | {r8["cdc"]["final_rows"]:,} |
+| local[32] (4N) | {r32["cdc"]["seconds"]} | {t32:,.0f} | {r32["cdc"]["final_rows"]:,} |
+
+**speedup 8→32 cores: {t32 / t8:.2f}× · scaling efficiency = ({t32:,.0f} / {t8:,.0f}) / 4 = {eff:.2f}**
+(target ≥ 0.8 per BASELINE.json)
+
+Reference baseline for context: the catalogue-pipeline reindexes 3.24M
+records in "a few hours" ≈ 300–900 records/s end-to-end (REINDEXING.md:73,89);
+this engine applies {t32:,.0f} change-events/s at local[32].
+
+Raw bench JSON:
+
+```json
+{json.dumps(r8)}
+{json.dumps(r32)}
+```
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()
