@@ -89,6 +89,9 @@ def merge_into_state(
     """
     nb = table.num_buckets
     src = resolved.withColumn("_b", bucket_expr("conv_id", nb))
+    # resolve (binlog scan + LWW aggregate) feeds two consumers — the
+    # affected-bucket discovery and the merge join — cache it once
+    src = src.persist(StorageLevel.MEMORY_AND_DISK)
 
     # state side pruned to affected buckets only — file-level pruning via the
     # bucket manifest, not a post-scan filter
@@ -215,6 +218,7 @@ def merge_into_state(
         return snap.snapshot_id, m
     finally:
         new.unpersist()
+        src.unpersist()
 
 
 def visible_transcripts(state: DataFrame) -> DataFrame:
