@@ -57,19 +57,20 @@ def match_and_merge(
     # endpoint (WorkGraphUpdater.scala:117-134) but every work self-links so
     # isolated/suppressed works still form singleton components
     sup = works.select("work_id", "suppressed")
-    edges = (
+    cand_edges = (
         works.select(
             F.col("work_id").alias("src"),
-            F.explode_outer("merge_candidate_ids").alias("dst"),
+            F.explode("merge_candidate_ids").alias("dst"),
             F.col("suppressed").alias("src_sup"),
         )
         .join(sup.withColumnsRenamed({"work_id": "dst", "suppressed": "dst_sup"}), "dst", "left")
-        .filter(
-            F.col("dst").isNull()
-            | (~F.col("src_sup") & ~F.coalesce(F.col("dst_sup"), F.lit(True)))
-        )
-        .select("src", F.coalesce("dst", "src").alias("dst"))
+        .filter(~F.col("src_sup") & ~F.coalesce(F.col("dst_sup"), F.lit(True)))
+        .select("src", "dst")
     )
+    self_edges = works.select(
+        F.col("work_id").alias("src"), F.col("work_id").alias("dst")
+    )
+    edges = cand_edges.unionByName(self_edges)
     labels = connected_components(edges)
     digests = component_digest(labels)
 
