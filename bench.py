@@ -2,17 +2,23 @@
 
 Runs (a) the headline CDC replay — a deterministic synthetic binlog replayed
 end-to-end into a lake transcripts table (the BASELINE.json primary metric:
-change-events/sec applied) and (b) the headline analytic queries from
-__spark_entry__ at $SPARK_GRAFT_SF_DIR.
+change-events/sec applied) in BOTH write modes:
+    cow    copy-on-write MERGE per range (read-optimized)
+    delta  merge-on-read append per range + one final compaction
+           (write-optimized — the production ingest path)
+and (b) the headline analytic queries from __spark_entry__ at
+$SPARK_GRAFT_SF_DIR.
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {...per-query sec...}, "sf": ...,
-   "cdc": {"events": N, "events_per_sec": X, "seconds": S}}
+   "cdc": {...delta-mode primary...}, "cdc_cow": {...}}
 
 Knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), BENCH_EVENTS (default 2,000,000),
-BENCH_SKIP_QUERIES=1 to run only the CDC replay (used by the scaling bench).
+BENCH_BINLOG (reuse a pre-generated binlog dir — keeps the input byte-
+identical across the two cluster sizes of the scaling experiment),
+BENCH_SKIP_QUERIES=1, BENCH_MODES (comma list, default "delta,cow").
 """
 
 from __future__ import annotations
@@ -26,12 +32,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import functions as F  # noqa: E402
-
 import __spark_entry__ as entrymod  # noqa: E402
 from catalogue_pipeline_spark.cdc import STATE_SCHEMA, plan_ranges  # noqa: E402
 from catalogue_pipeline_spark.cdc.checkpoints import CheckpointStore  # noqa: E402
 from catalogue_pipeline_spark.cdc.generator import generate_binlog, write_binlog  # noqa: E402
+from catalogue_pipeline_spark.cdc.merge import compact, read_state  # noqa: E402
 from catalogue_pipeline_spark.cdc.replay import ReplayDriver  # noqa: E402
 from catalogue_pipeline_spark.lake import LakeTable  # noqa: E402
 from catalogue_pipeline_spark.session import build_session  # noqa: E402
@@ -49,39 +54,51 @@ HEADLINE = [
 ]
 
 
-def bench_cdc_replay(spark, n_events: int, cpus: int) -> dict:
-    """The primary metric: end-to-end replay throughput of a synthetic
-    binlog (generate → write → checkpointed resolve+merge replay)."""
-    work = tempfile.mkdtemp(prefix="cps-bench-")
+def ensure_binlog(spark, n_events: int) -> tuple[str, float, bool]:
+    """Reuse $BENCH_BINLOG when present (identical input across runs of the
+    scaling experiment); otherwise generate deterministically."""
+    path = os.environ.get("BENCH_BINLOG")
+    if path and os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path, 0.0, False
+    own = path is None
+    if path is None:
+        path = os.path.join(tempfile.mkdtemp(prefix="cps-bench-binlog-"), "binlog")
+    n_convs = max(n_events // 200, 10)
+    t0 = time.time()
+    write_binlog(
+        generate_binlog(spark, n_events, n_convs=n_convs, turns_per_conv=20, seed=42),
+        path,
+        ranges=32,  # fixed file count — independent of this run's core count
+    )
+    return path, time.time() - t0, own
+
+
+def bench_cdc_replay(spark, binlog: str, n_events: int, cpus: int, mode: str) -> dict:
+    work = tempfile.mkdtemp(prefix=f"cps-bench-{mode}-")
     try:
-        binlog = os.path.join(work, "binlog")
-        n_convs = max(n_events // 200, 10)
-        t0 = time.time()
-        write_binlog(
-            generate_binlog(spark, n_events, n_convs=n_convs, turns_per_conv=20, seed=42),
-            binlog,
-            ranges=max(cpus, 8),
-        )
-        gen_sec = time.time() - t0
         table = LakeTable.create(
             os.path.join(work, "transcripts"),
             STATE_SCHEMA,
             bucket_key="conv_id",
             num_buckets=max(cpus * 2, 16),
         )
-        driver = ReplayDriver(spark, binlog, table, CheckpointStore(os.path.join(work, "ck")))
+        driver = ReplayDriver(
+            spark, binlog, table, CheckpointStore(os.path.join(work, "ck")), mode=mode
+        )
         # 4 ranges: enough commits to exercise the protocol, large enough to
         # amortize fixed costs (the flush_every trade, window_harvester.py)
         ranges = plan_ranges(0, n_events, range_size=max(n_events // 4, 1))
         t1 = time.time()
         rep = driver.run(ranges)
+        if mode == "delta":
+            compact(spark, table, changeset_id="bench-compact")
         apply_sec = time.time() - t1
         rows = table.metadata_count()
         return {
+            "mode": mode,
             "events": n_events,
             "events_per_sec": round(n_events / apply_sec, 1),
             "seconds": round(apply_sec, 2),
-            "generate_seconds": round(gen_sec, 2),
             "final_rows": rows,
             "events_applied": rep.metrics.events_applied,
             "dedup_drops": rep.metrics.dedup_drops,
@@ -95,6 +112,7 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_events = int(os.environ.get("BENCH_EVENTS", "2000000"))
     skip_queries = os.environ.get("BENCH_SKIP_QUERIES") == "1"
+    modes = os.environ.get("BENCH_MODES", "delta,cow").split(",")
 
     spark = build_session("cps-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -115,18 +133,27 @@ def main():
             total += dt_
             print(f"# {name}: {n} rows in {dt_:.2f}s", file=sys.stderr)
 
-    cdc = bench_cdc_replay(spark, n_events, cpus)
-    total += cdc["seconds"]
-    print(f"# cdc_replay: {cdc}", file=sys.stderr)
+    binlog, gen_sec, own_binlog = ensure_binlog(spark, n_events)
+    results = {}
+    for mode in modes:
+        results[mode] = bench_cdc_replay(spark, binlog, n_events, cpus, mode.strip())
+        print(f"# cdc_replay[{mode}]: {results[mode]}", file=sys.stderr)
+    if own_binlog:
+        shutil.rmtree(os.path.dirname(binlog), ignore_errors=True)
+
+    primary = results.get("delta") or next(iter(results.values()))
+    total += sum(r["seconds"] for r in results.values())
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     out = {
-        "metric": "change-events/sec applied (end-to-end CDC replay into lake table) + headline query suite",
+        "metric": "change-events/sec applied (end-to-end CDC replay into lake table; delta=MOR ingest incl. compaction, cow=copy-on-write MERGE) + headline query suite",
         "value": round(total, 2),
         "unit": "sec",
         "queries": qtimes,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "cdc": cdc,
+        "cdc": primary,
+        "cdc_cow": results.get("cow"),
+        "generate_seconds": round(gen_sec, 2),
         "cpus": cpus,
     }
     print(json.dumps(out))

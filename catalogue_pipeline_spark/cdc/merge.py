@@ -94,9 +94,10 @@ def merge_into_state(
     src = src.persist(StorageLevel.MEMORY_AND_DISK)
 
     # state side pruned to affected buckets only — file-level pruning via the
-    # bucket manifest, not a post-scan filter
+    # bucket manifest, not a post-scan filter; read_state reduces any
+    # merge-on-read deltas so the join sees one row per key
     affected = sorted(r["_b"] for r in src.select("_b").distinct().collect())
-    tgt = table.read(spark, buckets=affected)
+    tgt = read_state(spark, table, buckets=affected)
 
     j = src.alias("s").join(
         tgt.alias("t"), on=["conv_id", "turn_idx"], how="full_outer"
@@ -228,3 +229,125 @@ def visible_transcripts(state: DataFrame) -> DataFrame:
     return state.filter(F.col("deleted") == "false").select(
         "conv_id", "turn_idx", "role", "text", "tool", "ts"
     )
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read (MOR) mode — the high-throughput ingest path
+# ---------------------------------------------------------------------------
+# Copy-on-write MERGE rewrites every affected bucket per range; with
+# uniformly-spread keys that approaches a full-table rewrite per range (write
+# amplification ∝ table size). Because BOTH state registers are max-registers
+# (associative/commutative/idempotent), the table can instead store resolved
+# change rows as append-only DELTA files and reduce registers at read time —
+# exactly Iceberg v2's merge-on-read, but with a semantic twist: no positional
+# deletes are needed at all, the LWW reduce IS the merge. Compaction folds
+# base+deltas back into sorted base files, bucket by bucket, in one atomic
+# commit. Ingest cost becomes ∝ |changes| (resolve + one append), reads pay a
+# per-bucket partial aggregate until compaction.
+
+
+def reduce_state(raw: DataFrame) -> DataFrame:
+    """Reduce raw state rows (base + deltas, possibly many rows per key) to
+    one row per key by merging both max-registers. Identity on already-
+    reduced input. Partial-aggregates map-side like resolve_lww."""
+    agg = raw.groupBy("conv_id", "turn_idx").agg(
+        F.max(F.struct("ts", "op_pri", "offset", "deleted")).alias("w"),
+        F.max(
+            F.when(
+                F.col("nd_ts").isNotNull(),
+                F.struct(
+                    F.col("nd_ts").alias("ts"),
+                    F.col("nd_offset").alias("offset"),
+                    "role",
+                    "text",
+                    "tool",
+                ),
+            )
+        ).alias("nd"),
+    )
+    return agg.select(
+        "conv_id",
+        "turn_idx",
+        F.col("nd.role").alias("role"),
+        F.col("nd.text").alias("text"),
+        F.col("nd.tool").alias("tool"),
+        F.col("w.ts").alias("ts"),
+        F.col("w.op_pri").alias("op_pri"),
+        F.col("w.offset").alias("offset"),
+        F.col("nd.ts").alias("nd_ts"),
+        F.col("nd.offset").alias("nd_offset"),
+        F.col("w.deleted").alias("deleted"),
+    )
+
+
+def read_state(spark: SparkSession, table: LakeTable, snapshot_id: int | None = None,
+               buckets: list[int] | None = None) -> DataFrame:
+    """The reduced (one row per key) view of the table, whatever mix of base
+    and delta files the snapshot holds. Cheap when compacted: reduce_state is
+    the identity on unique keys and skipped entirely when no deltas exist."""
+    snap = table.snapshot(snapshot_id)
+    has_delta = any(f.get("kind", "base") == "delta" for f in snap.files)
+    raw = table.read(spark, snapshot_id=snapshot_id, buckets=buckets)
+    return reduce_state(raw) if has_delta else raw
+
+
+def append_delta(
+    spark: SparkSession,
+    table: LakeTable,
+    resolved: DataFrame,
+    changeset_id: str,
+    range_summary: dict | None = None,
+) -> tuple[int | None, ApplyMetrics]:
+    """MOR ingest: append the resolved change set as delta files — no join
+    against existing state, no bucket rewrite. Metrics cover the in-batch
+    view only (events_in/keys_in/in-batch dedup_drops); state-relative
+    splits (insert vs update, late arrivals) are deferred to compaction,
+    which is the explicit MOR trade."""
+    src = resolved.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        row = src.agg(
+            F.count(F.lit(1)).alias("keys"), F.sum("n_events").alias("nev")
+        ).collect()[0]
+        m = ApplyMetrics()
+        m.keys_in = row["keys"] or 0
+        m.events_in = row["nev"] or 0
+        m.dedup_drops = m.events_in - m.keys_in
+        m.events_applied = m.keys_in
+        if m.keys_in == 0:
+            return None, m
+        summary = {"range": dict(range_summary or {}), "metrics": m.as_map(), "mode": "delta"}
+        added = table.write_data_files(
+            src.select(*STATE_COLS),
+            changeset_id=changeset_id,
+            sort_cols=["conv_id", "turn_idx"],
+            kind="delta",
+        )
+        summary["operation"] = "append-delta"
+        summary["changeset_id"] = changeset_id
+        snap = table.commit(added, set(), summary)
+        return snap.snapshot_id, m
+    finally:
+        src.unpersist()
+
+
+def compact(
+    spark: SparkSession,
+    table: LakeTable,
+    changeset_id: str,
+    buckets: list[int] | None = None,
+) -> int | None:
+    """Fold base+delta files of the given buckets (default: all buckets that
+    currently carry deltas) into fresh sorted base files — one atomic commit.
+    Returns the new snapshot id, or None if nothing to compact."""
+    target = buckets if buckets is not None else table.delta_buckets()
+    if not target:
+        return None
+    reduced = reduce_state(table.read(spark, buckets=target))
+    snap = table.overwrite_buckets(
+        reduced,
+        buckets=target,
+        changeset_id=changeset_id,
+        summary={"operation": "compact", "buckets": sorted(target)},
+        sort_cols=["conv_id", "turn_idx"],
+    )
+    return snap.snapshot_id

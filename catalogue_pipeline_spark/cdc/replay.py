@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from ..lake.table import LakeTable
 from .checkpoints import CheckpointStore
-from .merge import ApplyMetrics, merge_into_state
+from .merge import ApplyMetrics, append_delta, merge_into_state
 from .resolve import resolve_lww
 from .schema import STATE_SCHEMA, SchemaRegistry
 
@@ -85,12 +85,18 @@ class ReplayDriver:
         table: LakeTable,
         checkpoints: CheckpointStore,
         registry: SchemaRegistry | None = None,
+        mode: str = "cow",
     ):
+        """``mode``: "cow" = copy-on-write MERGE per range (read-optimized);
+        "delta" = merge-on-read append per range (write-optimized, the
+        high-throughput ingest path; run merge.compact periodically)."""
+        assert mode in ("cow", "delta")
         self.spark = spark
         self.binlog_path = binlog_path
         self.table = table
         self.checkpoints = checkpoints
         self.registry = registry or SchemaRegistry()
+        self.mode = mode
 
     # -- fencing ----------------------------------------------------------
     def applied_range_ids(self) -> set[str]:
@@ -140,7 +146,8 @@ class ReplayDriver:
         batch = self.registry.normalize(self.read_range(r))
         resolved = resolve_lww(batch)
         changeset_id = f"{r.range_id}-a{attempt}"
-        return merge_into_state(
+        apply_fn = append_delta if self.mode == "delta" else merge_into_state
+        return apply_fn(
             self.spark,
             self.table,
             resolved,

@@ -177,15 +177,21 @@ class LakeTable:
         snapshot_id: int | None = None,
         buckets: list[int] | None = None,
         with_bucket_col: bool = False,
+        kinds: set[str] | None = None,
     ) -> DataFrame:
-        """Read a snapshot (optionally pinned — V7 fencing), optionally
-        restricted to a bucket subset (the file-pruning fast path for merges;
-        analog of Iceberg partition pruning)."""
+        """Read raw rows of a snapshot (optionally pinned — V7 fencing),
+        optionally restricted to a bucket subset (the file-pruning fast path
+        for merges; analog of Iceberg partition pruning) and to file kinds
+        ("base"/"delta"). NOTE: with merge-on-read deltas present, raw rows
+        may contain multiple versions per key — use cdc.merge.read_state for
+        the reduced view."""
         snap = self.snapshot(snapshot_id)
         files = snap.files
         if buckets is not None:
             bs = set(buckets)
             files = [f for f in files if f["bucket"] in bs]
+        if kinds is not None:
+            files = [f for f in files if f.get("kind", "base") in kinds]
         schema = snap.schema
         if not files:
             df = spark.createDataFrame([], schema)
@@ -268,6 +274,7 @@ class LakeTable:
         df: DataFrame,
         changeset_id: str,
         sort_cols: list[str] | None = None,
+        kind: str = "base",
     ) -> list[dict]:
         """Write ``df`` as new data files (one directory per changeset),
         bucketed by the table's bucket key, sorted within files for stats
@@ -291,9 +298,9 @@ class LakeTable:
             if sort_cols:
                 wdf = wdf.sortWithinPartitions(*sort_cols)
             wdf.write.mode("errorifexists").parquet(out_dir)
-        return self._manifest_from_dir(out_dir, rel_dir)
+        return self._manifest_from_dir(out_dir, rel_dir, kind=kind)
 
-    def _manifest_from_dir(self, out_dir: str, rel_dir: str) -> list[dict]:
+    def _manifest_from_dir(self, out_dir: str, rel_dir: str, kind: str = "base") -> list[dict]:
         added: list[dict] = []
         for root, _dirs, fnames in os.walk(out_dir):
             for fn in sorted(fnames):
@@ -309,13 +316,14 @@ class LakeTable:
                         "path": os.path.join(rel_root, fn),
                         "bucket": bucket,
                         "rows": _parquet_rows(full),
+                        "kind": kind,
                     }
                 )
         return added
 
     def append(self, df: DataFrame, changeset_id: str, summary: dict | None = None,
-               sort_cols: list[str] | None = None) -> Snapshot:
-        added = self.write_data_files(df, changeset_id, sort_cols=sort_cols)
+               sort_cols: list[str] | None = None, kind: str = "base") -> Snapshot:
+        added = self.write_data_files(df, changeset_id, sort_cols=sort_cols, kind=kind)
         s = {"operation": "append", "changeset_id": changeset_id}
         s.update(summary or {})
         return self.commit(added, set(), s)
@@ -342,6 +350,11 @@ class LakeTable:
         s.update(summary or {})
         return self.commit(added, removed, s, schema=schema,
                            expected_parent=expected_parent)
+
+    def delta_buckets(self, snapshot_id: int | None = None) -> list[int]:
+        """Buckets currently carrying merge-on-read delta files."""
+        snap = self.snapshot(snapshot_id)
+        return sorted({f["bucket"] for f in snap.files if f.get("kind", "base") == "delta"})
 
     # ---------------------------------------------------------- maintenance
     def expire_snapshots(self, keep_last: int = 10) -> int:

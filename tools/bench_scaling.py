@@ -16,12 +16,14 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_at(cpus: int, n_events: int) -> dict:
+def run_at(cpus: int, n_events: int, binlog: str) -> dict:
     env = dict(os.environ)
     env.update(
         SPARK_GRAFT_CPUS=str(cpus),
         BENCH_EVENTS=str(n_events),
         BENCH_SKIP_QUERIES="1",
+        BENCH_BINLOG=binlog,
+        BENCH_MODES="delta",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -37,8 +39,17 @@ def run_at(cpus: int, n_events: int) -> dict:
 
 def main():
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
-    r8 = run_at(8, n_events)
-    r32 = run_at(32, n_events)
+    import tempfile
+
+    # generate ONE binlog, reused byte-identically by both cluster sizes
+    binlog = os.path.join(tempfile.mkdtemp(prefix="cps-scaling-"), "binlog")
+    gen = run_at(32, n_events, binlog)  # first run generates + measures
+    r32 = gen
+    r8 = run_at(8, n_events, binlog)
+    del gen
+    import shutil
+
+    shutil.rmtree(os.path.dirname(binlog), ignore_errors=True)
     t8 = r8["cdc"]["events_per_sec"]
     t32 = r32["cdc"]["events_per_sec"]
     eff = (t32 / t8) / 4.0
@@ -47,8 +58,9 @@ def main():
 
 The north rule's two-cluster-size criterion, evidenced in-sandbox by running
 the IDENTICAL end-to-end CDC replay (deterministic {n_events:,}-event binlog
-→ schema-normalize → LWW resolve → bucketed copy-on-write MERGE into the
-lake transcripts table, 4 checkpointed ranges) at two local parallelism
+→ schema-normalize → LWW resolve → merge-on-read delta append into the
+lake transcripts table, 4 checkpointed ranges + final compaction; the
+binlog is generated once and read by both runs) at two local parallelism
 levels on the same machine and input.
 
 | parallelism | wall sec (apply) | events/sec | final rows |
