@@ -596,6 +596,20 @@ def _q32_priority_semijoin(spark, sf_dir):
     )
 
 
+def _q36_conflict_detection(spark, sf_dir):
+    """V6: unresolvable-conflict detection — same timestamp (day grain),
+    different content (CalmStore.scala:54-66)."""
+    from catalogue_pipeline_spark.operators.quality import detect_unresolvable_conflicts
+
+    ev = (
+        spark.read.parquet(_t(sf_dir, "events"))
+        .withColumn("day", F.to_date(F.col("ts")))
+    )
+    return detect_unresolvable_conflicts(
+        ev, ["user_id", "event_type"], ts_col="day", content_cols=["props"]
+    )
+
+
 # --- rows-only (non-SQL-expressible) ---------------------------------------
 def _q33_minhash_signatures(spark, sf_dir):
     docs = spark.read.parquet(_t(sf_dir, "documents"))
@@ -651,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_minhash_signatures": _q33_minhash_signatures,
         "q34_simhash": _q34_simhash,
         "q35_lsh_topk": _q35_lsh_topk,
+        "q36_conflict_detection": _q36_conflict_detection,
     }
 
 
@@ -912,6 +927,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_orderpriority, count(*) AS n_orders FROM orders
         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
         GROUP BY o_orderpriority
+    """
+    sql["q36_conflict_detection"] = """
+        WITH d AS (SELECT user_id, event_type, props, CAST(ts AS DATE) AS day FROM events),
+        mx AS (SELECT user_id, event_type, max(day) AS day FROM d GROUP BY user_id, event_type)
+        SELECT user_id, event_type, day, count(DISTINCT props) AS n_variants
+        FROM d JOIN mx USING (user_id, event_type, day)
+        GROUP BY user_id, event_type, day
+        HAVING count(DISTINCT props) > 1
     """
     # q33/q34/q35: engine-hash / stochastic-bucket ops — rows-only checks
     return sql

@@ -19,6 +19,7 @@ from .similarity import cosine_topk_bruteforce, lsh_bucketed_topk
 from .textstats import text_quality, detect_language, token_count_expr, fingerprint64
 from .components import connected_components, component_digest
 from .precedence import pick_target_by_precedence, fixed_size_chunks
+from .quality import detect_unresolvable_conflicts, traverse_hierarchy
 
 __all__ = [
     "top_hot_keys",
@@ -41,4 +42,6 @@ __all__ = [
     "component_digest",
     "pick_target_by_precedence",
     "fixed_size_chunks",
+    "detect_unresolvable_conflicts",
+    "traverse_hierarchy",
 ]
