@@ -68,7 +68,11 @@ def ensure_binlog(spark, n_events: int) -> tuple[str, float, bool]:
     write_binlog(
         generate_binlog(spark, n_events, n_convs=n_convs, turns_per_conv=20, seed=42),
         path,
-        ranges=32,  # fixed file count — independent of this run's core count
+        # file count sets the max scan parallelism per replay range: with R
+        # ranges and C cores we need ≥ R*C files (each file is one ~single-
+        # row-group zstd parquet, unsplittable) — 128 gives 32-way scans per
+        # range at 4 ranges, identical for every run that shares this binlog
+        ranges=128,
     )
     return path, time.time() - t0, own
 
@@ -80,7 +84,7 @@ def bench_cdc_replay(spark, binlog: str, n_events: int, cpus: int, mode: str) ->
             os.path.join(work, "transcripts"),
             STATE_SCHEMA,
             bucket_key="conv_id",
-            num_buckets=max(cpus * 2, 16),
+            num_buckets=64,  # fixed — identical layout at every core count
         )
         driver = ReplayDriver(
             spark, binlog, table, CheckpointStore(os.path.join(work, "ck")), mode=mode
@@ -114,6 +118,7 @@ def main():
     skip_queries = os.environ.get("BENCH_SKIP_QUERIES") == "1"
     modes = os.environ.get("BENCH_MODES", "delta,cow").split(",")
 
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")  # local mode: driver = all executors
     spark = build_session("cps-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 

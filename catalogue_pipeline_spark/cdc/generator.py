@@ -134,6 +134,11 @@ def write_binlog(df: DataFrame, path: str, ranges: int = 16) -> None:
     """Materialize a binlog ordered/partitioned by offset so range replays
     (``offset BETWEEN a AND b``) prune files via parquet min/max stats —
     the binlog analog of the reference's id-sorted store (schemata.py:36-40).
+
+    ``ranges`` (the output file count) bounds scan parallelism per replay
+    range: each file is typically one zstd row group (unsplittable), so pick
+    ranges ≥ replay_ranges × cores. On a real cluster the binlog producer
+    (Kafka connect / WAL shipper) handles this via segment sizing.
     """
     (
         df.repartitionByRange(ranges, "offset")

@@ -303,31 +303,38 @@ def append_delta(
     view only (events_in/keys_in/in-batch dedup_drops); state-relative
     splits (insert vs update, late arrivals) are deferred to compaction,
     which is the explicit MOR trade."""
-    src = resolved.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        row = src.agg(
-            F.count(F.lit(1)).alias("keys"), F.sum("n_events").alias("nev")
-        ).collect()[0]
-        m = ApplyMetrics()
-        m.keys_in = row["keys"] or 0
-        m.events_in = row["nev"] or 0
-        m.dedup_drops = m.events_in - m.keys_in
-        m.events_applied = m.keys_in
-        if m.keys_in == 0:
-            return None, m
-        summary = {"range": dict(range_summary or {}), "metrics": m.as_map(), "mode": "delta"}
-        added = table.write_data_files(
-            src.select(*STATE_COLS),
-            changeset_id=changeset_id,
-            sort_cols=["conv_id", "turn_idx"],
-            kind="delta",
-        )
-        summary["operation"] = "append-delta"
-        summary["changeset_id"] = changeset_id
-        snap = table.commit(added, set(), summary)
-        return snap.snapshot_id, m
-    finally:
-        src.unpersist()
+    from pyspark.sql import Observation
+
+    # metrics ride the write job itself (df.observe — the A7 mechanism),
+    # so delta ingest is exactly ONE pass over the resolved batch: no
+    # pre-count, no cache
+    obs = Observation()
+    observed = resolved.observe(
+        obs, F.count(F.lit(1)).alias("keys"), F.sum("n_events").alias("nev")
+    )
+    added = table.write_data_files(
+        observed.select(*STATE_COLS),
+        changeset_id=changeset_id,
+        sort_cols=["conv_id", "turn_idx"],
+        kind="delta",
+    )
+    got = obs.get
+    m = ApplyMetrics()
+    m.keys_in = got["keys"] or 0
+    m.events_in = got["nev"] or 0
+    m.dedup_drops = m.events_in - m.keys_in
+    m.events_applied = m.keys_in
+    if m.keys_in == 0:
+        return None, m  # nothing written worth keeping; files are empty
+    summary = {
+        "range": dict(range_summary or {}),
+        "metrics": m.as_map(),
+        "mode": "delta",
+        "operation": "append-delta",
+        "changeset_id": changeset_id,
+    }
+    snap = table.commit(added, set(), summary)
+    return snap.snapshot_id, m
 
 
 def compact(
