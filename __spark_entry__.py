@@ -610,6 +610,96 @@ def _q36_conflict_detection(spark, sf_dir):
     )
 
 
+def _q37_salted_lww(spark, sf_dir):
+    """Skew path: explicit two-phase salted LWW must equal unsalted apply —
+    verified here against the SAME SQL oracle as q01 (SURVEY §7 step 4)."""
+    from catalogue_pipeline_spark.operators import salted_lww
+
+    resolved = salted_lww(_changelog(spark, sf_dir), salt_factor=8)
+    return resolved.filter(F.col("deleted") == "false").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
+def _q38_snapshot_sync(spark, sf_dir):
+    """S5/J1-J5 snapshot path: two full snapshots diffed into the table; the
+    final visible state is exactly the second snapshot (adapter_store.py
+    snapshot_sync semantics)."""
+    import datetime as dt
+
+    from catalogue_pipeline_spark.cdc.merge import read_state, visible_transcripts
+    from catalogue_pipeline_spark.sources import snapshot_sync
+
+    work = tempfile.mkdtemp(prefix="cps-q38-")
+    try:
+        cust = spark.read.parquet(_t(sf_dir, "customer"))
+        snap1 = cust.filter(F.col("c_custkey") <= 1000).select(
+            F.concat(F.lit("k"), F.col("c_custkey").cast("string")).alias("conv_id"),
+            F.lit(0).cast("long").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.col("c_name").alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+        )
+        snap2 = cust.filter((F.col("c_custkey") % 3 != 0) & (F.col("c_custkey") <= 1200)).select(
+            F.concat(F.lit("k"), F.col("c_custkey").cast("string")).alias("conv_id"),
+            F.lit(0).cast("long").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.concat(F.col("c_name"), F.lit(" v2")).alias("text"),
+            F.col("c_mktsegment").alias("tool"),
+        )
+        table = LakeTable.create(
+            os.path.join(work, "t"), STATE_SCHEMA, bucket_key="conv_id", num_buckets=8
+        )
+        snapshot_sync(spark, table, snap1, dt.datetime(2024, 1, 1), "s1", offset_base=0)
+        snapshot_sync(spark, table, snap2, dt.datetime(2024, 1, 2), "s2", offset_base=1 << 41)
+        out = visible_transcripts(read_state(spark, table)).select(
+            "conv_id", "turn_idx", "role", "text", "tool"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _q39_connected_components(spark, sf_dir):
+    """G1/G2: connected components via min-label propagation, verified
+    against a recursive-CTE closure oracle."""
+    from catalogue_pipeline_spark.operators import connected_components
+
+    edges = (
+        spark.read.parquet(_t(sf_dir, "events"))
+        .select(F.col("user_id").alias("src"), (F.col("user_id") % 50).alias("dst"))
+        .distinct()
+    )
+    return connected_components(edges).select("id", "component")
+
+
+def _q40_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload column → Arrow-batched mapInPandas
+    feature extraction; the deterministic md5-derived fake decode makes even
+    this oracle-able."""
+    from catalogue_pipeline_spark.operators.multimodal import extract_media_features
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    media = docs.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    out = extract_media_features(media)
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round("feature_0", 6).alias("feature_0"),
+        F.round("feature_1", 6).alias("feature_1"),
+        F.round("feature_2", 6).alias("feature_2"),
+    )
+
+
 # --- rows-only (non-SQL-expressible) ---------------------------------------
 def _q33_minhash_signatures(spark, sf_dir):
     docs = spark.read.parquet(_t(sf_dir, "documents"))
@@ -666,6 +756,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_simhash": _q34_simhash,
         "q35_lsh_topk": _q35_lsh_topk,
         "q36_conflict_detection": _q36_conflict_detection,
+        "q37_salted_lww": _q37_salted_lww,
+        "q38_snapshot_sync": _q38_snapshot_sync,
+        "q39_connected_components": _q39_connected_components,
+        "q40_media_features": _q40_media_features,
     }
 
 
@@ -935,6 +1029,36 @@ def oracle_sql() -> dict[str, str]:
         FROM d JOIN mx USING (user_id, event_type, day)
         GROUP BY user_id, event_type, day
         HAVING count(DISTINCT props) > 1
+    """
+    sql["q37_salted_lww"] = _SQL_CDC_VISIBLE
+    sql["q38_snapshot_sync"] = """
+        SELECT 'k' || CAST(c_custkey AS VARCHAR) AS conv_id,
+               CAST(0 AS BIGINT) AS turn_idx,
+               'user' AS role,
+               c_name || ' v2' AS text,
+               c_mktsegment AS tool
+        FROM customer WHERE c_custkey % 3 <> 0 AND c_custkey <= 1200
+    """
+    sql["q39_connected_components"] = """
+        WITH RECURSIVE e AS (
+          SELECT DISTINCT user_id AS src, user_id % 50 AS dst FROM events),
+        sym AS (
+          SELECT src, dst FROM e UNION SELECT dst, src FROM e
+          UNION SELECT src, src FROM e UNION SELECT dst, dst FROM e),
+        reach(a, b) AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src)
+        SELECT a AS id, min(b) AS component FROM reach GROUP BY a
+    """
+    sql["q40_media_features"] = """
+        SELECT 'd' || CAST(doc_id AS VARCHAR) AS media_id,
+               'image' AS kind,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               round(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) / 4294967296.0, 6) AS feature_0,
+               round(CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) / 4294967296.0, 6) AS feature_1,
+               round(CAST(('0x' || substr(md5(text), 17, 8)) AS BIGINT) / 4294967296.0, 6) AS feature_2
+        FROM documents
     """
     # q33/q34/q35: engine-hash / stochastic-bucket ops — rows-only checks
     return sql
