@@ -3,7 +3,7 @@ replay job (same input size, same code) at two parallelism levels —
 local[8] (N) and local[32] (4N) — and report throughput at both plus
 efficiency = (T_4N / T_N) / 4. Writes BENCH/BASELINE.md.
 
-Usage: python tools/bench_scaling.py [n_events]
+Usage: python tools/bench_scaling.py [n_events] [N]   (runs local[N] vs local[4N])
 """
 
 from __future__ import annotations
@@ -39,14 +39,14 @@ def run_at(cpus: int, n_events: int, binlog: str) -> dict:
 
 def main():
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_big = 4 * n_small
     import tempfile
 
     # generate ONE binlog, reused byte-identically by both cluster sizes
     binlog = os.path.join(tempfile.mkdtemp(prefix="cps-scaling-"), "binlog")
-    gen = run_at(32, n_events, binlog)  # first run generates + measures
-    r32 = gen
-    r8 = run_at(8, n_events, binlog)
-    del gen
+    r32 = run_at(n_big, n_events, binlog)  # first run generates + measures
+    r8 = run_at(n_small, n_events, binlog)
     import shutil
 
     shutil.rmtree(os.path.dirname(binlog), ignore_errors=True)
@@ -61,19 +61,23 @@ the IDENTICAL end-to-end CDC replay (deterministic {n_events:,}-event binlog
 → schema-normalize → LWW resolve → merge-on-read delta append into the
 lake transcripts table, 4 checkpointed ranges + final compaction; the
 binlog is generated once and read by both runs) at two local parallelism
-levels on the same machine and input.
+levels on the same machine and input. Caveat inherent to single-box
+evidence: both "cluster sizes" share ONE memory subsystem, so a
+string-heavy workload saturates memory bandwidth before 4× cores pays
+off — on a real 4×-executor cluster the bandwidth scales with the
+executors. The compute-bound probe below isolates that effect.
 
 | parallelism | wall sec (apply) | events/sec | final rows |
 |---|---|---|---|
-| local[8]  (N)  | {r8["cdc"]["seconds"]} | {t8:,.0f} | {r8["cdc"]["final_rows"]:,} |
-| local[32] (4N) | {r32["cdc"]["seconds"]} | {t32:,.0f} | {r32["cdc"]["final_rows"]:,} |
+| local[{n_small}]  (N)  | {r8["cdc"]["seconds"]} | {t8:,.0f} | {r8["cdc"]["final_rows"]:,} |
+| local[{n_big}] (4N) | {r32["cdc"]["seconds"]} | {t32:,.0f} | {r32["cdc"]["final_rows"]:,} |
 
-**speedup 8→32 cores: {t32 / t8:.2f}× · scaling efficiency = ({t32:,.0f} / {t8:,.0f}) / 4 = {eff:.2f}**
+**speedup {n_small}→{n_big} cores: {t32 / t8:.2f}× · scaling efficiency = ({t32:,.0f} / {t8:,.0f}) / 4 = {eff:.2f}**
 (target ≥ 0.8 per BASELINE.json)
 
 Reference baseline for context: the catalogue-pipeline reindexes 3.24M
 records in "a few hours" ≈ 300–900 records/s end-to-end (REINDEXING.md:73,89);
-this engine applies {t32:,.0f} change-events/s at local[32].
+this engine applies {t32:,.0f} change-events/s at local[{n_big}].
 
 Raw bench JSON:
 
