@@ -114,7 +114,7 @@ def bench_cdc_replay(spark, binlog: str, n_events: int, cpus: int, mode: str) ->
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_events = int(os.environ.get("BENCH_EVENTS", "2000000"))
+    n_events = int(os.environ.get("BENCH_EVENTS", "8000000"))
     skip_queries = os.environ.get("BENCH_SKIP_QUERIES") == "1"
     modes = os.environ.get("BENCH_MODES", "delta,cow").split(",")
 
