@@ -24,8 +24,11 @@ Physical shape (scale rationale):
   * The state table is hash-bucketed by ``conv_id`` (lake/table.py). Only
     buckets containing changed keys are read and rewritten (copy-on-write at
     bucket granularity) — merge cost ∝ |change set|, not |table|.
-  * The change side of the join is usually ≪ the state side; AQE broadcasts
-    it at runtime. The state side arrives pre-pruned to affected buckets.
+  * The merge join is FULL OUTER (both sides preserved), which can never
+    broadcast — the physical plan is a sort-merge join of change set vs
+    affected buckets, exactly what Iceberg's copy-on-write MERGE compiles
+    to. When that shuffle dominates, use the merge-on-read delta path
+    below, which has no join at all.
   * Buckets where every change lost the LWW gate (pure stale/duplicate
     replay) are detected and NOT rewritten — the reference's
     skip-write-when-unchanged (V3, WorkMatcher.scala:66-91); overlapping
