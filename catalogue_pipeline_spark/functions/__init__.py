@@ -54,3 +54,24 @@ def unlinked_ids(old_links: Column, old_unlinked: Column, new_links: Column) -> 
     """Link maintenance (J9, LinkOps.scala:63-67):
     unlinked = (old.links ∪ old.unlinked) − new.links."""
     return F.array_except(F.array_union(old_links, old_unlinked), new_links)
+
+
+def deep_diff(df1, df2, float_tolerance: float | None = None):
+    """Bidirectional deep diff of two DataFrames (X8 — the
+    es_index_comparison oracle, scripts/es_index_comparison/README.md:1-13):
+    returns (only_in_df1, only_in_df2) via exceptAll both ways, optionally
+    rounding float/double columns first so tolerance-insensitive comparisons
+    are possible. Empty both ways ⇔ multiset-equal."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType, FloatType
+
+    a, b = df1, df2.select(*df1.columns)
+    if float_tolerance is not None:
+        import math
+
+        digits = max(0, -int(math.floor(math.log10(float_tolerance))))
+        for f in a.schema.fields:
+            if isinstance(f.dataType, (DoubleType, FloatType)):
+                a = a.withColumn(f.name, F.round(F.col(f.name).cast("double"), digits))
+                b = b.withColumn(f.name, F.round(F.col(f.name).cast("double"), digits))
+    return a.exceptAll(b), b.exceptAll(a)
