@@ -229,3 +229,28 @@ class ReplayDriver:
 
 def state_schema_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], STATE_SCHEMA)
+
+
+def plan_time_ranges(
+    start_ts, end_ts, window_minutes: int, overlap_minutes: int = 1
+):
+    """Time-windowed ranges — the reference's actual window generator
+    (build_windows.py:57-65): fixed windows with a 1-minute overlap so
+    boundary records are never missed (idempotent apply absorbs the overlap).
+    Returned as (range_id, window_start, window_end) datetimes; apply by
+    filtering the binlog on ``ts`` instead of ``offset``."""
+    import datetime as dt
+
+    out = []
+    cur = start_ts
+    i = 0
+    step = dt.timedelta(minutes=window_minutes)
+    back = dt.timedelta(minutes=overlap_minutes)
+    while cur < end_ts:
+        end = min(cur + step, end_ts)
+        out.append((f"w{i:09d}", cur, end))
+        if end >= end_ts:
+            break
+        cur = end - back
+        i += 1
+    return out

@@ -1,0 +1,44 @@
+"""File snapshot loaders (S5) and time-window planning (S2)."""
+
+import datetime as dt
+
+from catalogue_pipeline_spark.cdc.replay import plan_time_ranges
+from catalogue_pipeline_spark.sources import load_jsonl_records, load_xml_records
+
+
+def test_load_jsonl(spark, tmp_path):
+    p = tmp_path / "snap.jsonl"
+    p.write_text(
+        '{"conv_id": "a", "turn_idx": "0", "role": "user", "text": "hi", "tool": null}\n'
+        '{"conv_id": "a", "turn_idx": "1", "role": "assistant", "text": "yo", "tool": "t1"}\n'
+    )
+    df = load_jsonl_records(spark, str(p))
+    rows = {(r["conv_id"], r["turn_idx"]): r for r in df.collect()}
+    assert rows[("a", 1)]["tool"] == "t1"
+    assert df.schema["turn_idx"].dataType.typeName() == "long"
+
+
+def test_load_xml(spark, tmp_path):
+    p = tmp_path / "snap.xml"
+    p.write_text(
+        "<record><conv_id>a</conv_id><turn_idx>0</turn_idx><role>user</role>"
+        "<text>hello xml</text></record>\n"
+        "<record><conv_id>b</conv_id><turn_idx>3</turn_idx><role>tool</role>"
+        "<text>payload</text><tool>t9</tool></record>\n"
+        "<junk>not a record</junk>\n"
+    )
+    df = load_xml_records(spark, str(p))
+    rows = {(r["conv_id"], r["turn_idx"]): r for r in df.collect()}
+    assert rows[("a", 0)]["text"] == "hello xml"
+    assert rows[("b", 3)]["tool"] == "t9"
+    assert len(rows) == 2  # junk line dropped
+
+
+def test_plan_time_ranges_overlap():
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    t1 = dt.datetime(2024, 1, 1, 2, 0)
+    ws = plan_time_ranges(t0, t1, window_minutes=30, overlap_minutes=1)
+    # consecutive windows overlap by exactly 1 minute (build_windows.py:57-65)
+    for (_, s1, e1), (_, s2, _) in zip(ws, ws[1:]):
+        assert s2 == e1 - dt.timedelta(minutes=1)
+    assert ws[0][1] == t0 and ws[-1][2] == t1
