@@ -77,6 +77,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.8,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over k-word shingle sets for all candidate pairs sharing
     ≥1 shingle. Output: (id_a, id_b, jaccard) with id_a < id_b, ≥ threshold.
@@ -92,6 +93,11 @@ def ngram_jaccard_pairs(
     sh = docs.select(
         F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), k)).alias("sh")
     ).select("id", F.xxhash64("sh").alias("sh"))
+    if materialize:
+        # the shingle expression feeds THREE consumers (both self-join sides
+        # + the size aggregate); evaluate it once (at 100 TB: checkpoint the
+        # shingle table to storage instead)
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     pairs = (
         sh.alias("a")
