@@ -1,0 +1,280 @@
+"""Incremental matcher: the persistent work-graph service (SURVEY.md §2.8 G1,
+§2.3 J7, §2.7 V1/V3) — WorkGraphUpdater.scala:90-193 + WorkGraphStore.
+
+State table (lake, bucketed by work_id):
+    (work_id, version, batch_seq, candidates array<string>,
+     suppressed string, component, subgraph_id)
+
+Two DIFFERENT groupings per reference semantics (WorkGraphUpdater.scala:
+152-170 comment):
+
+  * ``component``    — true connectivity over UNSUPPRESSED candidate edges;
+                       what the merger folds (suppressed endpoints break
+                       matching, WorkGraphUpdater.scala:117-134).
+  * ``subgraph_id``  — one shared id over the WHOLE update closure,
+                       suppression-blind, "so that when we recombine the
+                       graph, we can still match across the C->D edge" —
+                       i.e. the lookup overlay that keeps split/suppressed
+                       neighbours discoverable for future updates.
+
+Candidate ids that don't exist yet become PLACEHOLDER rows (version = -1,
+the analog of WorkNode(sourceWork = None)); they join components so the real
+work links up the moment it arrives, and are dropped from merger-facing
+results (A3 "drop placeholder nodes", WorkMatcher.scala:176-198).
+
+Per batch of updated works:
+  1. V1 version gate — reject if stored version strictly newer; same version
+     accepted ("last write wins… so the graph can re-form").
+  2. J7 affected expansion — load every work whose subgraph_id intersects
+     the updated works + their candidates; everything else untouched.
+  3. Recompute BOTH groupings over the affected region only.
+  4. V3 — if nothing changed, commit nothing.
+
+The matcher's optimistic locking (V4) is replaced by single-writer batch
+semantics + the lake's commit CAS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..lake.table import LakeTable, bucket_expr
+from ..operators.components import connected_components
+
+MATCHER_STATE_SCHEMA = StructType(
+    [
+        StructField("work_id", StringType(), False),
+        StructField("version", IntegerType(), False),  # -1 = placeholder
+        StructField("batch_seq", IntegerType(), False),
+        StructField("candidates", ArrayType(StringType()), False),
+        StructField("suppressed", StringType(), False),  # "true"/"false"
+        StructField("component", StringType(), False),
+        StructField("subgraph_id", StringType(), False),
+    ]
+)
+
+STATE_COLS = [f.name for f in MATCHER_STATE_SCHEMA.fields]
+WORK_COLS = ["work_id", "version", "batch_seq", "candidates", "suppressed"]
+
+
+def create_matcher_table(path: str, num_buckets: int = 16) -> LakeTable:
+    return LakeTable.create(
+        path, MATCHER_STATE_SCHEMA, bucket_key="work_id", num_buckets=num_buckets
+    )
+
+
+def matcher_result(state_region: DataFrame) -> DataFrame:
+    """MatcherResult: per component, the sorted (work_id, version) members,
+    placeholders dropped (WorkMatcher.scala:176-198)."""
+    return (
+        state_region.filter(F.col("version") >= 0)
+        .groupBy("component", "subgraph_id")
+        .agg(F.array_sort(F.collect_list(F.struct("work_id", "version"))).alias("works"))
+    )
+
+
+def update_graph(
+    spark: SparkSession,
+    table: LakeTable,
+    updates: DataFrame,
+    batch_seq: int,
+    changeset_id: str,
+) -> tuple[int | None, DataFrame]:
+    """Apply one batch of work updates; returns (snapshot_id | None,
+    matcher_result over the affected region). snapshot_id None = V3 no-op.
+
+    ``updates`` columns: work_id, version int, candidates array<string>,
+    suppressed boolean.
+    """
+    state = table.read(spark)
+
+    up = updates.select(
+        "work_id",
+        F.col("version").cast("int").alias("version"),
+        F.lit(batch_seq).cast("int").alias("batch_seq"),
+        F.coalesce(F.col("candidates"), F.array().cast("array<string>")).alias("candidates"),
+        F.when(F.col("suppressed"), F.lit("true")).otherwise(F.lit("false")).alias("suppressed"),
+    )
+
+    # --- V1 version gate (placeholders, version -1, never win) -------------
+    gated = (
+        up.alias("u")
+        .join(state.alias("s"), on="work_id", how="left")
+        .filter(
+            F.col("s.version").isNull()
+            | (F.struct("u.version", "u.batch_seq") >= F.struct("s.version", "s.batch_seq"))
+        )
+        .select("work_id", "u.version", "u.batch_seq", "u.candidates", "u.suppressed")
+    )
+
+    # --- J7 affected expansion by subgraph_id -------------------------------
+    touched_ids = (
+        gated.select(F.col("work_id").alias("id"))
+        .union(gated.select(F.explode("candidates").alias("id")))
+        .distinct()
+    )
+    touched_sgs = (
+        state.join(touched_ids, state.work_id == touched_ids.id, "left_semi")
+        .select("subgraph_id")
+        .distinct()
+    )
+    region_old = state.join(touched_sgs, on="subgraph_id", how="left_semi")
+
+    # region works: gated updates override stored rows
+    merged = (
+        region_old.select(*WORK_COLS)
+        .join(gated.select("work_id"), on="work_id", how="left_anti")
+        .unionByName(gated)
+    )
+    # placeholders for candidates that have no row anywhere yet
+    cand_ids = merged.select(F.explode("candidates").alias("work_id")).distinct()
+    placeholders = (
+        cand_ids.join(merged.select("work_id"), on="work_id", how="left_anti")
+        .join(state.select("work_id"), on="work_id", how="left_anti")
+        .select(
+            "work_id",
+            F.lit(-1).alias("version"),
+            F.lit(batch_seq).alias("batch_seq"),
+            F.array().cast("array<string>").alias("candidates"),
+            F.lit("false").alias("suppressed"),
+        )
+    )
+    nodes = merged.unionByName(placeholders)
+
+    # --- both groupings over the affected region ----------------------------
+    # The reference loads the affected subgraph into memory and runs scalax's
+    # componentTraverser on it (WorkGraphStore → WorkGraphUpdater) — regions
+    # are update-neighbourhood-sized by construction. We do the same with a
+    # union-find under a size threshold, and fall back to distributed
+    # min-label propagation for pathological regions.
+    region_rows = nodes.select("work_id", "candidates", "suppressed").collect()
+    old_sg_rows = region_old.select("work_id", "subgraph_id").collect()
+    if len(region_rows) <= 200_000:
+        labels_df = spark.createDataFrame(
+            _region_labels(region_rows, old_sg_rows),
+            "work_id string, component string, subgraph_id string",
+        )
+    else:  # distributed fallback for giant regions
+        sup = nodes.select(F.col("work_id").alias("dst"), F.col("suppressed").alias("dsup"))
+        raw_edges = nodes.select(
+            F.col("work_id").alias("src"),
+            F.explode("candidates").alias("dst"),
+            F.col("suppressed").alias("ssup"),
+        )
+        unsup_edges = (
+            raw_edges.join(sup, on="dst", how="left")
+            .filter(
+                (F.col("ssup") == "false")
+                & (F.coalesce(F.col("dsup"), F.lit("false")) == "false")
+            )
+            .select("src", "dst")
+        )
+        self_edges = nodes.select(F.col("work_id").alias("src"), F.col("work_id").alias("dst"))
+        comp_labels = connected_components(
+            unsup_edges.unionByName(self_edges)
+        ).withColumnRenamed("id", "work_id")
+        old_sg_edges = region_old.select(
+            F.col("work_id").alias("src"), F.concat(F.lit("sg:"), "subgraph_id").alias("dst")
+        )
+        sub_edges = raw_edges.select("src", "dst").unionByName(self_edges).unionByName(old_sg_edges)
+        sg_groups = connected_components(sub_edges).filter(~F.col("id").startswith("sg:"))
+        sg_digest = sg_groups.groupBy("component").agg(
+            F.sha2(F.concat_ws("+", F.array_sort(F.collect_set("id"))), 256).alias("subgraph_id")
+        )
+        sg_labels = sg_groups.join(sg_digest, on="component").select(
+            F.col("id").alias("work_id"), "subgraph_id"
+        )
+        labels_df = comp_labels.join(sg_labels, on="work_id")
+
+    new_state = nodes.join(labels_df, on="work_id").select(*STATE_COLS)
+
+    # --- V3 skip-write when nothing changed ---------------------------------
+    old_cols = region_old.select(*STATE_COLS)
+    changed = (
+        new_state.exceptAll(old_cols).limit(1).count() > 0
+        or old_cols.exceptAll(new_state).limit(1).count() > 0
+    )
+    result = matcher_result(new_state)
+    if not changed:
+        return None, result
+
+    # copy-on-write only the buckets holding affected rows
+    nb = table.num_buckets
+    region_ids = new_state.select("work_id").union(region_old.select("work_id"))
+    affected_buckets = sorted(
+        r["_b"]
+        for r in region_ids.select(bucket_expr("work_id", nb).alias("_b")).distinct().collect()
+    )
+    keep = state.join(touched_sgs, on="subgraph_id", how="left_anti").select(*STATE_COLS)
+    rows_to_write = new_state.unionByName(
+        keep.filter(bucket_expr("work_id", nb).isin(affected_buckets))
+    )
+    snap = table.overwrite_buckets(
+        rows_to_write,
+        buckets=affected_buckets,
+        changeset_id=changeset_id,
+        summary={"operation": "matcher-update", "batch_seq": batch_seq},
+        sort_cols=["work_id"],
+    )
+    return snap.snapshot_id, result
+
+
+def _region_labels(region_rows, old_sg_rows):
+    """Driver-side grouping of one affected region (the reference's in-memory
+    componentTraverser). Returns [(work_id, component, subgraph_id)]."""
+    import hashlib
+
+    parent_c: dict[str, str] = {}
+    parent_s: dict[str, str] = {}
+
+    def find(p, x):
+        p.setdefault(x, x)
+        while p[x] != x:
+            p[x] = p[p[x]]
+            x = p[x]
+        return x
+
+    def union(p, a, b):
+        ra, rb = find(p, a), find(p, b)
+        if ra != rb:
+            p[max(ra, rb)] = min(ra, rb)
+
+    suppressed = {}
+    ids = []
+    for r in region_rows:
+        ids.append(r["work_id"])
+        suppressed[r["work_id"]] = r["suppressed"] == "true"
+        find(parent_c, r["work_id"])
+        find(parent_s, r["work_id"])
+    for r in region_rows:
+        for dst in r["candidates"]:
+            union(parent_s, r["work_id"], dst)  # subgraphs: suppression-blind
+            if not suppressed.get(r["work_id"], False) and not suppressed.get(dst, False):
+                union(parent_c, r["work_id"], dst)
+    # old subgraph co-membership keeps split graphs rejoinable
+    by_old_sg: dict[str, list[str]] = {}
+    for r in old_sg_rows:
+        by_old_sg.setdefault(r["subgraph_id"], []).append(r["work_id"])
+    for members in by_old_sg.values():
+        for m in members[1:]:
+            union(parent_s, members[0], m)
+
+    sg_members: dict[str, list[str]] = {}
+    for i in set(ids) | set(parent_s):
+        sg_members.setdefault(find(parent_s, i), []).append(i)
+    sg_digest = {
+        root: hashlib.sha256("+".join(sorted(ms)).encode()).hexdigest()
+        for root, ms in sg_members.items()
+    }
+    out = []
+    for i in sorted(set(ids)):
+        out.append((i, find(parent_c, i), sg_digest[find(parent_s, i)]))
+    return out
