@@ -395,3 +395,27 @@ def _parquet_rows(path: str) -> int | None:
         return pq.ParquetFile(path).metadata.num_rows
     except Exception:
         return None
+
+
+def read_changesets(
+    spark: SparkSession,
+    table: "LakeTable",
+    changeset_ids: list[str],
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Read only the rows written by the given changesets, at an optionally
+    pinned snapshot — the downstream-consumption pattern of the reference's
+    transformer ("read rows by changeset_ids at pinned snapshot_id",
+    transformer.py:96-168 / pipeline_store.py:121-165, S8).
+
+    Changeset membership is file-granular here (each changeset writes its own
+    file directory), so this is pure manifest pruning — no data-column filter
+    needed, unlike the reference which must add a derived last_modified bound
+    to prune. Files from other changesets are never opened."""
+    snap = table.snapshot(snapshot_id)
+    prefixes = tuple(f"cs-{c}/" for c in changeset_ids)
+    files = [f for f in snap.files if f["path"].startswith(prefixes)]
+    if not files:
+        return spark.createDataFrame([], snap.schema)
+    paths = [os.path.join(table.data_dir, f["path"]) for f in files]
+    return spark.read.schema(snap.schema).parquet(*paths)
