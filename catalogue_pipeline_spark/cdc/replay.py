@@ -164,10 +164,22 @@ class ReplayDriver:
         ranges: list[Range],
         crash_after_commit_of: str | None = None,
         max_ranges: int | None = None,
+        compact_every: int | None = None,
+        expire_keep_last: int | None = None,
     ) -> ReplayReport:
         """Apply all unapplied ranges in order. ``crash_after_commit_of``
         simulates a crash AFTER the data commit of that range but BEFORE its
-        checkpoint write (the §7.4 #2 failure) — tests resume through it."""
+        checkpoint write (the §7.4 #2 failure) — tests resume through it.
+
+        Maintenance cadence (delta mode's production loop): ``compact_every``
+        folds merge-on-read deltas into base files every N applied ranges
+        (the flush/durability trade, window_harvester.py:163-182);
+        ``expire_keep_last`` garbage-collects snapshot metadata + orphaned
+        files after each compaction, keeping the last N snapshots for time
+        travel. Safe w.r.t. fencing because ``run`` reconciles checkpoint
+        rows against the snapshot chain BEFORE any expiry can happen, so a
+        range id is only allowed to age out of the chain once its checkpoint
+        success row exists."""
         self.reconcile()
         applied = self.applied_range_ids()
         rep = ReplayReport(ranges_total=len(ranges))
@@ -203,6 +215,12 @@ class ReplayDriver:
             rep.events_scanned += m.events_in
             rep.metrics.add(m)
             done += 1
+            if compact_every and rep.ranges_applied % compact_every == 0:
+                from .merge import compact
+
+                compact(self.spark, self.table, changeset_id=f"auto-compact-{r.range_id}")
+                if expire_keep_last:
+                    self.table.expire_snapshots(keep_last=expire_keep_last)
         return rep
 
     # -- gap detection (S4) ------------------------------------------------

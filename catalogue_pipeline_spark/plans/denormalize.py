@@ -88,8 +88,13 @@ def refresh_documents(
     # touched buckets = buckets whose file set changed since `last`
     cur_files = {(f["path"], f["bucket"]) for f in transcripts.snapshot(src_snap).files}
     if last is not None:
-        old_files = {(f["path"], f["bucket"]) for f in transcripts.snapshot(last).files}
-        touched = {b for _p, b in cur_files ^ old_files}
+        try:
+            old_files = {(f["path"], f["bucket"]) for f in transcripts.snapshot(last).files}
+            touched = {b for _p, b in cur_files ^ old_files}
+        except FileNotFoundError:
+            # the processed-up-to snapshot was expired upstream — fall back
+            # to a full recompute (correct, just not incremental this once)
+            touched = {b for _p, b in cur_files}
     else:
         touched = {b for _p, b in cur_files}
     if not touched:

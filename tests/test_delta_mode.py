@@ -84,3 +84,21 @@ def test_cow_after_delta_sees_reduced_target(spark, tmp_path):
     oracle.apply_all([r.asDict() for r in spark.read.parquet(binlog).collect()])
     assert got == sorted(oracle.state_rows())
     assert visible_transcripts(read_state(spark, dl.table)).count() > 0
+
+
+def test_auto_compaction_cadence(spark, tmp_path):
+    """compact_every folds deltas mid-replay; expire_keep_last GCs old
+    snapshots; final state unchanged."""
+    binlog = str(tmp_path / "binlog")
+    write_binlog(generate_binlog(spark, N, n_convs=50, turns_per_conv=6, seed=9), binlog, 4)
+    ranges = plan_ranges(0, N, range_size=500)
+    dl = _mk(spark, tmp_path, "auto", "delta")
+    dl.run(ranges, compact_every=2, expire_keep_last=3)
+    # after 4 ranges with compact_every=2 the last op was a compaction
+    assert dl.table.delta_buckets() == []
+    # expiry actually dropped old snapshot metadata
+    assert len(dl.table.history()) <= 4
+    oracle = NaiveApplier()
+    oracle.apply_all([r.asDict() for r in spark.read.parquet(binlog).collect()])
+    got = sorted(tuple(r) for r in read_state(spark, dl.table).collect())
+    assert got == sorted(oracle.state_rows())
