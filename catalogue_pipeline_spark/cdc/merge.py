@@ -187,6 +187,7 @@ def merge_into_state(
         )
         m = ApplyMetrics()
         rewrite: list[int] = []
+        per_bucket: dict[str, str] = {}
         for r in stats:
             m.inserts += r["ins"] or 0
             m.updates += r["upd"] or 0
@@ -198,6 +199,11 @@ def merge_into_state(
             m.keys_in += r["keys"] or 0
             if (r["changed"] or 0) > 0:
                 rewrite.append(r["_b"])
+            # per-partition (bucket) lineage: applied/dropped per bucket
+            per_bucket[str(r["_b"])] = (
+                f"applied={(r['ins'] or 0) + (r['upd'] or 0) + (r['del_'] or 0)},"
+                f"dropped={r['lost'] or 0},events={r['nev'] or 0}"
+            )
         m.events_applied = m.inserts + m.updates + m.deletes
         # in-batch losers: events folded into each key beyond the winner
         m.dedup_drops += m.events_in - m.keys_in
@@ -211,6 +217,10 @@ def merge_into_state(
         summary = {
             "range": dict(range_summary or {}),
             "metrics": m.as_map(),
+            # per-partition lineage (A7): one entry per affected bucket; the
+            # delta path's equivalent is the per-file row counts in the
+            # manifest itself
+            "bucket_lineage": per_bucket,
         }
         snap = table.overwrite_buckets(
             new_state,

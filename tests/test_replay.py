@@ -181,3 +181,15 @@ def test_visible_invariant_per_turn_text_equality(spark, tmp_path, binlog_path, 
     ]
     want = [(r[0], r[1], r[3]) for r in oracle_state.visible_rows()]
     assert got == want
+
+
+def test_per_bucket_lineage_in_summary(spark, tmp_path, binlog_path):
+    """A7 per-partition lineage: each COW commit records per-bucket
+    applied/dropped/event counts in its snapshot summary."""
+    d = make_driver(spark, tmp_path, binlog_path)
+    d.run(plan_ranges(0, N_EVENTS, range_size=N_EVENTS))
+    summaries = [s for s in d.table.summaries() if s.get("bucket_lineage")]
+    assert summaries
+    bl = summaries[-1]["bucket_lineage"]
+    assert len(bl) >= 1
+    assert all("applied=" in v and "events=" in v for v in bl.values())
