@@ -272,3 +272,62 @@ def plan_time_ranges(
         cur = end - back
         i += 1
     return out
+
+
+def covered_upto(checkpoints: CheckpointStore) -> int:
+    """Highest contiguously-covered offset (exclusive) across successful
+    ranges — where the tailer resumes from."""
+    rows = sorted(
+        (int(r["offset_start"]), int(r["offset_end"]))
+        for r in checkpoints.all().values()
+        if r["state"] == "success"
+    )
+    covered = 0
+    for s, e in rows:
+        if s > covered:
+            break  # gap: do not leap over it
+        covered = max(covered, e)
+    return covered
+
+
+class BinlogTailer:
+    """Continuous ingest: poll the binlog for new offsets, plan fresh ranges
+    from the covered watermark, apply through the same driver — the
+    cron→window_generator→harvest loop of the reference (SURVEY §3.1) with
+    data-arrival-driven windows instead of wall-clock ones.
+
+    ``range_overlap`` mirrors the reference's 1-minute window overlap
+    (build_windows.py:57-65); idempotent apply absorbs it.
+    """
+
+    def __init__(self, driver: ReplayDriver, range_size: int, overlap: int = 0,
+                 compact_every: int | None = None):
+        self.driver = driver
+        self.range_size = range_size
+        self.overlap = overlap
+        self.compact_every = compact_every
+        # continue the global range numbering from the checkpoint table
+        self._next_seq = len(driver.checkpoints.all())
+
+    def poll_once(self) -> ReplayReport | None:
+        """One tail iteration: apply everything between the covered watermark
+        and the binlog's current max offset. None = nothing new."""
+        from pyspark.sql import functions as F
+
+        start = covered_upto(self.driver.checkpoints)
+        bounds = (
+            self.driver.spark.read.parquet(self.driver.binlog_path)
+            .filter(F.col("offset") >= start)
+            .agg(F.max("offset"))
+            .collect()[0][0]
+        )
+        if bounds is None:
+            return None
+        end = int(bounds) + 1
+        ranges = []
+        cur = max(start - self.overlap, 0)
+        while cur < end:
+            ranges.append(Range(f"{self._next_seq:09d}", cur, min(cur + self.range_size, end)))
+            cur = ranges[-1].end
+            self._next_seq += 1
+        return self.driver.run(ranges, compact_every=self.compact_every)
