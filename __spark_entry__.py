@@ -700,6 +700,15 @@ def _q40_media_features(spark, sf_dir):
     )
 
 
+def _q41_conversation_docs(spark, sf_dir):
+    """Denormalizer semantics (transcripts → per-conversation documents,
+    plans/denormalize.py) on the CDC-applied visible state."""
+    from catalogue_pipeline_spark.plans.denormalize import _docs_for
+
+    visible = _q01_cdc_apply(spark, sf_dir)
+    return _docs_for(visible)
+
+
 # --- rows-only (non-SQL-expressible) ---------------------------------------
 def _q33_minhash_signatures(spark, sf_dir):
     docs = spark.read.parquet(_t(sf_dir, "documents"))
@@ -760,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_snapshot_sync": _q38_snapshot_sync,
         "q39_connected_components": _q39_connected_components,
         "q40_media_features": _q40_media_features,
+        "q41_conversation_docs": _q41_conversation_docs,
     }
 
 
@@ -1059,6 +1069,15 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) / 4294967296.0, 6) AS feature_1,
                round(CAST(('0x' || substr(md5(text), 17, 8)) AS BIGINT) / 4294967296.0, 6) AS feature_2
         FROM documents
+    """
+    sql["q41_conversation_docs"] = f"""
+        WITH visible AS ({_SQL_CDC_VISIBLE})
+        SELECT conv_id,
+               count(*) AS n_turns,
+               string_agg(DISTINCT role, '+' ORDER BY role) AS roles,
+               string_agg(text, chr(10) ORDER BY turn_idx) AS text_concat,
+               max(ts) AS last_ts
+        FROM visible GROUP BY conv_id
     """
     # q33/q34/q35: engine-hash / stochastic-bucket ops — rows-only checks
     return sql
