@@ -132,3 +132,51 @@ def test_summary_fencing_roundtrip(spark, tmp_path):
     assert any(
         json.dumps(s).find("000000001") >= 0 for s in t.summaries()
     )
+
+
+def test_orphan_files_ignored_and_gc(spark, tmp_path):
+    """A crash between write_data_files and commit leaves orphan parquet
+    files: reads never see them (manifest-driven), expire_snapshots removes
+    them."""
+    import os
+
+    t = make_table(tmp_path)
+    t.append(spark.createDataFrame([("a", 1, "x")], SCHEMA), "cs1")
+    # simulate the crash: files written, no commit
+    t.write_data_files(spark.createDataFrame([("zz", 9, "orphan")], SCHEMA), "crashed")
+    assert t.read(spark).count() == 1  # orphan invisible
+    deleted = t.expire_snapshots(keep_last=10)
+    assert deleted >= 1  # orphan files GC'd
+    assert t.read(spark).count() == 1
+    data_files = [
+        f for _r, _d, fs in os.walk(t.data_dir) for f in fs if f.endswith(".parquet")
+    ]
+    live = {f["path"].split("/")[-1] for f in t.snapshot().files}
+    assert set(data_files) == live
+
+
+def test_concurrent_commit_race_single_winner(spark, tmp_path):
+    """Two writers racing to the same parent: exactly one wins, the loser
+    gets CommitConflict (the optimistic lock, V4 analog)."""
+    import threading
+
+    t = make_table(tmp_path)
+    results = []
+    barrier = threading.Barrier(2)
+
+    def committer(tag):
+        try:
+            barrier.wait()
+            t.commit([], set(), {"operation": f"race-{tag}"}, expected_parent=0)
+            results.append(("ok", tag))
+        except CommitConflict:
+            results.append(("conflict", tag))
+
+    threads = [threading.Thread(target=committer, args=(i,)) for i in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    outcomes = sorted(r[0] for r in results)
+    assert outcomes == ["conflict", "ok"]
+    assert t.current_snapshot_id() == 1
