@@ -90,8 +90,19 @@ Raw bench JSON:
 {json.dumps(r32)}
 ```
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    if os.path.exists(out_path):
+        # keep prior evidence; append this experiment as a new section
+        md = md.replace(
+            "# BENCH/BASELINE — scaling efficiency evidence",
+            f"\n\n## Additional scaling pair: local[{n_small}] vs local[{n_big}]",
+            1,
+        )
+        with open(out_path, "a") as f:
+            f.write(md)
+    else:
+        with open(out_path, "w") as f:
+            f.write(md)
     print(md)
 
 
