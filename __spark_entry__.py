@@ -454,12 +454,16 @@ def _q22_ngram_jaccard(spark, sf_dir):
 
 
 def _q23_token_stats(spark, sf_dir):
-    """Token counting (whitespace + chars/4 subword estimate)."""
+    """Token counting: whitespace, chars/4 subword estimate, and a BPE-ish
+    GPT-2-style pretokenizer regex count."""
+    from catalogue_pipeline_spark.operators.textstats import bpe_token_count_expr
+
     docs = spark.read.parquet(_t(sf_dir, "documents"))
-    tq = text_quality(docs)
-    return tq.select(
-        F.col("id").alias("doc_id"), "n_chars", "n_tokens", "n_subwords_est"
-    )
+    tq = text_quality(docs).withColumnRenamed("id", "doc_id")
+    return tq.join(
+        docs.select("doc_id", bpe_token_count_expr(F.col("text")).alias("n_bpe_tokens")),
+        "doc_id",
+    ).select("doc_id", "n_chars", "n_tokens", "n_subwords_est", "n_bpe_tokens")
 
 
 def _q24_text_quality(spark, sf_dir):
@@ -916,7 +920,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, length(text) AS n_chars,
                CASE WHEN length(trim(text)) = 0 THEN 0
                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
-               CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est,
+               len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+')) AS n_bpe_tokens
         FROM documents
     """
     sql["q24_text_quality"] = f"""

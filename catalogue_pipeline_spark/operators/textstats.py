@@ -34,6 +34,18 @@ def token_count_expr(text_col) -> F.Column:
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
 
 
+# GPT-2-style pretokenizer pattern — deliberately lookahead-free so the SAME
+# pattern runs identically under Java regex (Spark) and RE2 (DuckDB oracle)
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_token_count_expr(text_col) -> F.Column:
+    """BPE-ish token count: matches of the GPT-2-style pretokenizer regex
+    (word pieces, number runs, punctuation runs, contractions)."""
+    return F.size(F.regexp_extract_all(text_col, F.lit(BPE_PATTERN), F.lit(0)))
+
+
+
 def _marker_hits(text_col, words: list[str]) -> F.Column:
     # count occurrences of marker words (word-bounded) — pure regexp count
     pattern = r"\b(" + "|".join(words) + r")\b"
