@@ -54,6 +54,17 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _materialize(df: DataFrame, tag: str) -> DataFrame:
+    """Persist a query result that must outlive its tempdir WITHOUT pulling
+    it through the driver (a collect() here is a driver OOM at real SF):
+    write to a session-scoped parquet dir and hand back the lazy read."""
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"cps-results-{os.getpid()}", tag
+    )
+    df.write.mode("overwrite").parquet(out_dir)
+    return df.sparkSession.read.parquet(out_dir)
+
+
 # --------------------------------------------------------------------------
 # The transcript changelog derived from the ``events`` table (deterministic,
 # no external data): error events are deletes; key = (u<user_id>,
@@ -162,8 +173,8 @@ def _q02_cdc_replay_e2e(spark, sf_dir):
         n = _changelog(spark, sf_dir).agg(F.max("offset")).collect()[0][0] + 1
         driver.run(plan_ranges(0, n, range_size=max(n // 4, 1)))
         out = visible_transcripts(table.read(spark))
-        # materialize before the tmpdir vanishes
-        return spark.createDataFrame(out.collect(), out.schema)
+        # must outlive the tmpdir — distributed write, lazy read-back
+        return _materialize(out, "q02")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -667,7 +678,7 @@ def _q38_snapshot_sync(spark, sf_dir):
         out = visible_transcripts(read_state(spark, table)).select(
             "conv_id", "turn_idx", "role", "text", "tool"
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return _materialize(out, "q38")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

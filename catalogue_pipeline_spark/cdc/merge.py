@@ -98,9 +98,13 @@ def merge_into_state(
 
     # state side pruned to affected buckets only — file-level pruning via the
     # bucket manifest, not a post-scan filter; read_state reduces any
-    # merge-on-read deltas so the join sees one row per key
+    # merge-on-read deltas so the join sees one row per key. Pin the snapshot
+    # id NOW and pass it as expected_parent at commit: if another writer
+    # lands in between, we get a CommitConflict instead of silently dropping
+    # its files from the overlapping buckets (lost update).
     affected = sorted(r["_b"] for r in src.select("_b").distinct().collect())
-    tgt = read_state(spark, table, buckets=affected)
+    base_sid = table.current_snapshot_id()
+    tgt = read_state(spark, table, snapshot_id=base_sid, buckets=affected)
 
     j = src.alias("s").join(
         tgt.alias("t"), on=["conv_id", "turn_idx"], how="full_outer"
@@ -228,6 +232,7 @@ def merge_into_state(
             changeset_id=changeset_id,
             summary=summary,
             sort_cols=["conv_id", "turn_idx"],
+            expected_parent=base_sid,
         )
         return snap.snapshot_id, m
     finally:

@@ -306,8 +306,17 @@ class BinlogTailer:
         self.range_size = range_size
         self.overlap = overlap
         self.compact_every = compact_every
-        # continue the global range numbering from the checkpoint table
-        self._next_seq = len(driver.checkpoints.all())
+        # Continue range numbering from max(existing numeric id) + 1, NOT
+        # len(checkpoints): with sparse numbering or ids from other planners
+        # mixed in (plan_time_ranges 'w…' ids, custom ranges), a length-based
+        # seed can collide with an already-applied range_id, and driver.run
+        # would silently skip the newly planned offsets as "done".
+        seqs = [
+            int(rid)
+            for rid in driver.checkpoints.all()
+            if isinstance(rid, str) and rid.isdigit()
+        ]
+        self._next_seq = (max(seqs) + 1) if seqs else 0
 
     def poll_once(self) -> ReplayReport | None:
         """One tail iteration: apply everything between the covered watermark

@@ -39,6 +39,51 @@ def canonical_id(*cols: Column, length: int = 8) -> Column:
     return F.concat(first, *rest)
 
 
+class CanonicalIdCollision(RuntimeError):
+    """Distinct keys hashed to the same canonical id — the failure the
+    reference prevents with its uniqueness table + transactional assignment
+    (id_generator.py:41-54). Remint with a larger ``length``."""
+
+
+def mint_canonical_ids(
+    df,
+    *key_cols: str,
+    out_col: str = "canonical_id",
+    length: int = 8,
+    max_collision_fraction: float = 0.0,
+):
+    """Mint canonical ids for ``df`` and AUDIT uniqueness (X3 with the
+    collision handling the hash fold alone lacks): after minting, any id
+    claimed by more than one distinct key raises (or is tolerated up to
+    ``max_collision_fraction`` of keys, A8-style fractional gate).
+
+    The audit is one map-side-combinable groupBy over (id → distinct keys);
+    at the default 8-char id space (23·31^7 ≈ 6.3e11) a 1e9-key corpus
+    expects ~1e6 birthday collisions — real, which is why the reference
+    keeps a uniqueness table and why this gate is not optional at scale.
+    Remint with ``length=12`` (≈ 1.8e19 ids) to push expected collisions
+    below 1 for corpora up to ~6e9 keys.
+    """
+    minted = df.withColumn(out_col, canonical_id(*[F.col(c) for c in key_cols], length=length))
+    key = F.concat_ws("\x1f", *key_cols)
+    audit = (
+        minted.groupBy(out_col)
+        .agg(F.count_distinct(key).alias("_nkeys"))
+        .agg(
+            F.count(F.lit(1)).alias("_ids"),
+            F.sum(F.when(F.col("_nkeys") > 1, 1).otherwise(0)).alias("_collided"),
+        )
+        .collect()[0]
+    )
+    n_ids, n_coll = audit["_ids"] or 0, audit["_collided"] or 0
+    if n_ids and (n_coll / n_ids) > max_collision_fraction:
+        raise CanonicalIdCollision(
+            f"{n_coll}/{n_ids} canonical ids claimed by >1 distinct key "
+            f"(length={length}); remint with a longer id"
+        )
+    return minted
+
+
 def trace_id(*cols: Column) -> Column:
     """MD5 batch/lineage trace id (X7, ElasticIndexer.scala:180-189)."""
     return F.md5(F.concat_ws("|", *cols))

@@ -99,12 +99,20 @@ def bucket_expr(key_col: str, num_buckets: int):
 
 
 class LakeTable:
-    """Handle to a lake table rooted at ``path`` (a local or DFS directory)."""
+    """Handle to a lake table rooted at ``path`` (a local or DFS directory).
 
-    def __init__(self, path: str):
+    ``orphan_grace_s`` governs crash healing: an unpublished ``v{N}.json``
+    (written but CURRENT never advanced — a writer crashed between the two
+    commit steps) is adopted-or-deleted by the next committer only once it is
+    older than this grace period; younger files are assumed to belong to an
+    in-flight writer about to publish. The same grace protects data files of
+    in-flight writers from ``expire_snapshots``."""
+
+    def __init__(self, path: str, orphan_grace_s: float = 600.0):
         self.path = path
         self.meta_dir = os.path.join(path, "metadata")
         self.data_dir = os.path.join(path, "data")
+        self.orphan_grace_s = orphan_grace_s
 
     # ------------------------------------------------------------------ DDL
     @staticmethod
@@ -265,7 +273,34 @@ class LakeTable:
         try:
             self._write_snapshot(snap)
         except FileExistsError as e:
-            raise CommitConflict(f"snapshot v{snap.snapshot_id} already exists") from e
+            # v{N}.json exists but CURRENT never advanced past N-1: a writer
+            # crashed between _write_snapshot and _publish. Without healing,
+            # every future commit recomputes N and fails forever (the table
+            # is wedged). If the orphan is past the grace period, it cannot
+            # be an in-flight writer — delete it and take the slot; younger
+            # files get a plain conflict (the in-flight writer will publish).
+            if self.current_snapshot_id() >= snap.snapshot_id:
+                raise CommitConflict(
+                    f"snapshot v{snap.snapshot_id} already committed"
+                ) from e
+            orphan = os.path.join(self.meta_dir, f"v{snap.snapshot_id}.json")
+            import time as _time
+
+            try:
+                age = _time.time() - os.path.getmtime(orphan)
+            except OSError:
+                age = None
+            if age is None or age < self.orphan_grace_s:
+                raise CommitConflict(
+                    f"unpublished snapshot v{snap.snapshot_id} in flight"
+                ) from e
+            os.unlink(orphan)
+            try:
+                self._write_snapshot(snap)
+            except FileExistsError as e2:  # lost the re-take race
+                raise CommitConflict(
+                    f"snapshot v{snap.snapshot_id} re-taken concurrently"
+                ) from e2
         self._publish(snap.snapshot_id)
         return snap
 
@@ -357,12 +392,21 @@ class LakeTable:
         return sorted({f["bucket"] for f in snap.files if f.get("kind", "base") == "delta"})
 
     # ---------------------------------------------------------- maintenance
-    def expire_snapshots(self, keep_last: int = 10) -> int:
+    def expire_snapshots(self, keep_last: int = 10, orphan_grace_s: float | None = None) -> int:
         """Delete snapshot metadata older than the last ``keep_last`` and any
-        data files no live snapshot references. Returns #files deleted."""
+        data files no live snapshot references. Returns #files deleted.
+
+        Files referenced by an expired snapshot are deleted immediately (they
+        were committed once; nothing in flight can own them). Files unknown
+        to ANY snapshot are indistinguishable from an in-flight writer's
+        not-yet-committed output (write_data_files + commit is a two-step
+        compose), so those are only deleted once older than the grace period
+        — the same rule as Iceberg's remove-orphan-files default."""
+        grace = self.orphan_grace_s if orphan_grace_s is None else orphan_grace_s
         hist = self.history()
         keep = hist[-keep_last:]
         live = {f["path"] for s in keep for f in s.files}
+        once_committed = {f["path"] for s in hist for f in s.files}
         deleted = 0
         for s in hist[:-keep_last]:
             p = os.path.join(self.meta_dir, f"v{s.snapshot_id}.json")
@@ -376,13 +420,23 @@ class LakeTable:
             with open(tmp, "w") as f:
                 f.write(oldest.to_json())
             os.rename(tmp, os.path.join(self.meta_dir, f"v{oldest.snapshot_id}.json"))
+        import time as _time
+
+        now = _time.time()
         for root, _dirs, fnames in os.walk(self.data_dir, topdown=False):
             for fn in fnames:
                 full = os.path.join(root, fn)
                 rel = os.path.relpath(full, self.data_dir)
-                if fn.endswith(".parquet") and rel not in live:
-                    os.unlink(full)
-                    deleted += 1
+                if not fn.endswith(".parquet") or rel in live:
+                    continue
+                if rel not in once_committed:
+                    try:
+                        if now - os.path.getmtime(full) < grace:
+                            continue  # possibly an in-flight writer's file
+                    except OSError:
+                        continue
+                os.unlink(full)
+                deleted += 1
             if not os.listdir(root) and root != self.data_dir:
                 shutil.rmtree(root, ignore_errors=True)
         return deleted

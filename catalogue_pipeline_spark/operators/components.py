@@ -18,13 +18,30 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
+class ComponentConvergenceError(RuntimeError):
+    """Raised when min-label propagation exhausts max_iterations with labels
+    still changing — returning the partial labels would silently mislabel
+    long-diameter components (the G1 correctness hazard at scale)."""
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iterations: int = 20,
+    max_iterations: int = 50,
 ) -> DataFrame:
     """(id, component) where component = min node id in the component.
+
+    Each round does (1) a neighbour-min propagation and (2) a pointer-jump
+    (comp := comp(comp)) — the label graph's diameter halves per round, so a
+    path of diameter d converges in O(log d) rounds (hash-to-min family,
+    Rastogi et al. "Finding Connected Components in Map-Reduce"), not the
+    O(d) of plain propagation. Invariant: comp(id) is always a node id inside
+    id's component, so the fixpoint (no change in either step) is exactly the
+    min-label assignment.
+
+    Raises ComponentConvergenceError instead of returning unconverged labels;
+    at the default 50 rounds that would need diameter > ~2^49.
 
     Handles isolated self-edges naturally; suppressed nodes should be
     filtered from ``edges`` beforehand (F6 semantics).
@@ -36,25 +53,37 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("a"), F.col(dst).alias("b")))
         .distinct()
     )
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
     labels = sym.groupBy("a").agg(F.min("b").alias("comp")).withColumnRenamed("a", "id")
-    labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count()
+    # localCheckpoint (not just persist): each round references labels four
+    # times (neighbour join + jump + jump join + change check), so without
+    # lineage truncation the Catalyst plan quadruples per round and the
+    # driver OOMs on plan analysis long before data size matters.
+    labels = labels.localCheckpoint()
+    converged = False
     for _ in range(max_iterations):
-        # propagate the neighbour's label: new = min(own, min over neighbours)
+        # step 1: neighbour-min — new = min(own, min over neighbours' labels)
         prop = (
             sym.join(labels.withColumnsRenamed({"id": "b", "comp": "nbr_comp"}), on="b")
             .groupBy("a")
             .agg(F.min("nbr_comp").alias("min_nbr"))
             .withColumnRenamed("a", "id")
         )
-        new_labels = (
+        stepped = (
             labels.join(prop, on="id", how="left")
             .select(
                 "id",
                 F.least(F.col("comp"), F.coalesce(F.col("min_nbr"), F.col("comp"))).alias("comp"),
             )
         )
-        new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
+        # step 2: pointer jump — comp := comp(comp). comp is always a node id
+        # in the same component, so its label exists and stays in-component.
+        jump = stepped.select(F.col("id").alias("comp"), F.col("comp").alias("comp2"))
+        new_labels = (
+            stepped.join(jump, on="comp", how="left")
+            .select("id", F.least(F.col("comp"), F.coalesce(F.col("comp2"), F.col("comp"))).alias("comp"))
+        )
+        new_labels = new_labels.localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), on="id")
@@ -62,10 +91,15 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    sym.unpersist()
+    if not converged:
+        raise ComponentConvergenceError(
+            f"connected_components did not converge in {max_iterations} iterations"
+        )
     return labels.withColumnRenamed("comp", "component")
 
 

@@ -81,12 +81,16 @@ def matcher_result(state_region: DataFrame) -> DataFrame:
     )
 
 
+DRIVER_REGION_MAX = 200_000
+
+
 def update_graph(
     spark: SparkSession,
     table: LakeTable,
     updates: DataFrame,
     batch_seq: int,
     changeset_id: str,
+    driver_region_max: int = DRIVER_REGION_MAX,
 ) -> tuple[int | None, DataFrame]:
     """Apply one batch of work updates; returns (snapshot_id | None,
     matcher_result over the affected region). snapshot_id None = V3 no-op.
@@ -155,9 +159,14 @@ def update_graph(
     # are update-neighbourhood-sized by construction. We do the same with a
     # union-find under a size threshold, and fall back to distributed
     # min-label propagation for pathological regions.
-    region_rows = nodes.select("work_id", "candidates", "suppressed").collect()
-    old_sg_rows = region_old.select("work_id", "subgraph_id").collect()
-    if len(region_rows) <= 200_000:
+    # Size-check BEFORE collecting: limit(max+1).count() touches at most
+    # max+1 rows, so a pathological region (one viral merge-candidate hub)
+    # routes to the distributed fallback instead of OOMing the driver.
+    region_nodes = nodes.select("work_id", "candidates", "suppressed")
+    probe = region_nodes.limit(driver_region_max + 1).count()
+    if probe <= driver_region_max:
+        region_rows = region_nodes.collect()
+        old_sg_rows = region_old.select("work_id", "subgraph_id").collect()
         labels_df = spark.createDataFrame(
             _region_labels(region_rows, old_sg_rows),
             "work_id string, component string, subgraph_id string",

@@ -28,7 +28,7 @@ import datetime as dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..cdc.merge import ApplyMetrics, merge_into_state, visible_transcripts
+from ..cdc.merge import ApplyMetrics, merge_into_state, read_state, visible_transcripts
 from ..cdc.resolve import resolve_lww
 from ..lake.table import LakeTable
 
@@ -52,7 +52,11 @@ def snapshot_sync(
     """
     snap = snapshot.select("conv_id", "turn_idx", "role", "text", "tool")
 
-    current = visible_transcripts(table.read(spark)).select(
+    # Diff against the REDUCED view (read_state), not raw files: with
+    # merge-on-read deltas present, raw rows contain superseded versions — a
+    # key deleted in a delta but alive in base would look visible, making an
+    # identical snapshot row a no-op and wrongly keeping the key deleted.
+    current = visible_transcripts(read_state(spark, table)).select(
         "conv_id", "turn_idx",
         F.col("role").alias("_role"), F.col("text").alias("_text"), F.col("tool").alias("_tool"),
     )

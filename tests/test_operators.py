@@ -247,3 +247,27 @@ def test_multimodal_feature_plumbing(spark):
     assert [(r["media_id"], r["frame_ts_ms"]) for r in frames] == [
         ("m2", 0), ("m2", 1000), ("m2", 2000), ("m2", 3000)
     ]
+
+
+def test_connected_components_long_path_converges(spark):
+    """A path with diameter 60 (> the old 20-iteration cap) — pointer
+    jumping converges in O(log d) rounds and labels everything with the min
+    node (the G1 silent-mislabel hazard from VERDICT r1)."""
+    n = 61
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n - 1)], "src string, dst string"
+    )
+    cc = connected_components(edges)
+    comp = {r["id"]: r["component"] for r in cc.collect()}
+    assert len(comp) == n
+    assert set(comp.values()) == {"n000"}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from catalogue_pipeline_spark.operators.components import ComponentConvergenceError
+
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(30)], "src string, dst string"
+    )
+    with pytest.raises(ComponentConvergenceError):
+        connected_components(edges, max_iterations=1)
