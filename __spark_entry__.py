@@ -732,6 +732,119 @@ def _q41_conversation_docs(spark, sf_dir):
     return _docs_for(visible)
 
 
+def _q42_lsh_near_dup(spark, sf_dir):
+    """The near-dedup SCALE path (LSH candidates → exact Jaccard verify on
+    candidates only), oracled against the quadratic exact-join SQL at τ=0.8.
+    This is the plan that survives 100 TB — q22's all-pairs shingle join is
+    kept as the oracle, not the production path."""
+    from catalogue_pipeline_spark.operators.dedup import lsh_near_duplicates
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    out = lsh_near_duplicates(docs, threshold=0.8, num_perm=16, bands=8)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q43_merger_field_rules(spark, sf_dir):
+    """G4 rule family (ItemsRule/ThumbnailRule/OtherIdentifiersRule with
+    WorkPredicates guards) oracle-checked: works derived deterministically
+    from ``customer`` as (target, source) pairs with explicit components, so
+    the DuckDB oracle reimplements the per-field CASE logic independently
+    (the CC step is oracled separately by q39/q44)."""
+    import datetime as dt
+
+    from catalogue_pipeline_spark.plans.merger import fold_components
+
+    ck = F.col("c_custkey")
+    works = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .filter(ck <= 400)
+        .select(
+            F.concat(F.lit("w"), ck.cast("string")).alias("work_id"),
+            F.floor(ck / 2).cast("string").alias("component"),
+            F.when(
+                ck % 2 == 0,
+                F.when((F.floor(ck / 2) % 3) == 0, F.lit("sierra"))
+                .when((F.floor(ck / 2) % 3) == 1, F.lit("calm"))
+                .otherwise(F.lit("tei")),
+            )
+            .when(ck % 4 == 1, F.lit("mets"))
+            .otherwise(F.lit("miro"))
+            .alias("source_type"),
+            F.lit(False).alias("suppressed"),
+            F.when(
+                (ck % 2 == 0) & (ck % 8 >= 4),
+                F.array(F.concat(F.lit("i1-"), ck), F.concat(F.lit("i2-"), ck)),
+            )
+            .otherwise(F.array(F.concat(F.lit("i1-"), ck)))
+            .alias("items"),
+            F.array(F.concat(F.lit("id-"), ck)).alias("identifiers"),
+            F.when(ck % 3 != 0, F.concat(F.lit("th-"), ck)).alias("thumbnail"),
+            F.when(ck % 16 < 8, F.lit("picture")).alias("format"),
+            (ck % 13 == 0).alias("restricted"),
+        )
+    )
+    out = fold_components(works, dt.datetime(2024, 6, 1, 12, 0, 0))
+    return out.select(
+        "work_id",
+        "type",
+        "redirect_target",
+        F.concat_ws(",", "items").alias("items_csv"),
+        F.concat_ws(",", "identifiers").alias("ids_csv"),
+        "thumbnail",
+    )
+
+
+def _q44_matcher_incremental(spark, sf_dir):
+    """G1/J7/V1 end-to-end: three incremental update_graph batches (chain
+    edges → rewire + placeholder hub → a STALE batch the version gate must
+    reject) against the recursive-CTE components oracle over the final
+    effective edge set. Components label as min work_id on both sides."""
+    from catalogue_pipeline_spark.plans.matcher import create_matcher_table, update_graph
+
+    work = tempfile.mkdtemp(prefix="cps-q44-")
+    try:
+        table = create_matcher_table(os.path.join(work, "graph"), num_buckets=8)
+        ck = F.col("ck")
+        wid = lambda c: F.concat(F.lit("w"), c.cast("string"))  # noqa: E731
+        cust = (
+            spark.read.parquet(_t(sf_dir, "customer"))
+            .select(F.col("c_custkey").alias("ck"))
+            .filter(ck <= 120)
+        )
+        empty = F.array().cast("array<string>")
+        b1 = cust.select(
+            wid(ck).alias("work_id"),
+            F.lit(1).alias("version"),
+            F.when(ck % 3 != 0, F.array(wid(ck + 1))).otherwise(empty).alias("candidates"),
+            F.lit(False).alias("suppressed"),
+        )
+        b2 = cust.filter(ck <= 60).select(
+            wid(ck).alias("work_id"),
+            F.lit(2).alias("version"),
+            F.when(ck % 2 == 0, F.array(wid(ck + 2)))
+            .when(ck % 10 == 1, F.array(F.lit("w200")))  # placeholder hub
+            .otherwise(empty)
+            .alias("candidates"),
+            F.lit(False).alias("suppressed"),
+        )
+        b3 = cust.filter(ck <= 30).select(  # STALE: version 1 after version 2
+            wid(ck).alias("work_id"),
+            F.lit(1).alias("version"),
+            F.array(F.lit("w999")).alias("candidates"),
+            F.lit(False).alias("suppressed"),
+        )
+        for seq, batch in ((1, b1), (2, b2), (3, b3)):
+            update_graph(spark, table, batch, batch_seq=seq, changeset_id=f"b{seq}")
+        out = (
+            table.read(spark)
+            .filter(F.col("version") >= 0)  # drop placeholder nodes (A3)
+            .select("work_id", "version", "component")
+        )
+        return _materialize(out, "q44")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _q33_minhash_signatures(spark, sf_dir):
     """MinHash signatures, serialized to a CSV string so the driver's
     canonicalizer (pandas sort) can hash the column — the per-perm formula
@@ -806,6 +919,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_connected_components": _q39_connected_components,
         "q40_media_features": _q40_media_features,
         "q41_conversation_docs": _q41_conversation_docs,
+        "q42_lsh_near_dup": _q42_lsh_near_dup,
+        "q43_merger_field_rules": _q43_merger_field_rules,
+        "q44_matcher_incremental": _q44_matcher_incremental,
     }
 
 
@@ -1115,6 +1231,129 @@ def oracle_sql() -> dict[str, str]:
                string_agg(text, chr(10) ORDER BY turn_idx) AS text_concat,
                max(ts) AS last_ts
         FROM visible GROUP BY conv_id
+    """
+    sql["q42_lsh_near_dup"] = f"""
+        WITH sh AS (
+          SELECT doc_id AS id, unnest(list_distinct(
+            CASE WHEN len({words}) >= 3 THEN
+              list_transform(range(1, len({words}) - 1), i -> array_to_string(({words})[i:i+2], ' '))
+            ELSE [array_to_string({words}, ' ')] END)) AS sh
+          FROM documents),
+        sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b USING (sh) WHERE a.id < b.id
+          GROUP BY a.id, b.id)
+        SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+        WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
+    """
+    # q43: independent SQL reimplementation of the merger's per-field rule
+    # family (ItemsRule/ThumbnailRule/OtherIdentifiersRule guards) over the
+    # same deterministic (target, source) pairs derived from customer.
+    sql["q43_merger_field_rules"] = """
+        WITH w AS (
+          SELECT c_custkey AS ck,
+                 'w' || CAST(c_custkey AS VARCHAR) AS work_id,
+                 CASE WHEN c_custkey % 2 = 0 THEN
+                      CASE (c_custkey // 2) % 3 WHEN 0 THEN 'sierra' WHEN 1 THEN 'calm' ELSE 'tei' END
+                      WHEN c_custkey % 4 = 1 THEN 'mets' ELSE 'miro' END AS source_type,
+                 CASE WHEN c_custkey % 2 = 0 AND c_custkey % 8 >= 4
+                      THEN ['i1-' || CAST(c_custkey AS VARCHAR), 'i2-' || CAST(c_custkey AS VARCHAR)]
+                      ELSE ['i1-' || CAST(c_custkey AS VARCHAR)] END AS items,
+                 'id-' || CAST(c_custkey AS VARCHAR) AS ident,
+                 CASE WHEN c_custkey % 3 <> 0 THEN 'th-' || CAST(c_custkey AS VARCHAR) END AS thumb,
+                 CASE WHEN c_custkey % 16 < 8 THEN 'picture' END AS fmt,
+                 c_custkey % 13 = 0 AS restr
+          FROM customer WHERE c_custkey <= 400),
+        t AS (SELECT * FROM w WHERE ck % 2 = 0),
+        s AS (SELECT * FROM w WHERE ck % 2 = 1),
+        pairs AS (
+          SELECT t.ck AS t_ck, t.work_id AS t_wid, t.source_type AS t_type,
+                 t.items AS t_items, t.ident AS t_ident, t.thumb AS t_thumb,
+                 t.fmt AS t_fmt, t.restr AS t_restr,
+                 s.ck AS s_ck, s.work_id AS s_wid, s.source_type AS s_type,
+                 s.items AS s_items, s.ident AS s_ident, s.thumb AS s_thumb,
+                 s.restr AS s_restr
+          FROM t FULL OUTER JOIN s ON t.ck // 2 = s.ck // 2),
+        flags AS (
+          SELECT *,
+                 t_ck IS NOT NULL AND s_ck IS NOT NULL AS paired,
+                 CASE WHEN t_ck IS NULL OR s_ck IS NULL THEN FALSE
+                      WHEN t_type = 'tei' THEN TRUE
+                      WHEN t_type = 'calm' AND len(t_items) = 1 THEN TRUE
+                      WHEN t_type = 'sierra' AND s_type = 'mets' THEN TRUE
+                      WHEN t_type = 'sierra' AND s_type = 'miro'
+                           AND t_fmt = 'picture' AND len(t_items) <= 1 THEN TRUE
+                      ELSE FALSE END AS items_merged,
+                 CASE WHEN t_ck IS NULL OR s_ck IS NULL THEN FALSE
+                      WHEN (t_type = 'sierra' OR (t_type = 'calm' AND len(t_items) = 1)
+                            OR t_type = 'tei') AND s_type = 'mets' THEN TRUE
+                      WHEN ((t_type = 'sierra' AND len(t_items) <= 1)
+                            OR (t_type = 'calm' AND len(t_items) = 1)
+                            OR t_type = 'tei') AND s_type = 'miro' THEN TRUE
+                      ELSE FALSE END AS thumb_merged
+          FROM pairs),
+        calc AS (
+          SELECT *,
+                 items_merged OR thumb_merged AS merged,
+                 CASE WHEN NOT items_merged THEN []::VARCHAR[]
+                      WHEN t_type = 'sierra' AND len(t_items) = 1 THEN []::VARCHAR[]
+                      ELSE s_items END AS contrib,
+                 items_merged AND t_type IN ('tei', 'calm') AS replace_items,
+                 coalesce(t_restr, FALSE) OR coalesce(s_restr, FALSE) AS any_restr
+          FROM flags)
+        SELECT coalesce(t_wid, s_wid) AS work_id,
+               'Visible' AS type,
+               NULL AS redirect_target,
+               CASE WHEN t_ck IS NULL THEN array_to_string(s_items, ',')
+                    WHEN replace_items THEN array_to_string(contrib, ',')
+                    ELSE array_to_string(t_items || contrib, ',') END AS items_csv,
+               CASE WHEN t_ck IS NULL THEN s_ident
+                    WHEN merged THEN t_ident || ',' || s_ident
+                    ELSE t_ident END AS ids_csv,
+               CASE WHEN t_ck IS NULL THEN (CASE WHEN s_restr THEN NULL ELSE s_thumb END)
+                    WHEN any_restr THEN NULL
+                    WHEN thumb_merged THEN s_thumb
+                    ELSE t_thumb END AS thumbnail
+        FROM calc
+        UNION ALL
+        SELECT s_wid AS work_id,
+               CASE WHEN merged THEN 'Redirected' ELSE 'Visible' END AS type,
+               CASE WHEN merged THEN t_wid END AS redirect_target,
+               CASE WHEN merged THEN '' ELSE array_to_string(s_items, ',') END AS items_csv,
+               CASE WHEN merged THEN '' ELSE s_ident END AS ids_csv,
+               CASE WHEN merged THEN NULL ELSE s_thumb END AS thumbnail
+        FROM calc WHERE paired
+    """
+    # q44: final effective edges (batch2 overrides batch1 for ck≤60; the
+    # stale batch3 is rejected by the V1 gate) → recursive-CTE min-label
+    # components, including the w200 placeholder hub in the closure.
+    sql["q44_matcher_incremental"] = """
+        WITH RECURSIVE n AS (SELECT c_custkey AS ck FROM customer WHERE c_custkey <= 120),
+        e AS (
+          SELECT 'w' || CAST(ck AS VARCHAR) AS src,
+                 'w' || CAST(ck + 2 AS VARCHAR) AS dst
+          FROM n WHERE ck <= 60 AND ck % 2 = 0
+          UNION ALL
+          SELECT 'w' || CAST(ck AS VARCHAR), 'w200'
+          FROM n WHERE ck <= 60 AND ck % 10 = 1
+          UNION ALL
+          SELECT 'w' || CAST(ck AS VARCHAR), 'w' || CAST(ck + 1 AS VARCHAR)
+          FROM n WHERE ck > 60 AND ck % 3 <> 0),
+        sym AS (
+          SELECT src, dst FROM e UNION SELECT dst, src FROM e
+          UNION SELECT src, src FROM e UNION SELECT dst, dst FROM e
+          UNION SELECT 'w' || CAST(ck AS VARCHAR), 'w' || CAST(ck AS VARCHAR) FROM n),
+        reach(a, b) AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+        comp AS (SELECT a AS work_id, min(b) AS component FROM reach GROUP BY a)
+        SELECT 'w' || CAST(ck AS VARCHAR) AS work_id,
+               CAST(CASE WHEN ck <= 60 THEN 2 ELSE 1 END AS INT) AS version,
+               component
+        FROM n JOIN comp ON comp.work_id = 'w' || CAST(ck AS VARCHAR)
     """
     # q33: the minhash recipe is deliberately SQL-portable — md5-derived
     # 60-bit shingle hash, then min of (a·h+b) mod p per permutation,

@@ -45,7 +45,9 @@ HEADLINE = [
     "q01_cdc_apply",
     "q03_lww_latest_event",
     "q12_session_merge",
-    "q22_ngram_jaccard",
+    # near-dedup headline is the LSH-then-verify SCALE path; the quadratic
+    # exact join (q22) stays available as its correctness oracle
+    "q42_lsh_near_dup",
     "q24_text_quality",
     "q26_cosine_topk",
     "q28_pricing_summary",

@@ -211,6 +211,83 @@ def minhash_lsh_candidates(
     )
 
 
+def lsh_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    num_perm: int = 16,
+    bands: int = 8,
+    seed: int = 1,
+) -> DataFrame:
+    """The 100 TB near-dedup path: LSH band/bucket candidate generation, then
+    EXACT Jaccard verification computed only over candidate pairs.
+
+    Same output contract as ngram_jaccard_pairs (id_a < id_b, jaccard ≥
+    threshold) but the all-pairs shingle self-join is replaced by a bucket
+    join that never compares non-colliding docs — a viral shingle shared by
+    1% of the corpus no longer creates an O(n²) hot bucket. At the default
+    16 perms × 8 bands, a pair at exactly J=0.8 is missed with probability
+    (1−0.8²)^8 ≈ 3·10⁻⁴ and higher-J pairs exponentially less — tune
+    bands/num_perm for the recall the corpus demands (the exact join remains
+    available as the oracle).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), k)).alias("sh")
+    ).select("id", F.xxhash64("sh").alias("sh"))
+    # one shingle table feeds signature minning, candidate buckets AND both
+    # exact-verify sides — evaluate once
+    sh = sh.localCheckpoint(eager=False)
+
+    # Fast in-engine minhash: perm_i(x) = xxhash64(x, i) — a deterministic
+    # independent hash per permutation, entirely JVM-side (no decimal mod
+    # arithmetic). SQL portability is NOT needed here: q42's oracle is the
+    # exact Jaccard join, independent of the candidate hash family (the
+    # portable md5 variant lives in minhash_signatures for q33).
+    sig = sh.groupBy("id").agg(
+        *[F.min(F.xxhash64("sh", F.lit(seed), F.lit(i))).alias(f"m{i}") for i in range(num_perm)]
+    )
+    rows_per_band = num_perm // bands
+    band_rows = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(bi),
+                        *[F.col(f"m{bi * rows_per_band + j}") for j in range(rows_per_band)],
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        band_rows.alias("a")
+        .join(band_rows.alias("b"), on=["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh")), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # ------------------------------------------------------------------- SimHash
 def simhash64(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64

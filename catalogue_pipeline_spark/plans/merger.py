@@ -3,22 +3,51 @@
 The reference splits this across two services: the matcher maintains an
 incremental connected-components graph of works that should merge
 (WorkGraphUpdater.scala:98-193) and the merger folds each component into a
-single target work by precedence rules, emitting Redirected stubs for the
-absorbed sources (Merger.scala:72-161, TargetPrecedence.scala:10-32,
-ItemsRule.scala:25-57). Spark-first, that's:
+single target work by a *rule family* — per-field rules with predicate
+guards (FieldMergeRule.scala, ItemsRule.scala:25-57, ThumbnailRule.scala,
+OtherIdentifiersRule.scala, WorkPredicates.scala), emitting Redirected stubs
+only for the sources a rule actually merged (Merger.scala:72-161,
+MergerManager.scala:15-26 — untouched works pass through Visible).
+Spark-first, that's:
 
     works(id, source_type, merge_candidate_ids, suppressed, items,
-          identifiers, thumbnail)
+          identifiers, thumbnail[, format, restricted])
       → edges from candidate lists, suppressed endpoints dropped      (F6)
-      → connected components (min-label propagation)                  (G1)
+      → connected components (min-label + pointer jumping)            (G1)
       → stable component digest over sorted member ids                (G2)
       → target per component = precedence top-1                       (O3)
-      → fold members into target: items/identifiers concatenated in
-        deterministic (precedence, id) order, thumbnail from target
-        else best source                                              (G4)
-      → emit Visible merged target + Redirected stubs; singletons
-        pass through untouched; everything stamped with the BATCH
-        time, never per-work times                                    (G5)
+      → per-field rule family over (target predicate, source
+        predicate) guards — all groupBy/window expressions, no UDF    (G4/F4)
+      → emit Visible merged target + Redirected stubs for MERGED
+        sources; unmerged sources and singletons pass through;
+        everything stamped with the BATCH time                        (G5)
+
+Field rules reproduced (adapted to this engine's flat work model — items and
+identifiers are opaque string arrays, ``format`` and ``restricted`` are
+optional scalar columns):
+
+  ItemsRule (ItemsRule.scala:25-57):
+    * tei target            → items come from eligible sources (mets/miro
+                              single-digital, sierra), replacing the tei stubs
+    * calm single-physical  → keep every item EXCEPT the calm stub (the
+      target                  Sierra/METS/Miro items carry the real data)
+    * sierra target + METS single-digital source:
+        - exactly 1 sierra item → locations fold INTO that item (item count
+          unchanged — modelled as keeping the sierra item)
+        - else → sierra items ++ METS items
+    * sierra picture/digital-image/3d-object target + EXACTLY ONE Miro
+      single-digital source:
+        - 1 sierra item  → fold into it (count unchanged)
+        - 0 sierra items → the Miro item
+        - multi-item     → DON'T merge (ambiguous association; the Miro work
+          stays Visible — the "leave the works unmerged" branch)
+
+  ThumbnailRule (ThumbnailRule.scala): METS thumbnail preferred, else the
+    Miro source with the minimal work id, else the target's own; suppressed
+    entirely when any member is ``restricted`` (digital-location restriction).
+
+  OtherIdentifiersRule (OtherIdentifiersRule.scala): target identifiers ++
+    identifiers of MERGED sources only, distinct.
 
 G5 matters: "we cannot rely on the modified times of the individual works —
 this may cause us to drop updates if works get unlinked" (RFC 038 via
@@ -29,7 +58,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators.components import component_digest, connected_components
@@ -37,22 +66,45 @@ from ..operators.precedence import precedence_score
 
 DEFAULT_PRECEDENCE = ["ebsco", "tei", "calm", "sierra-digital", "sierra-physical", "sierra"]
 
+_OPTIONAL_COLS = {"format": "string", "restricted": "boolean"}
+
+
+def _with_optional_cols(works: DataFrame) -> DataFrame:
+    for c, t in _OPTIONAL_COLS.items():
+        if c not in works.columns:
+            works = works.withColumn(c, F.lit(None).cast(t))
+    return works
+
+
+# ----------------------------------------------------------- work predicates
+# WorkPredicates.scala as boolean Column factories (F4).
+def _is_sierra(t):
+    return t.startswith("sierra")
+
+
+def _single_digital_mets(t, n_items):
+    return (t == "mets") & (n_items == 1)
+
+
+def _single_digital_miro(t, n_items):
+    return (t == "miro") & (n_items == 1)
+
+
+_PICTUREISH = ["picture", "digital-image", "3d-object"]
+
 
 def match_and_merge(
     works: DataFrame,
     batch_ts: dt.datetime,
     precedence: list[str] | None = None,
 ) -> DataFrame:
-    """Returns one row per input work:
+    """Full plan: components (G1/G2) + per-field fold (G4) + stamping (G5).
+
+    Returns one row per input work:
     (work_id, component, subgraph_id, type ∈ Visible|Redirected,
      redirect_target, source_type, items, identifiers, thumbnail, batch_ts).
-
-    Input columns: work_id, source_type, merge_candidate_ids array<string>,
-    suppressed boolean, items array<string>, identifiers array<string>,
-    thumbnail string.
     """
-    order = precedence or DEFAULT_PRECEDENCE
-
+    works = _with_optional_cols(works)
     # G1: edges from candidate lists; suppression breaks edges at either
     # endpoint (WorkGraphUpdater.scala:117-134) but every work self-links so
     # isolated/suppressed works still form singleton components
@@ -76,64 +128,179 @@ def match_and_merge(
 
     w = works.join(labels.withColumnRenamed("id", "work_id"), "work_id", "left")
     w = w.withColumn("component", F.coalesce("component", "work_id"))
+    out = fold_components(w, batch_ts, precedence)
+    return out.join(digests.select("component", "subgraph_id"), "component", "left").select(
+        "work_id",
+        "component",
+        F.coalesce("subgraph_id", F.sha2(F.col("component"), 256)).alias("subgraph_id"),
+        "type",
+        "redirect_target",
+        "source_type",
+        "items",
+        "identifiers",
+        "thumbnail",
+        "batch_ts",
+    )
+
+
+def fold_components(
+    w: DataFrame,
+    batch_ts: dt.datetime,
+    precedence: list[str] | None = None,
+) -> DataFrame:
+    """The merger fold alone (G4/O3/G5): ``w`` must carry a ``component``
+    column in addition to the work columns. Exposed separately so the rule
+    family is oracle-testable without the CC step (q43)."""
+    order = precedence or DEFAULT_PRECEDENCE
+    w = _with_optional_cols(w)
 
     # O3: target per component (suppressed works can never be targets)
     score = precedence_score(F.col("source_type"), order)
     w = w.withColumn("_score", F.when(F.col("suppressed"), F.lit(10_000)).otherwise(score))
-    from pyspark.sql import Window
-
     rank_w = Window.partitionBy("component").orderBy(F.asc("_score"), F.asc("work_id"))
     w = w.withColumn("_rn", F.row_number().over(rank_w))
+    w = w.withColumn("_n_items", F.size(F.coalesce("items", F.array().cast("array<string>"))))
 
-    # G4: fold member payloads in deterministic (precedence, id) order
-    folded = w.groupBy("component").agg(
+    tgt = w.filter(F.col("_rn") == 1).select(
+        "component",
+        F.col("work_id").alias("_t_id"),
+        F.col("source_type").alias("_t_type"),
+        F.col("items").alias("_t_items"),
+        F.col("_n_items").alias("_t_n_items"),
+        F.col("identifiers").alias("_t_ids"),
+        F.col("thumbnail").alias("_t_thumb"),
+        F.col("format").alias("_t_format"),
+    )
+
+    # -------- per-source rule eligibility (the PartialRule guards) ----------
+    s = w.join(tgt, "component")
+    t_type, t_n = F.col("_t_type"), F.col("_t_n_items")
+    is_src = F.col("_rn") > 1
+    src_mets = _single_digital_mets(F.col("source_type"), F.col("_n_items"))
+    src_miro = _single_digital_miro(F.col("source_type"), F.col("_n_items"))
+    src_sierra = _is_sierra(F.col("source_type"))
+    t_tei = t_type == "tei"
+    t_calm_spi = (t_type == "calm") & (t_n == 1)
+    t_sierra = _is_sierra(t_type)
+    t_pictureish = t_sierra & F.col("_t_format").isin(_PICTUREISH)
+
+    n_miro = F.sum(F.when(is_src & src_miro, 1).otherwise(0)).over(
+        Window.partitionBy("component")
+    )
+    miro_rule_applies = t_pictureish & (t_n <= 1) & (n_miro == 1)
+
+    items_merged = is_src & (
+        ((t_tei | t_calm_spi) & (src_mets | src_miro | src_sierra))
+        | (t_sierra & ~t_tei & src_mets)
+        | (miro_rule_applies & src_miro)
+    )
+    s = s.withColumn("_items_merged", items_merged)
+    # items a merged source CONTRIBUTES to the fold: under a single-item
+    # sierra target, METS/Miro locations fold INTO the existing item (count
+    # unchanged → contributes nothing); everywhere else its own items
+    contributes = F.when(
+        F.col("_items_merged")
+        & t_sierra & ~t_tei & (t_n == 1) & (src_mets | (miro_rule_applies & src_miro)),
+        F.array().cast("array<string>"),
+    ).otherwise(F.when(F.col("_items_merged"), F.col("items")))
+    s = s.withColumn("_contrib_items", contributes)
+
+    # ThumbnailRule guards. Reference semantics (ThumbnailRule.scala): a
+    # DEFINED mets rule wins outright — even if the picked mets work has no
+    # thumbnail there is NO fallback to miro or the target (orElse chains on
+    # rule definedness, not on the inner Option); every source matching a
+    # defined rule's source predicate counts as merged (FieldMergeRule
+    # mergedSources), not just the one whose thumbnail was used.
+    thumb_mets_ok = (t_sierra | t_calm_spi | t_tei) & is_src & src_mets
+    thumb_miro_ok = ((t_sierra & (t_n <= 1)) | t_calm_spi | t_tei) & is_src & src_miro
+    s = s.withColumn(
+        "_thumb_pick",
+        F.when(
+            thumb_mets_ok,
+            F.struct(F.lit(0).alias("pri"), F.col("work_id").alias("id"), F.col("thumbnail").alias("thumb")),
+        ).when(
+            thumb_miro_ok,
+            F.struct(F.lit(1).alias("pri"), F.col("work_id").alias("id"), F.col("thumbnail").alias("thumb")),
+        ),
+    )
+    s = s.withColumn("_thumb_merged", F.col("_thumb_pick").isNotNull())
+    s = s.withColumn("_merged", F.col("_items_merged") | F.col("_thumb_merged"))
+
+    folded = s.groupBy("component").agg(
+        # items the rules pull from sources, in deterministic (score, id) order
         F.flatten(
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct("_score", "work_id", "items"))
+                    F.collect_list(
+                        F.when(
+                            F.col("_contrib_items").isNotNull(),
+                            F.struct("_score", "work_id", F.col("_contrib_items").alias("items")),
+                        )
+                    )
                 ),
-                lambda s: s["items"],
+                lambda st: st["items"],
             )
-        ).alias("merged_items"),
+        ).alias("_src_items"),
+        F.max(F.col("_items_merged") & (t_tei | t_calm_spi)).alias("_replace_target_items"),
+        F.max(F.col("_items_merged")).alias("_any_items_rule"),
+        # identifiers: MERGED sources only (OtherIdentifiersRule)
         F.array_distinct(
             F.flatten(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct("_score", "work_id", "identifiers"))
+                        F.collect_list(
+                            F.when(F.col("_merged"), F.struct("_score", "work_id", "identifiers"))
+                        )
                     ),
-                    lambda s: s["identifiers"],
+                    lambda st: st["identifiers"],
                 )
             )
-        ).alias("merged_identifiers"),
-        # thumbnail: target's, else highest-precedence source's (max ignores
-        # null structs only if whole struct null — guard with when)
-        F.min(
-            F.when(F.col("thumbnail").isNotNull(), F.struct("_score", "work_id", "thumbnail"))
-        ).alias("thumb_pick"),
+        ).alias("_merged_src_ids"),
+        F.min("_thumb_pick").alias("_thumb_struct"),
+        F.max(F.coalesce(F.col("restricted"), F.lit(False))).alias("_any_restricted"),
         F.count(F.lit(1)).alias("n_members"),
     )
 
     out = (
-        w.join(folded, "component")
-        .join(digests.withColumnRenamed("members", "_members"), "component")
+        s.join(folded, "component")
         .select(
-            "work_id",
             "component",
-            "subgraph_id",
+            "work_id",
             F.when(F.col("_rn") == 1, F.lit("Visible"))
-            .otherwise(F.lit("Redirected"))
+            .when(F.col("_merged"), F.lit("Redirected"))
+            .otherwise(F.lit("Visible"))  # unmerged sources pass through
             .alias("type"),
-            F.when(F.col("_rn") != 1, F.first("work_id").over(rank_w)).alias(
+            F.when((F.col("_rn") != 1) & F.col("_merged"), F.col("_t_id")).alias(
                 "redirect_target"
             ),
             "source_type",
-            F.when(F.col("_rn") == 1, F.col("merged_items"))
-            .otherwise(F.array().cast("array<string>"))
+            F.when(
+                F.col("_rn") == 1,
+                F.when(F.col("_replace_target_items"), F.col("_src_items")).otherwise(
+                    F.concat(
+                        F.coalesce(F.col("items"), F.array().cast("array<string>")),
+                        F.col("_src_items"),
+                    )
+                ),
+            )
+            .when(F.col("_merged"), F.array().cast("array<string>"))
+            .otherwise(F.col("items"))  # pass-through keeps its items
             .alias("items"),
-            F.when(F.col("_rn") == 1, F.col("merged_identifiers"))
-            .otherwise(F.array().cast("array<string>"))
+            F.when(
+                F.col("_rn") == 1,
+                F.array_distinct(F.concat(F.col("identifiers"), F.col("_merged_src_ids"))),
+            )
+            .when(F.col("_merged"), F.array().cast("array<string>"))
+            .otherwise(F.col("identifiers"))
             .alias("identifiers"),
-            F.when(F.col("_rn") == 1, F.col("thumb_pick.thumbnail")).alias("thumbnail"),
+            F.when(
+                (F.col("_rn") == 1) & ~F.col("_any_restricted"),
+                F.when(F.col("_thumb_struct").isNotNull(), F.col("_thumb_struct.thumb")).otherwise(
+                    F.col("thumbnail")
+                ),
+            )
+            .when((F.col("_rn") != 1) & ~F.col("_merged"), F.col("thumbnail"))
+            .alias("thumbnail"),
             F.lit(batch_ts).alias("batch_ts"),
         )
     )

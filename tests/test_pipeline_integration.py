@@ -65,8 +65,12 @@ def test_matcher_feeds_merger(spark, tmp_path):
               precedence=["sierra", "miro"]).collect()}
 
     assert merged["sierra1"]["type"] == "Visible"
-    assert merged["sierra1"]["items"] == ["item-s", "item-m1", "item-m2"]
-    assert merged["sierra1"]["thumbnail"] == "thumb-m1"  # from best source
+    # two Miro sources: the ambiguous-association ItemsRule branch leaves the
+    # Sierra items alone; ThumbnailRule picks the min-id Miro and counts both
+    # Miros as merged ('One Sierra and multiple Miro works are matched',
+    # MergerIntegrationTest.scala:58)
+    assert merged["sierra1"]["items"] == ["item-s"]
+    assert merged["sierra1"]["thumbnail"] == "thumb-m1"  # min-id miro's thumb
     for m in ("miro1", "miro2"):
         assert merged[m]["type"] == "Redirected"
         assert merged[m]["redirect_target"] == "sierra1"
