@@ -845,6 +845,118 @@ def _q44_matcher_incremental(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _q45_period_parse(spark, sf_dir):
+    """X1 fuzzy period parsing (PeriodParser.scala family) driver-oracled:
+    labels generated from 8 templates over ``customer``, parsed by the
+    Arrow-batched pandas UDF; the oracle computes each template's expected
+    interval in closed form — an independent check of the parser's
+    qualifier/century/season/range arithmetic."""
+    from catalogue_pipeline_spark.functions.periods import parse_period_udf
+
+    ck = F.col("c_custkey")
+    y = (F.lit(1800) + ck % 150).cast("int").cast("string")
+    y4 = (F.lit(1804) + ck % 150).cast("int").cast("string")
+    d = (F.lit(1) + ck % 28).cast("int").cast("string")
+    c = (F.lit(15) + ck % 5).cast("int").cast("string")
+    dec = (F.lit(1800) + (ck % 15) * 10).cast("int").cast("string")
+    label = (
+        F.when(ck % 8 == 0, F.concat(F.lit("c."), y))
+        .when(ck % 8 == 1, F.concat(y, F.lit("-"), y4))
+        .when(ck % 8 == 2, F.concat(F.lit("early "), c, F.lit("th century")))
+        .when(ck % 8 == 3, F.concat(F.lit("spring "), y))
+        .when(ck % 8 == 4, F.concat(d, F.lit(" january "), y))
+        .when(ck % 8 == 5, F.concat(dec, F.lit("s")))
+        .when(ck % 8 == 6, F.concat(F.lit("before "), y))
+        .otherwise(F.lit("n.d."))
+    )
+    base = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .filter(ck <= 800)
+        .select(ck.alias("id"), label.alias("label"))
+    )
+    p = parse_period_udf()
+    return base.select("id", "label", p(F.col("label")).alias("p")).select(
+        "id", "label", "p.from_date", "p.to_date", "p.parsed"
+    )
+
+
+def _q46_snapshot_probes(spark, sf_dir):
+    """S6/S9/S8/V7 driver-oracled: two appends, then four probes — current
+    count, PINNED time-travel count (V7 fencing), metadata-only count (S9 —
+    answered from file stats, no scan), and a changeset-pruned read (S8 —
+    manifest pruning, other changesets' files never opened)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from catalogue_pipeline_spark.lake.table import read_changesets
+
+    work = tempfile.mkdtemp(prefix="cps-q46-")
+    try:
+        schema = StructType(
+            [
+                StructField("conv_id", StringType(), False),
+                StructField("turn_idx", LongType(), False),
+                StructField("text", StringType(), True),
+            ]
+        )
+        cust = spark.read.parquet(_t(sf_dir, "customer"))
+        mk = lambda lo, hi: cust.filter(  # noqa: E731
+            (F.col("c_custkey") > lo) & (F.col("c_custkey") <= hi)
+        ).select(
+            F.concat(F.lit("k"), F.col("c_custkey").cast("string")).alias("conv_id"),
+            F.lit(0).cast("long").alias("turn_idx"),
+            F.col("c_name").alias("text"),
+        )
+        table = LakeTable.create(
+            os.path.join(work, "t"), schema, bucket_key="conv_id", num_buckets=8
+        )
+        table.append(mk(0, 600), changeset_id="cs1", sort_cols=["conv_id"])
+        table.append(mk(600, 900), changeset_id="cs2", sort_cols=["conv_id"])
+        probes = [
+            ("rows_current", table.read(spark).count()),
+            ("rows_pinned_v1", table.read(spark, snapshot_id=1).count()),
+            ("rows_meta", table.metadata_count()),
+            ("rows_changeset_cs2", read_changesets(spark, table, ["cs2"]).count()),
+        ]
+        return spark.createDataFrame(probes, "probe string, n long")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _q47_apply_metrics(spark, sf_dir):
+    """A7 lineage metrics driver-oracled: apply the even-offset half of the
+    changelog, then the odd half; emit the SECOND apply's ApplyMetrics.
+    The oracle reimplements the full two-register merge classification
+    (insert/update/delete/noop/lost/late) in SQL — an independent check of
+    the J1/J2/J3/V2 bookkeeping, not just the final state."""
+    ch = _changelog(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="cps-q47-")
+    try:
+        from catalogue_pipeline_spark.cdc.merge import merge_into_state
+
+        table = LakeTable.create(
+            os.path.join(work, "t"), STATE_SCHEMA, bucket_key="conv_id", num_buckets=8
+        )
+        merge_into_state(
+            spark, table, resolve_lww(ch.filter(F.col("offset") % 2 == 0)), changeset_id="cs1"
+        )
+        _, m = merge_into_state(
+            spark, table, resolve_lww(ch.filter(F.col("offset") % 2 == 1)), changeset_id="cs2"
+        )
+        rows = [
+            ("events_in", m.events_in),
+            ("keys_in", m.keys_in),
+            ("inserts", m.inserts),
+            ("updates", m.updates),
+            ("deletes", m.deletes),
+            ("noop_updates", m.noop_updates),
+            ("dedup_drops", m.dedup_drops),
+            ("late_arrivals", m.late_arrivals),
+        ]
+        return spark.createDataFrame(rows, "metric string, value long")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _q33_minhash_signatures(spark, sf_dir):
     """MinHash signatures, serialized to a CSV string so the driver's
     canonicalizer (pandas sort) can hash the column — the per-perm formula
@@ -922,6 +1034,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_lsh_near_dup": _q42_lsh_near_dup,
         "q43_merger_field_rules": _q43_merger_field_rules,
         "q44_matcher_incremental": _q44_matcher_incremental,
+        "q45_period_parse": _q45_period_parse,
+        "q46_snapshot_probes": _q46_snapshot_probes,
+        "q47_apply_metrics": _q47_apply_metrics,
     }
 
 
@@ -1354,6 +1469,129 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN ck <= 60 THEN 2 ELSE 1 END AS INT) AS version,
                component
         FROM n JOIN comp ON comp.work_id = 'w' || CAST(ck AS VARCHAR)
+    """
+    # q45: the oracle computes every template's expected interval in closed
+    # form — qualifier (about=y±10/-1..+9), year-range, early-century
+    # (+0..+39), season, exact-day, decade, half-bounded, unparseable.
+    sql["q45_period_parse"] = """
+        WITH b AS (
+          SELECT c_custkey AS id,
+                 CAST(1800 + c_custkey % 150 AS INT) AS y,
+                 CAST(1 + c_custkey % 28 AS INT) AS d,
+                 CAST(15 + c_custkey % 5 AS INT) AS c,
+                 CAST(1800 + (c_custkey % 15) * 10 AS INT) AS dec_,
+                 c_custkey % 8 AS t
+          FROM customer WHERE c_custkey <= 800)
+        SELECT id,
+               CASE t WHEN 0 THEN 'c.' || y
+                      WHEN 1 THEN CAST(y AS VARCHAR) || '-' || (y + 4)
+                      WHEN 2 THEN 'early ' || c || 'th century'
+                      WHEN 3 THEN 'spring ' || y
+                      WHEN 4 THEN d || ' january ' || y
+                      WHEN 5 THEN dec_ || 's'
+                      WHEN 6 THEN 'before ' || y
+                      ELSE 'n.d.' END AS label,
+               CASE t WHEN 0 THEN make_date(y - 10, 1, 1)
+                      WHEN 1 THEN make_date(y, 1, 1)
+                      WHEN 2 THEN make_date((c - 1) * 100, 1, 1)
+                      WHEN 3 THEN make_date(y, 3, 1)
+                      WHEN 4 THEN make_date(y, 1, d)
+                      WHEN 5 THEN make_date(dec_, 1, 1)
+                      WHEN 6 THEN make_date(1, 1, 1)
+                      ELSE NULL END AS from_date,
+               CASE t WHEN 0 THEN make_date(y + 9, 12, 31)
+                      WHEN 1 THEN make_date(y + 4, 12, 31)
+                      WHEN 2 THEN make_date((c - 1) * 100 + 39, 12, 31)
+                      WHEN 3 THEN make_date(y, 5, 31)
+                      WHEN 4 THEN make_date(y, 1, d)
+                      -- '1800s'/'1900s' are CENTURIES (numericCentury wins
+                      -- over decade in the reference's alternation)
+                      WHEN 5 THEN make_date(dec_ + CASE WHEN dec_ % 100 = 0 THEN 99 ELSE 9 END, 12, 31)
+                      WHEN 6 THEN make_date(y, 12, 31)
+                      ELSE NULL END AS to_date,
+               t <> 7 AS parsed
+        FROM b
+    """
+    sql["q46_snapshot_probes"] = """
+        SELECT 'rows_current' AS probe, count(*) AS n FROM customer
+        WHERE c_custkey > 0 AND c_custkey <= 900
+        UNION ALL
+        SELECT 'rows_pinned_v1', count(*) FROM customer
+        WHERE c_custkey > 0 AND c_custkey <= 600
+        UNION ALL
+        SELECT 'rows_meta', count(*) FROM customer
+        WHERE c_custkey > 0 AND c_custkey <= 900
+        UNION ALL
+        SELECT 'rows_changeset_cs2', count(*) FROM customer
+        WHERE c_custkey > 600 AND c_custkey <= 900
+    """
+    # q47: independent SQL reimplementation of the two-register merge
+    # classification (cdc/merge.py:108-180): state = even-offset winners,
+    # batch = odd-offset winners, then insert/update/delete/noop/lost/late
+    # per the (ts, op_pri, offset) and (nd_ts, nd_offset) register compares.
+    _reg = """
+        SELECT conv_id, turn_idx,
+               max(struct_pack(ts := ts, op_pri := op_pri, o := "offset", op := op)) AS w,
+               max(CASE WHEN op <> 'delete'
+                   THEN struct_pack(ts := ts, o := "offset", role := role, text := text, tool := tool) END) AS nd,
+               count(*) AS n_events
+        FROM pri WHERE "offset" % 2 = {par} GROUP BY conv_id, turn_idx
+    """
+    sql["q47_apply_metrics"] = f"""
+        WITH log AS ({_SQL_LOG}),
+        pri AS (SELECT *, CASE WHEN op = 'delete' THEN 1 ELSE 0 END AS op_pri FROM log),
+        t AS ({_reg.format(par=0)}),
+        s AS ({_reg.format(par=1)}),
+        j AS (
+          SELECT coalesce(s.conv_id, t.conv_id) AS conv_id,
+                 coalesce(s.turn_idx, t.turn_idx) AS turn_idx,
+                 s.w AS sw, s.nd AS snd, s.n_events AS sn,
+                 t.w AS tw, t.nd AS tnd,
+                 s.conv_id IS NOT NULL AS has_s,
+                 t.conv_id IS NOT NULL AS has_t
+          FROM s FULL OUTER JOIN t ON s.conv_id = t.conv_id AND s.turn_idx = t.turn_idx),
+        m AS (
+          SELECT *,
+            has_s AND (NOT has_t OR (sw.ts, sw.op_pri, sw.o) >= (tw.ts, tw.op_pri, tw.o)) AS src_wins,
+            has_s AND snd.ts IS NOT NULL AND (NOT has_t OR tnd.ts IS NULL
+                 OR (snd.ts, snd.o) >= (tnd.ts, tnd.o)) AS nd_from_s
+          FROM j),
+        n AS (
+          SELECT *,
+            CASE WHEN nd_from_s THEN snd ELSE tnd END AS n_nd,
+            CASE WHEN src_wins THEN sw ELSE tw END AS n_w
+          FROM m),
+        c AS (
+          SELECT *,
+            has_t
+              AND (n_nd.role IS NOT DISTINCT FROM tnd.role)
+              AND (n_nd.text IS NOT DISTINCT FROM tnd.text)
+              AND (n_nd.tool IS NOT DISTINCT FROM tnd.tool)
+              AND (n_nd.ts IS NOT DISTINCT FROM tnd.ts)
+              AND (n_nd.o IS NOT DISTINCT FROM tnd.o)
+              AND (n_w.ts IS NOT DISTINCT FROM tw.ts)
+              AND (n_w.op_pri IS NOT DISTINCT FROM tw.op_pri)
+              AND (n_w.o IS NOT DISTINCT FROM tw.o)
+              AND ((n_w.op = 'delete') IS NOT DISTINCT FROM (tw.op = 'delete')) AS same
+          FROM n),
+        f AS (SELECT *, has_s AND NOT same AS changed FROM c)
+        SELECT 'events_in' AS metric, CAST(coalesce(sum(sn), 0) AS BIGINT) AS value FROM f WHERE has_s
+        UNION ALL
+        SELECT 'keys_in', CAST(count(*) AS BIGINT) FROM f WHERE has_s
+        UNION ALL
+        SELECT 'inserts', CAST(coalesce(sum(CASE WHEN changed AND NOT has_t THEN 1 ELSE 0 END), 0) AS BIGINT) FROM f
+        UNION ALL
+        SELECT 'updates', CAST(coalesce(sum(CASE WHEN changed AND has_t AND n_w.op <> 'delete' THEN 1 ELSE 0 END), 0) AS BIGINT) FROM f
+        UNION ALL
+        SELECT 'deletes', CAST(coalesce(sum(CASE WHEN changed AND n_w.op = 'delete'
+                              AND (NOT has_t OR tw.op <> 'delete') THEN 1 ELSE 0 END), 0) AS BIGINT) FROM f
+        UNION ALL
+        SELECT 'noop_updates', CAST(coalesce(sum(CASE WHEN has_s AND same THEN 1 ELSE 0 END), 0) AS BIGINT) FROM f
+        UNION ALL
+        SELECT 'dedup_drops', CAST(coalesce(sum(CASE WHEN has_s THEN sn - 1 ELSE 0 END), 0)
+               + coalesce(sum(CASE WHEN has_s AND has_t AND NOT src_wins THEN 1 ELSE 0 END), 0) AS BIGINT) FROM f
+        UNION ALL
+        SELECT 'late_arrivals', CAST(coalesce(sum(CASE WHEN has_s AND has_t AND sw.ts < tw.ts THEN 1 ELSE 0 END), 0) AS BIGINT) FROM f
     """
     # q33: the minhash recipe is deliberately SQL-portable — md5-derived
     # 60-bit shingle hash, then min of (a·h+b) mod p per permutation,

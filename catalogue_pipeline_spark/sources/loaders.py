@@ -54,3 +54,63 @@ def load_xml_records(
         F.from_xml(F.col("value"), record_schema).alias("r")
     ).select("r.*")
     return parsed.filter(F.col("conv_id").isNotNull())
+
+
+# record-splitting regex: namespace-prefix-insensitive, (?s) so records span
+# lines. MARCXML is regular enough for this (no nested <record> elements).
+_RECORD_RE = r"(?s)<(?:\w+:)?record[\s>].*?</(?:\w+:)?record>|(?s)<(?:\w+:)?record/>"
+_CONTROL_001_RE = (
+    r"(?s)<(?:\w+:)?controlfield[^>]*tag=\"001\"[^>]*>\s*(.*?)\s*</(?:\w+:)?controlfield>"
+)
+_DATA_035A_RE = (
+    r"(?s)<(?:\w+:)?datafield[^>]*tag=\"035\"[^>]*>.*?"
+    r"<(?:\w+:)?subfield[^>]*code=\"a\"[^>]*>\s*(?:\([^)]*\))?\s*(.*?)\s*</(?:\w+:)?subfield>"
+)
+
+
+def load_marcxml_collection(
+    spark: SparkSession,
+    path: str,
+    namespace: str = "ebsco",
+    strict: bool = True,
+) -> DataFrame:
+    """Load REAL multi-record MARCXML full files (the reference's
+    marcxml_loader.py: one <collection> per file, many <record> elements,
+    records identified by controlfield 001 or datafield 035$a with any
+    parenthetical prefix stripped). Output: (namespace, id, content) —
+    the reference's Arrow schema.
+
+    Spark-first shape: ``wholetext`` gives one row per FILE (a full-file XML
+    drop parallelizes across files, exactly like the reference's per-file
+    load), the record split and id extraction are JVM-side regexes inside
+    codegen — no lxml, no Python in the executor path. MARCXML's flat
+    record structure (no nested <record>) makes the regex split exact.
+
+    ``strict=True`` raises if any record lacks a usable identifier
+    (MissingRecordIdentifierError semantics, marcxml_loader.py:40-66);
+    ``strict=False`` drops such records instead.
+    """
+    raw = spark.read.text(path, wholetext=True)
+    records = raw.select(
+        F.explode(F.regexp_extract_all("value", F.lit(_RECORD_RE), 0)).alias("content")
+    )
+    with_id = records.select(
+        F.lit(namespace).alias("namespace"),
+        F.nullif(
+            F.coalesce(
+                F.nullif(F.regexp_extract("content", _CONTROL_001_RE, 1), F.lit("")),
+                F.nullif(F.regexp_extract("content", _DATA_035A_RE, 1), F.lit("")),
+            ),
+            F.lit(""),
+        ).alias("id"),
+        F.col("content"),
+    )
+    if strict:
+        bad = with_id.filter(F.col("id").isNull()).limit(1).collect()
+        if bad:
+            raise ValueError(
+                "MissingRecordIdentifier: no controlfield 001 or datafield 035$a in: "
+                + bad[0]["content"][:200]
+            )
+        return with_id
+    return with_id.filter(F.col("id").isNotNull())

@@ -42,3 +42,46 @@ def test_plan_time_ranges_overlap():
     for (_, s1, e1), (_, s2, _) in zip(ws, ws[1:]):
         assert s2 == e1 - dt.timedelta(minutes=1)
     assert ws[0][1] == t0 and ws[-1][2] == t1
+
+
+def test_marcxml_collection_loader(spark, tmp_path):
+    """Real multi-record MARCXML (marcxml_loader.py semantics): records split
+    from a whole-file <collection>, ids from 001 else 035$a with the
+    parenthetical prefix stripped; strict mode raises on id-less records."""
+    import pytest as _pytest
+
+    from catalogue_pipeline_spark.sources.loaders import load_marcxml_collection
+
+    xml = """<?xml version="1.0"?>
+<marc:collection xmlns:marc="http://www.loc.gov/MARC21/slim">
+  <marc:record>
+    <marc:controlfield tag="001">ebs001</marc:controlfield>
+    <marc:datafield tag="245"><marc:subfield code="a">Title One</marc:subfield></marc:datafield>
+  </marc:record>
+  <marc:record>
+    <marc:controlfield tag="001">  ebs002  </marc:controlfield>
+  </marc:record>
+  <marc:record>
+    <marc:datafield tag="035">
+      <marc:subfield code="a">(OCoLC)oc35-id</marc:subfield>
+    </marc:datafield>
+  </marc:record>
+</marc:collection>
+"""
+    p = tmp_path / "drop"
+    p.mkdir()
+    (p / "full.xml").write_text(xml)
+    got = {r["id"]: r for r in load_marcxml_collection(spark, str(p)).collect()}
+    assert set(got) == {"ebs001", "ebs002", "oc35-id"}  # 001 trimmed, 035 prefix stripped
+    assert all(r["namespace"] == "ebsco" for r in got.values())
+    assert "<marc:controlfield" in got["ebs001"]["content"]
+    assert "Title One" in got["ebs001"]["content"]
+
+    # an id-less record: strict raises, non-strict drops
+    (p / "full.xml").write_text(
+        xml.replace('<marc:controlfield tag="001">ebs001</marc:controlfield>', "")
+    )
+    with _pytest.raises(ValueError, match="MissingRecordIdentifier"):
+        load_marcxml_collection(spark, str(p)).collect()
+    loose = load_marcxml_collection(spark, str(p), strict=False)
+    assert {r["id"] for r in loose.collect()} == {"ebs002", "oc35-id"}

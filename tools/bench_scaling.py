@@ -44,13 +44,23 @@ def run_at(cpus: int, n_events: int, binlog: str) -> dict:
 def main():
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     n_big = 4 * n_small
     import tempfile
 
     # generate ONE binlog, reused byte-identically by both cluster sizes
     binlog = os.path.join(tempfile.mkdtemp(prefix="cps-scaling-"), "binlog")
-    r32 = run_at(n_big, n_events, binlog)  # first run generates + measures
-    r8 = run_at(n_small, n_events, binlog)
+    runs = []  # [(r_small, r_big, eff)]
+    for i in range(repeats):
+        r_big = run_at(n_big, n_events, binlog)  # first run generates + measures
+        r_small = run_at(n_small, n_events, binlog)
+        e = (r_big["cdc"]["events_per_sec"] / r_small["cdc"]["events_per_sec"]) / 4.0
+        runs.append((r_small, r_big, e))
+        print(f"repeat {i + 1}/{repeats}: eff={e:.2f}", file=sys.stderr)
+    # report the MEDIAN repeat (robust to one cache-cold outlier); all
+    # repeats are listed in the output table
+    runs_sorted = sorted(runs, key=lambda t: t[2])
+    r8, r32, _ = runs_sorted[len(runs_sorted) // 2]
     import shutil
 
     shutil.rmtree(os.path.dirname(binlog), ignore_errors=True)
@@ -77,7 +87,11 @@ executors. The compute-bound probe below isolates that effect.
 | local[{n_big}] (4N) | {r32["cdc"]["seconds"]} | {t32:,.0f} | {r32["cdc"]["final_rows"]:,} |
 
 **speedup {n_small}→{n_big} cores: {t32 / t8:.2f}× · scaling efficiency = ({t32:,.0f} / {t8:,.0f}) / 4 = {eff:.2f}**
-(target ≥ 0.8 per BASELINE.json)
+(target ≥ 0.8 per BASELINE.json; median of {len(runs)} repeat(s) shown)
+
+Per-repeat efficiencies (same binlog, same code, back-to-back):
+{", ".join(f"{e:.2f}" for _, _, e in runs)} — mean {sum(e for _, _, e in runs) / len(runs):.2f},
+spread ±{(max(e for _, _, e in runs) - min(e for _, _, e in runs)) / 2:.2f}
 
 Reference baseline for context: the catalogue-pipeline reindexes 3.24M
 records in "a few hours" ≈ 300–900 records/s end-to-end (REINDEXING.md:73,89);
