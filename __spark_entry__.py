@@ -957,6 +957,43 @@ def _q47_apply_metrics(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _q48_hierarchy_traversal(spark, sf_dir):
+    """G3 hierarchy traversal driver-oracled: a deterministic tree over
+    customer (parent(ck) = ck//3), ancestors of every 17th node up to depth
+    10, vs a recursive-CTE oracle (CalmHierarchy semantics — iterative
+    frontier joins with early convergence)."""
+    from catalogue_pipeline_spark.operators.quality import traverse_hierarchy
+
+    ck = F.col("c_custkey")
+    cust = spark.read.parquet(_t(sf_dir, "customer")).filter((ck > 0) & (ck <= 400))
+    node = lambda c: F.concat(F.lit("c"), c.cast("long").cast("string"))  # noqa: E731
+    edges = cust.select(node(ck).alias("child"), node(F.floor(ck / 3)).alias("parent"))
+    start = cust.filter(ck % 17 == 0).select(node(ck).alias("id"))
+    out = traverse_hierarchy(edges, start, direction="up", max_depth=10)
+    return out.select("id", "node", F.col("depth").cast("long").alias("depth"))
+
+
+def _q49_safety_gate(spark, sf_dir):
+    """A8 fractional-change safety gate driver-oracled: the gate's pass/trip
+    decision over real counts (error-event fraction vs two thresholds) —
+    mirrors the reference's fractional deletion guard."""
+    from catalogue_pipeline_spark.operators.precedence import fractional_change_gate
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    agg = ev.agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("nch"),
+        F.count(F.lit(1)).alias("ntot"),
+    ).collect()[0]
+    rows = []
+    for name, thr in (("strict_5pct", 0.05), ("loose_50pct", 0.5)):
+        try:
+            fractional_change_gate(agg["nch"], agg["ntot"], threshold=thr)
+            rows.append((name, True, int(agg["nch"]), int(agg["ntot"])))
+        except ValueError:
+            rows.append((name, False, int(agg["nch"]), int(agg["ntot"])))
+    return spark.createDataFrame(rows, "scenario string, passed boolean, n_changes long, n_total long")
+
+
 def _q33_minhash_signatures(spark, sf_dir):
     """MinHash signatures, serialized to a CSV string so the driver's
     canonicalizer (pandas sort) can hash the column — the per-perm formula
@@ -1037,6 +1074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_period_parse": _q45_period_parse,
         "q46_snapshot_probes": _q46_snapshot_probes,
         "q47_apply_metrics": _q47_apply_metrics,
+        "q48_hierarchy_traversal": _q48_hierarchy_traversal,
+        "q49_safety_gate": _q49_safety_gate,
     }
 
 
@@ -1592,6 +1631,32 @@ def oracle_sql() -> dict[str, str]:
                + coalesce(sum(CASE WHEN has_s AND has_t AND NOT src_wins THEN 1 ELSE 0 END), 0) AS BIGINT) FROM f
         UNION ALL
         SELECT 'late_arrivals', CAST(coalesce(sum(CASE WHEN has_s AND has_t AND sw.ts < tw.ts THEN 1 ELSE 0 END), 0) AS BIGINT) FROM f
+    """
+    sql["q48_hierarchy_traversal"] = """
+        WITH RECURSIVE n AS (
+          SELECT c_custkey AS ck FROM customer WHERE c_custkey > 0 AND c_custkey <= 400),
+        e AS (SELECT 'c' || CAST(ck AS VARCHAR) AS child,
+                     'c' || CAST(ck // 3 AS VARCHAR) AS parent FROM n),
+        r(id, node, depth) AS (
+          SELECT e.child, e.parent, 1
+          FROM e JOIN n ON e.child = 'c' || CAST(n.ck AS VARCHAR)
+          WHERE n.ck % 17 = 0
+          UNION
+          SELECT r.id, e.parent, r.depth + 1
+          FROM r JOIN e ON e.child = r.node
+          WHERE r.depth < 10)
+        SELECT id, node, CAST(min(depth) AS BIGINT) AS depth
+        FROM r GROUP BY id, node
+    """
+    sql["q49_safety_gate"] = """
+        WITH a AS (
+          SELECT CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS nch,
+                 CAST(count(*) AS BIGINT) AS ntot
+          FROM events)
+        SELECT 'strict_5pct' AS scenario, (nch * 1.0 / ntot) <= 0.05 AS passed,
+               nch AS n_changes, ntot AS n_total FROM a
+        UNION ALL
+        SELECT 'loose_50pct', (nch * 1.0 / ntot) <= 0.5, nch, ntot FROM a
     """
     # q33: the minhash recipe is deliberately SQL-portable — md5-derived
     # 60-bit shingle hash, then min of (a·h+b) mod p per permutation,

@@ -49,7 +49,11 @@ def traverse_hierarchy(
     frontier empties (G3)."""
     hop_from, hop_to = (child_col, parent_col) if direction == "up" else (parent_col, child_col)
     frontier = start.select(F.col(id_col).alias("id"), F.col(id_col).alias("node"))
-    seen = frontier.withColumn("depth", F.lit(0))
+    # each round references the previous frontier/seen several times (join +
+    # anti-join + isEmpty probe) — localCheckpoint truncates the lineage so
+    # round N costs O(frontier), not O(replay rounds 1..N)
+    frontier = frontier.localCheckpoint()
+    seen = frontier.withColumn("depth", F.lit(0)).localCheckpoint()
     for depth in range(1, max_depth + 1):
         nxt = (
             frontier.join(edges, frontier["node"] == edges[hop_from])
@@ -57,8 +61,9 @@ def traverse_hierarchy(
             .distinct()
         )
         nxt = nxt.join(seen.select("id", "node"), on=["id", "node"], how="left_anti")
+        nxt = nxt.localCheckpoint()
         if nxt.isEmpty():
             break
-        seen = seen.unionByName(nxt.withColumn("depth", F.lit(depth)))
+        seen = seen.unionByName(nxt.withColumn("depth", F.lit(depth))).localCheckpoint()
         frontier = nxt
     return seen.filter(F.col("depth") > 0)
