@@ -452,10 +452,10 @@ def _q21_exact_dups(spark, sf_dir):
     strict byte-identical variant is operators.exact_duplicates, covered by
     pytest)."""
     docs = spark.read.parquet(_t(sf_dir, "documents"))
-    from catalogue_pipeline_spark.operators.dedup import norm_text
+    from catalogue_pipeline_spark.operators.dedup import word_tokens
 
     canon = F.md5(
-        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(norm_text(F.col("text")), " "))))
+        F.concat_ws(" ", F.array_sort(F.array_distinct(word_tokens(F.col("text")))))
     )
     return (
         docs.select(F.col("doc_id"), canon.alias("content_hash"))
