@@ -60,3 +60,72 @@ def test_stream_apply_matches_oracle(spark, tmp_path):
     got2 = sorted(tuple(r) for r in table.read(spark).collect())
     assert got2 == got
     assert os.path.isdir(str(tmp_path / "sck2"))
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: state (session_end, count)
+    carried across micro-batches equals the batch analytic-window answer
+    (the q12 semantics) when per-user arrival is ts-ordered."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from catalogue_pipeline_spark.streaming.sessionize import sessionize_stream
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(6):
+        offs = [0, 100, 250, 900, 1000, 2000, 2100, 2200, 9000]
+        for o in offs:
+            rows.append((u, eid, base + dt.timedelta(seconds=o + u)))
+            eid += 1
+    schema = "user_id long, event_id long, ts timestamp"
+    # two ts-ordered file batches (arrival order respects per-user ts order)
+    half = len(rows) // 2
+    src = tmp_path / "events"
+    src.mkdir()
+    spark.createDataFrame(rows[:half], schema).coalesce(1).write.parquet(str(src / "b0"))
+    spark.createDataFrame(rows[half:], schema).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=300.0)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode emits one row per user per micro-batch; the LAST one per
+    # user is the final state
+    mem = spark.sql("SELECT * FROM sessions")
+    got = {
+        r["user_id"]: r["n_sessions"]
+        for r in mem.groupBy("user_id")
+        .agg(F.max(F.struct("session_end", "n_sessions")).alias("w"))
+        .select("user_id", "w.n_sessions")
+        .collect()
+    }
+
+    # batch reference: the q12 analytic-window sessionizer
+    ev = spark.createDataFrame(rows, schema)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = (
+        ev.withColumn("s", F.unix_micros(F.col("ts").cast("timestamp_ltz")))
+        .withColumn("e", F.col("s") + 300_000_000)
+        .withColumn("pm", F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new", F.when(F.col("pm").isNull() | (F.col("s") > F.col("pm")), 1).otherwise(0))
+    )
+    want = {
+        r["user_id"]: r["n"]
+        for r in marked.groupBy("user_id").agg(F.sum("new").alias("n")).collect()
+    }
+    assert got == want and len(got) == 6
