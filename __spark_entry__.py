@@ -994,6 +994,35 @@ def _q49_safety_gate(spark, sf_dir):
     return spark.createDataFrame(rows, "scenario string, passed boolean, n_changes long, n_total long")
 
 
+def _q50_idempotent_reapply(spark, sf_dir):
+    """V2/V3/V5 driver-oracled: applying the identical resolved change set
+    twice — the second apply must classify every key as a no-op, apply
+    nothing, and COMMIT NOTHING (snapshot id None), leaving exactly the
+    distinct-key count in the table. The oracle derives the expected
+    probe values from the changelog itself."""
+    from catalogue_pipeline_spark.cdc.merge import merge_into_state, read_state
+
+    ch = _changelog(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="cps-q50-")
+    try:
+        table = LakeTable.create(
+            os.path.join(work, "t"), STATE_SCHEMA, bucket_key="conv_id", num_buckets=8
+        )
+        resolved = resolve_lww(ch)
+        s1, _ = merge_into_state(spark, table, resolved, changeset_id="cs1")
+        s2, m2 = merge_into_state(spark, table, resolved, changeset_id="cs2")
+        rows = [
+            ("first_committed", 1 if s1 is not None else 0),
+            ("second_committed", 1 if s2 is not None else 0),  # V3: no commit
+            ("second_noops", int(m2.noop_updates)),  # V2: every key a no-op
+            ("second_applied", int(m2.events_applied)),
+            ("final_rows", read_state(spark, table).count()),
+        ]
+        return spark.createDataFrame(rows, "probe string, value long")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _q33_minhash_signatures(spark, sf_dir):
     """MinHash signatures, serialized to a CSV string so the driver's
     canonicalizer (pandas sort) can hash the column — the per-perm formula
@@ -1076,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_apply_metrics": _q47_apply_metrics,
         "q48_hierarchy_traversal": _q48_hierarchy_traversal,
         "q49_safety_gate": _q49_safety_gate,
+        "q50_idempotent_reapply": _q50_idempotent_reapply,
     }
 
 
@@ -1657,6 +1687,15 @@ def oracle_sql() -> dict[str, str]:
                nch AS n_changes, ntot AS n_total FROM a
         UNION ALL
         SELECT 'loose_50pct', (nch * 1.0 / ntot) <= 0.5, nch, ntot FROM a
+    """
+    sql["q50_idempotent_reapply"] = f"""
+        WITH log AS ({_SQL_LOG}),
+        k AS (SELECT count(*) AS nkeys FROM (SELECT DISTINCT conv_id, turn_idx FROM log))
+        SELECT 'first_committed' AS probe, CAST(1 AS BIGINT) AS value
+        UNION ALL SELECT 'second_committed', CAST(0 AS BIGINT)
+        UNION ALL SELECT 'second_noops', CAST(nkeys AS BIGINT) FROM k
+        UNION ALL SELECT 'second_applied', CAST(0 AS BIGINT)
+        UNION ALL SELECT 'final_rows', CAST(nkeys AS BIGINT) FROM k
     """
     # q33: the minhash recipe is deliberately SQL-portable — md5-derived
     # 60-bit shingle hash, then min of (a·h+b) mod p per permutation,
