@@ -356,7 +356,16 @@ def _parse_range(s: str):
 
 
 def parse_period(label: str | None):
-    """(from_date, to_date) covering every period in the label, or None."""
+    """(from_date, to_date) covering every period in the label, or None.
+    An interval that comes out inverted (a self-contradictory label like
+    "mid 1920s - michaelmas 1920") is unparseable, never emitted."""
+    got = _parse_period_raw(label)
+    if got is not None and got[0] > got[1]:
+        return None
+    return got
+
+
+def _parse_period_raw(label: str | None):
     if label is None:
         return None
     s = preprocess(label)

@@ -116,3 +116,26 @@ def test_udf_plumbing(spark):
     assert out["a"]["from_date"] == D(1910, 1, 1) and out["a"]["to_date"] == D(1929, 12, 31)
     assert out["b"]["parsed"] and out["c"]["parsed"] is False
     assert out["c"]["from_date"] is None
+
+
+def test_fuzz_never_crashes_never_inverts():
+    """Property: arbitrary input never raises and never yields an inverted
+    interval (hypothesis over both random text and date-vocabulary soup)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    vocab = st.sampled_from(
+        ["century", "jan", "spring", "before", "after", "mid", "early", "late",
+         "c.", "1920", "1920s", "12th", "nd", "to", "and", "michaelmas",
+         "circa", "-", "1994-5", "©", "[gaps]"]
+    )
+    soup = st.lists(vocab, min_size=0, max_size=6).map(" ".join)
+    anytext = st.text(max_size=30)
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.one_of(anytext, soup))
+    def run(s):
+        got = parse_period(s)
+        assert got is None or got[0] <= got[1]
+
+    run()
