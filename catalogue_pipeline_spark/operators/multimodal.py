@@ -127,3 +127,66 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+def resize_plan(
+    media: DataFrame,
+    target_w: int,
+    target_h: int,
+    keep_aspect: bool = True,
+) -> DataFrame:
+    """Image-resize PLAN: per image, the output geometry (scale factor,
+    letterbox offsets, final dims) computed JVM-side from width/height
+    metadata — everything except the pixel pass, which belongs in the
+    stubbed decode_fn. Columns: (media_id, out_w, out_h, scale, pad_x,
+    pad_y). keep_aspect=False is a plain stretch (scale = width ratio)."""
+    imgs = media.filter(
+        (F.col("kind") == "image") & F.col("width").isNotNull() & F.col("height").isNotNull()
+        & (F.col("width") > 0) & (F.col("height") > 0)
+    )
+    sx = F.lit(float(target_w)) / F.col("width")
+    sy = F.lit(float(target_h)) / F.col("height")
+    if keep_aspect:
+        scale = F.least(sx, sy)
+        out_w = F.floor(F.col("width") * scale).cast("int")
+        out_h = F.floor(F.col("height") * scale).cast("int")
+        return imgs.select(
+            "media_id",
+            F.lit(target_w).alias("canvas_w"),
+            F.lit(target_h).alias("canvas_h"),
+            out_w.alias("out_w"),
+            out_h.alias("out_h"),
+            F.round(scale, 6).alias("scale"),
+            ((F.lit(target_w) - out_w) / 2).cast("int").alias("pad_x"),
+            ((F.lit(target_h) - out_h) / 2).cast("int").alias("pad_y"),
+        )
+    return imgs.select(
+        "media_id",
+        F.lit(target_w).alias("canvas_w"),
+        F.lit(target_h).alias("canvas_h"),
+        F.lit(target_w).alias("out_w"),
+        F.lit(target_h).alias("out_h"),
+        F.round(sx, 6).alias("scale"),
+        F.lit(0).alias("pad_x"),
+        F.lit(0).alias("pad_y"),
+    )
+
+
+def sample_audio_windows(
+    media: DataFrame, window_ms: int = 1000, hop_ms: int = 500
+) -> DataFrame:
+    """Audio windowing PLAN: overlapping (start_ms, end_ms) analysis windows
+    per clip, JVM-side sequence/explode — the sample decode is the stubbed
+    step. Windows are clamped to the clip, hop may be < window (overlap)."""
+    auds = media.filter((F.col("kind") == "audio") & F.col("duration_ms").isNotNull())
+    return auds.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(hop_ms))
+        ).alias("start_ms"),
+        F.col("duration_ms"),
+    ).select(
+        "media_id",
+        "start_ms",
+        F.least(F.col("start_ms") + window_ms, F.col("duration_ms")).alias("end_ms"),
+    )

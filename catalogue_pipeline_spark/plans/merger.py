@@ -150,7 +150,12 @@ def fold_components(
 ) -> DataFrame:
     """The merger fold alone (G4/O3/G5): ``w`` must carry a ``component``
     column in addition to the work columns. Exposed separately so the rule
-    family is oracle-testable without the CC step (q43)."""
+    family is oracle-testable without the CC step (q43).
+
+    Scale note: ``w`` feeds several consumers (target extraction, the
+    per-source join, the component aggregate) — when it is an expensive
+    derivation rather than a table scan, localCheckpoint it first; plain
+    scans re-read cheaply with column pruning."""
     order = precedence or DEFAULT_PRECEDENCE
     w = _with_optional_cols(w)
 

@@ -305,3 +305,31 @@ def test_ivf_topk_routing(spark):
         for r in ivf_topk(emb, q, k=5, n_cells=8, n_probe=2, centroid_stride=49).collect()
     }
     assert len(got & exact) / len(exact) == 1.0
+
+
+def test_multimodal_resize_and_audio_plans(spark):
+    """Resize geometry and audio windowing computed JVM-side (the decode
+    stays behind the stubbed decode_fn) — the remaining multimodal plumbing
+    from the brief (decode/feature/resize/frame-sample)."""
+    from catalogue_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_plan,
+        sample_audio_windows,
+    )
+
+    rows = [
+        ("img1", "image", "image/png", bytearray(b"x"), 1920, 1080, None),
+        ("img2", "image", "image/png", bytearray(b"y"), 500, 1000, None),
+        ("aud1", "audio", "audio/wav", bytearray(b"z"), None, None, 2300),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    rp = {r["media_id"]: r for r in resize_plan(media, 640, 640).collect()}
+    assert rp["img1"]["out_w"] == 640 and rp["img1"]["out_h"] == 360
+    assert rp["img1"]["pad_y"] == 140 and rp["img1"]["pad_x"] == 0
+    assert rp["img2"]["out_w"] == 320 and rp["img2"]["out_h"] == 640
+    assert "aud1" not in rp
+
+    win = sorted(
+        (r["start_ms"], r["end_ms"]) for r in sample_audio_windows(media, 1000, 500).collect()
+    )
+    assert win == [(0, 1000), (500, 1500), (1000, 2000), (1500, 2300), (2000, 2300)]
