@@ -1023,6 +1023,33 @@ def _q50_idempotent_reapply(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _q51_work_ancestors(spark, sf_dir):
+    """Path-hierarchy graph slice (catalogue_graph work_queries.py
+    WORK_ANCESTORS_QUERY): ancestors with hops and the ancestor identifier's
+    direct-child count, over a deterministic path forest derived from
+    customer. Prefix-EXPLODE equi-join (hash-joinable), not a quadratic
+    string-prefix theta-join."""
+    from catalogue_pipeline_spark.plans.graph import work_ancestors
+
+    ck = F.col("c_custkey")
+    s0 = F.concat(F.lit("a"), (ck % 5).cast("string"))
+    s1 = F.concat(F.lit("b"), (F.floor(ck / 5) % 5).cast("string"))
+    s2 = F.concat(F.lit("c"), (F.floor(ck / 25) % 5).cast("string"))
+    d = (ck % 3) + 1
+    works = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .filter((ck > 0) & (ck <= 500))
+        .select(
+            F.concat(F.lit("w"), ck.cast("string")).alias("work_id"),
+            F.when(d == 1, s0)
+            .when(d == 2, F.concat_ws("/", s0, s1))
+            .otherwise(F.concat_ws("/", s0, s1, s2))
+            .alias("path"),
+        )
+    )
+    return work_ancestors(works)
+
+
 def _q33_minhash_signatures(spark, sf_dir):
     """MinHash signatures, serialized to a CSV string so the driver's
     canonicalizer (pandas sort) can hash the column — the per-perm formula
@@ -1106,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_hierarchy_traversal": _q48_hierarchy_traversal,
         "q49_safety_gate": _q49_safety_gate,
         "q50_idempotent_reapply": _q50_idempotent_reapply,
+        "q51_work_ancestors": _q51_work_ancestors,
     }
 
 
@@ -1696,6 +1724,43 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 'second_noops', CAST(nkeys AS BIGINT) FROM k
         UNION ALL SELECT 'second_applied', CAST(0 AS BIGINT)
         UNION ALL SELECT 'final_rows', CAST(nkeys AS BIGINT) FROM k
+    """
+    # q51: independent DuckDB reimplementation of the path-tree ancestor
+    # query (prefix lists via str_split slicing; parts = direct children of
+    # DISTINCT identifier nodes implied by all path prefixes).
+    sql["q51_work_ancestors"] = """
+        WITH w AS (
+          SELECT c_custkey AS ck, 'w' || CAST(c_custkey AS VARCHAR) AS work_id,
+                 1 + c_custkey % 3 AS d,
+                 'a' || CAST(c_custkey % 5 AS VARCHAR) AS s0,
+                 'b' || CAST((c_custkey // 5) % 5 AS VARCHAR) AS s1,
+                 'c' || CAST((c_custkey // 25) % 5 AS VARCHAR) AS s2
+          FROM customer WHERE c_custkey > 0 AND c_custkey <= 500),
+        paths AS (
+          SELECT work_id, d,
+                 CASE d WHEN 1 THEN s0 WHEN 2 THEN s0 || '/' || s1
+                        ELSE s0 || '/' || s1 || '/' || s2 END AS path
+          FROM w),
+        nodes AS (
+          SELECT DISTINCT unnest(list_transform(range(1, d + 1),
+                 i -> array_to_string((str_split(path, '/'))[1:i], '/'))) AS node
+          FROM paths),
+        parts AS (
+          SELECT array_to_string((str_split(node, '/'))[1:len(str_split(node, '/')) - 1], '/') AS parent,
+                 count(*) AS parts
+          FROM nodes WHERE len(str_split(node, '/')) > 1
+          GROUP BY 1),
+        anc AS (
+          SELECT p.work_id AS id, p.d,
+                 unnest(list_transform(range(1, p.d),
+                   i -> array_to_string((str_split(p.path, '/'))[1:i], '/'))) AS anc_path
+          FROM paths p WHERE p.d > 1)
+        SELECT anc.id, b.work_id AS ancestor_id,
+               CAST(anc.d - b.d AS BIGINT) AS hops,
+               CAST(coalesce(parts.parts, 0) AS BIGINT) AS ancestor_parts
+        FROM anc
+        JOIN paths b ON b.path = anc.anc_path
+        LEFT JOIN parts ON parts.parent = anc.anc_path
     """
     # q33: the minhash recipe is deliberately SQL-portable — md5-derived
     # 60-bit shingle hash, then min of (a·h+b) mod p per permutation,
