@@ -875,8 +875,15 @@ def _q45_period_parse(spark, sf_dir):
         .select(ck.alias("id"), label.alias("label"))
     )
     p = parse_period_udf()
+    # Dates go out as ISO strings: template 6 ("before Y") emits the
+    # DATE_MIN sentinel 0001-01-01, outside pandas datetime64[ns] range —
+    # the driver's canonicalizer would otherwise diverge between engines.
     return base.select("id", "label", p(F.col("label")).alias("p")).select(
-        "id", "label", "p.from_date", "p.to_date", "p.parsed"
+        "id",
+        "label",
+        F.col("p.from_date").cast("string").alias("from_date"),
+        F.col("p.to_date").cast("string").alias("to_date"),
+        "p.parsed",
     )
 
 
@@ -1081,6 +1088,33 @@ def _q35_lsh_topk(spark, sf_dir):
     )
 
 
+def _q52_ivf_topk(spark, sf_dir):
+    """ANN IVF-flat tier driver-oracled (the q35 recipe): the corpus gets a
+    deterministic cluster structure (+8.0 boost on axis ``vec_id % 8``), under
+    which 16-cell / 4-probe IVF reaches recall 1.0 while scanning only 4/16
+    inverted lists — so exact brute-force SQL over the same clustered vectors
+    is a true oracle for the cell-pruned plan. On the raw (unclustered) random
+    corpus IVF recall is ~0.6 at these settings; clustering is what the
+    operator exploits at 100 TB, so the oracle corpus models it."""
+    from catalogue_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    g = (F.col("vec_id") % 8).cast("int")
+    clustered = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x.cast("double")
+            + F.when(i == g, F.lit(8.0)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    q = clustered.filter(F.col("vec_id") < 5)
+    out = ivf_topk(clustered, q, k=5, n_cells=16, n_probe=4, centroid_stride=31)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_cdc_apply": _q01_cdc_apply,
@@ -1134,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_safety_gate": _q49_safety_gate,
         "q50_idempotent_reapply": _q50_idempotent_reapply,
         "q51_work_ancestors": _q51_work_ancestors,
+        "q52_ivf_topk": _q52_ivf_topk,
     }
 
 
@@ -1588,15 +1623,18 @@ def oracle_sql() -> dict[str, str]:
                       WHEN 5 THEN dec_ || 's'
                       WHEN 6 THEN 'before ' || y
                       ELSE 'n.d.' END AS label,
-               CASE t WHEN 0 THEN make_date(y - 10, 1, 1)
+               -- ISO strings (not DATE): the year-1 DATE_MIN sentinel is
+               -- outside pandas datetime64[ns]; strings canonicalize
+               -- identically in both engines.
+               CAST(CASE t WHEN 0 THEN make_date(y - 10, 1, 1)
                       WHEN 1 THEN make_date(y, 1, 1)
                       WHEN 2 THEN make_date((c - 1) * 100, 1, 1)
                       WHEN 3 THEN make_date(y, 3, 1)
                       WHEN 4 THEN make_date(y, 1, d)
                       WHEN 5 THEN make_date(dec_, 1, 1)
                       WHEN 6 THEN make_date(1, 1, 1)
-                      ELSE NULL END AS from_date,
-               CASE t WHEN 0 THEN make_date(y + 9, 12, 31)
+                      ELSE NULL END AS VARCHAR) AS from_date,
+               CAST(CASE t WHEN 0 THEN make_date(y + 9, 12, 31)
                       WHEN 1 THEN make_date(y + 4, 12, 31)
                       WHEN 2 THEN make_date((c - 1) * 100 + 39, 12, 31)
                       WHEN 3 THEN make_date(y, 5, 31)
@@ -1605,7 +1643,7 @@ def oracle_sql() -> dict[str, str]:
                       -- over decade in the reference's alternation)
                       WHEN 5 THEN make_date(dec_ + CASE WHEN dec_ % 100 = 0 THEN 99 ELSE 9 END, 12, 31)
                       WHEN 6 THEN make_date(y, 12, 31)
-                      ELSE NULL END AS to_date,
+                      ELSE NULL END AS VARCHAR) AS to_date,
                t <> 7 AS parsed
         FROM b
     """
@@ -1761,6 +1799,33 @@ def oracle_sql() -> dict[str, str]:
         FROM anc
         JOIN paths b ON b.path = anc.anc_path
         LEFT JOIN parts ON parts.parent = anc.anc_path
+    """
+    # q52: exact brute-force top-k over the deterministically CLUSTERED
+    # corpus (+8.0 on axis vec_id % 8) — IVF at 16 cells / 4 probes has
+    # recall 1.0 under that structure, so the exact SQL is a true oracle
+    # for the cell-pruned plan (the q35 pattern applied to the IVF tier).
+    cl_vec = (
+        "list_transform(range(1, len(embedding) + 1), "
+        "i -> CAST(embedding[i] AS DOUBLE) + "
+        "CASE WHEN i - 1 = vec_id % 8 THEN 8.0 ELSE 0.0 END)"
+    )
+    cdot = (
+        "list_sum(list_transform(range(1, len(q.embedding) + 1), "
+        "i -> q.embedding[i] * c.embedding[i]))"
+    )
+    cqn = "sqrt(list_sum(list_transform(q.embedding, x -> x * x)))"
+    ccn = "sqrt(list_sum(list_transform(c.embedding, x -> x * x)))"
+    sql["q52_ivf_topk"] = f"""
+        WITH cl AS (SELECT vec_id, {cl_vec} AS embedding FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {cdot} / ({cqn} * {ccn}) AS cos_raw
+          FROM cl q, cl c
+          WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+          FROM scored)
+        WHERE rank <= 5
     """
     # q33: the minhash recipe is deliberately SQL-portable — md5-derived
     # 60-bit shingle hash, then min of (a·h+b) mod p per permutation,
