@@ -783,7 +783,35 @@ def _q43_merger_field_rules(spark, sf_dir):
             (ck % 13 == 0).alias("restricted"),
         )
     )
-    out = fold_components(works, dt.datetime(2024, 6, 1, 12, 0, 0))
+    # Multi-source components (ItemsRule orElse exclusivity): sierra-picture
+    # ZERO-item target + single-digital METS + single-digital Miro in ONE
+    # component (even g; odd g drops the METS member). METS wins the items
+    # chain — the Miro item is excluded but the Miro source still redirects
+    # (the re-digitised-Miro duplicate case, ItemsRule.scala:25-57).
+    g = F.floor((ck - 401) / 3)
+    role = (ck - 401) % 3
+    triples = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .filter((ck >= 401) & (ck <= 460))
+        .filter(~((role == 1) & (g % 2 == 1)))
+        .select(
+            F.concat(F.lit("w"), ck.cast("string")).alias("work_id"),
+            F.concat(F.lit("m"), g.cast("string")).alias("component"),
+            F.when(role == 0, F.lit("sierra"))
+            .when(role == 1, F.lit("mets"))
+            .otherwise(F.lit("miro"))
+            .alias("source_type"),
+            F.lit(False).alias("suppressed"),
+            F.when(role == 0, F.array().cast("array<string>"))
+            .otherwise(F.array(F.concat(F.lit("i1-"), ck)))
+            .alias("items"),
+            F.array(F.concat(F.lit("id-"), ck)).alias("identifiers"),
+            F.concat(F.lit("th-"), ck).alias("thumbnail"),
+            F.when(role == 0, F.lit("picture")).alias("format"),
+            F.lit(False).alias("restricted"),
+        )
+    )
+    out = fold_components(works.unionByName(triples), dt.datetime(2024, 6, 1, 12, 0, 0))
     return out.select(
         "work_id",
         "type",
@@ -1572,6 +1600,33 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN merged THEN '' ELSE s_ident END AS ids_csv,
                CASE WHEN merged THEN NULL ELSE s_thumb END AS thumbnail
         FROM calc WHERE paired
+        -- multi-source triples (ck 401..460): sierra-picture 0-item target +
+        -- METS + Miro (even g) or Miro only (odd g). Closed-form expectation:
+        -- METS wins the items orElse chain (Miro item excluded on even g),
+        -- Miro still Redirected; thumbnail METS-first; identifiers from ALL
+        -- merged sources in (score, work_id) order.
+        UNION ALL
+        SELECT 'w' || CAST(401 + 3*g AS VARCHAR), 'Visible', NULL,
+               CASE WHEN g % 2 = 0 THEN 'i1-' || CAST(402 + 3*g AS VARCHAR)
+                    ELSE 'i1-' || CAST(403 + 3*g AS VARCHAR) END,
+               CASE WHEN g % 2 = 0 THEN
+                    'id-' || CAST(401 + 3*g AS VARCHAR) || ',id-' || CAST(402 + 3*g AS VARCHAR) || ',id-' || CAST(403 + 3*g AS VARCHAR)
+                    ELSE 'id-' || CAST(401 + 3*g AS VARCHAR) || ',id-' || CAST(403 + 3*g AS VARCHAR) END,
+               CASE WHEN g % 2 = 0 THEN 'th-' || CAST(402 + 3*g AS VARCHAR)
+                    ELSE 'th-' || CAST(403 + 3*g AS VARCHAR) END
+        FROM (SELECT DISTINCT (c_custkey - 401) // 3 AS g FROM customer
+              WHERE c_custkey BETWEEN 401 AND 460)
+        UNION ALL
+        SELECT 'w' || CAST(402 + 3*g AS VARCHAR), 'Redirected',
+               'w' || CAST(401 + 3*g AS VARCHAR), '', '', NULL
+        FROM (SELECT DISTINCT (c_custkey - 401) // 3 AS g FROM customer
+              WHERE c_custkey BETWEEN 401 AND 460)
+        WHERE g % 2 = 0
+        UNION ALL
+        SELECT 'w' || CAST(403 + 3*g AS VARCHAR), 'Redirected',
+               'w' || CAST(401 + 3*g AS VARCHAR), '', '', NULL
+        FROM (SELECT DISTINCT (c_custkey - 401) // 3 AS g FROM customer
+              WHERE c_custkey BETWEEN 401 AND 460)
     """
     # q44: final effective edges (batch2 overrides batch1 for ck≤60; the
     # stale batch3 is rejected by the V1 gate) → recursive-CTE min-label

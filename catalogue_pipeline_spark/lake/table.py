@@ -236,7 +236,23 @@ class LakeTable:
             os.unlink(p)
             raise
 
-    def _publish(self, snapshot_id: int) -> None:
+    def _publish(self, snapshot_id: int, expected_current: int | None = None) -> None:
+        """Advance CURRENT → ``snapshot_id``. With ``expected_current`` set,
+        publish is CAS-like: re-read CURRENT and refuse unless it still equals
+        the snapshot's parent — a writer stalled past the orphan grace whose
+        v{N} slot was healed (and possibly built on by later commits) must NOT
+        regress CURRENT past those commits; it gets a CommitConflict instead.
+        (The read→rename window is not atomic, but reaching it requires a
+        writer paused longer than ``orphan_grace_s`` waking inside that
+        microsecond window — the grace period is the real guard.)"""
+        if expected_current is not None:
+            cur = self.current_snapshot_id()
+            if cur != expected_current:
+                raise CommitConflict(
+                    f"cannot publish v{snapshot_id}: CURRENT moved to {cur} "
+                    f"(expected {expected_current}); this commit's slot was "
+                    "healed by another writer"
+                )
         tmp = os.path.join(self.meta_dir, f".CURRENT.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             f.write(str(snapshot_id))
@@ -294,14 +310,26 @@ class LakeTable:
                 raise CommitConflict(
                     f"unpublished snapshot v{snap.snapshot_id} in flight"
                 ) from e
-            os.unlink(orphan)
+            # Atomic quarantine: two healers can both pass the age check, but
+            # only one rename succeeds — the loser hits FileNotFoundError and
+            # backs off, so it can never unlink the winner's freshly-written
+            # replacement snapshot (the unlink/recreate TOCTOU).
+            quarantine = os.path.join(
+                self.meta_dir, f".orphan-v{snap.snapshot_id}.{uuid.uuid4().hex}"
+            )
+            try:
+                os.rename(orphan, quarantine)
+            except FileNotFoundError:
+                raise CommitConflict(
+                    f"orphan v{snap.snapshot_id} healed concurrently"
+                ) from e
             try:
                 self._write_snapshot(snap)
             except FileExistsError as e2:  # lost the re-take race
                 raise CommitConflict(
                     f"snapshot v{snap.snapshot_id} re-taken concurrently"
                 ) from e2
-        self._publish(snap.snapshot_id)
+        self._publish(snap.snapshot_id, expected_current=parent.snapshot_id)
         return snap
 
     def write_data_files(
@@ -423,6 +451,15 @@ class LakeTable:
         import time as _time
 
         now = _time.time()
+        # quarantined orphan snapshots (healed commit slots) age out too
+        for fn in os.listdir(self.meta_dir):
+            if fn.startswith(".orphan-"):
+                full = os.path.join(self.meta_dir, fn)
+                try:
+                    if now - os.path.getmtime(full) >= grace:
+                        os.unlink(full)
+                except OSError:
+                    pass
         for root, _dirs, fnames in os.walk(self.data_dir, topdown=False):
             for fn in fnames:
                 full = os.path.join(root, fn)

@@ -189,9 +189,9 @@ def fold_components(
     t_sierra = _is_sierra(t_type)
     t_pictureish = t_sierra & F.col("_t_format").isin(_PICTUREISH)
 
-    n_miro = F.sum(F.when(is_src & src_miro, 1).otherwise(0)).over(
-        Window.partitionBy("component")
-    )
+    comp_w = Window.partitionBy("component")
+    n_miro = F.sum(F.when(is_src & src_miro, 1).otherwise(0)).over(comp_w)
+    n_mets = F.sum(F.when(is_src & src_mets, 1).otherwise(0)).over(comp_w)
     miro_rule_applies = t_pictureish & (t_n <= 1) & (n_miro == 1)
 
     items_merged = is_src & (
@@ -203,11 +203,23 @@ def fold_components(
     # items a merged source CONTRIBUTES to the fold: under a single-item
     # sierra target, METS/Miro locations fold INTO the existing item (count
     # unchanged → contributes nothing); everywhere else its own items
-    contributes = F.when(
-        F.col("_items_merged")
-        & t_sierra & ~t_tei & (t_n == 1) & (src_mets | (miro_rule_applies & src_miro)),
-        F.array().cast("array<string>"),
-    ).otherwise(F.when(F.col("_items_merged"), F.col("items")))
+    contributes = (
+        F.when(
+            F.col("_items_merged")
+            & t_sierra & ~t_tei & (t_n == 1) & (src_mets | (miro_rule_applies & src_miro)),
+            F.array().cast("array<string>"),
+        )
+        # orElse exclusivity (ItemsRule.scala:25-57): when any METS source is
+        # items-merged into the same sierra target, mergeMetsIntoSierraTarget
+        # wins the chain and the single-digital Miro item is EXCLUDED (the
+        # re-digitised-Miro duplicate case) — but the Miro source still
+        # redirects (knownDuplicateSources), so _items_merged stays true.
+        .when(
+            F.col("_items_merged") & miro_rule_applies & src_miro & (n_mets > 0),
+            F.array().cast("array<string>"),
+        )
+        .otherwise(F.when(F.col("_items_merged"), F.col("items")))
+    )
     s = s.withColumn("_contrib_items", contributes)
 
     # ThumbnailRule guards. Reference semantics (ThumbnailRule.scala): a

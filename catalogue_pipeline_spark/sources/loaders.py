@@ -62,8 +62,12 @@ _RECORD_RE = r"(?s)<(?:\w+:)?record[\s>].*?</(?:\w+:)?record>|(?s)<(?:\w+:)?reco
 _CONTROL_001_RE = (
     r"(?s)<(?:\w+:)?controlfield[^>]*tag=\"001\"[^>]*>\s*(.*?)\s*</(?:\w+:)?controlfield>"
 )
+# tempered dot between the 035 open tag and its $a: the match must not cross
+# </datafield>, else a 035 with no $a would silently steal subfield a from a
+# LATER datafield (e.g. 040$a) instead of raising MissingRecordIdentifier
 _DATA_035A_RE = (
-    r"(?s)<(?:\w+:)?datafield[^>]*tag=\"035\"[^>]*>.*?"
+    r"(?s)<(?:\w+:)?datafield[^>]*tag=\"035\"[^>]*>"
+    r"(?:(?!</(?:\w+:)?datafield>).)*?"
     r"<(?:\w+:)?subfield[^>]*code=\"a\"[^>]*>\s*(?:\([^)]*\))?\s*(.*?)\s*</(?:\w+:)?subfield>"
 )
 

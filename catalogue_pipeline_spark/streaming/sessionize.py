@@ -13,7 +13,16 @@ Contract notes:
   * events must arrive in non-decreasing ts order PER USER across
     micro-batches (the usual streaming-sessionization assumption; the
     binlog's per-key ordering guarantees it for CDC offsets). Within a
-    micro-batch we sort, so intra-batch disorder is absorbed.
+    micro-batch we concatenate ALL Arrow chunks for the key and sort once
+    before folding — applyInPandasWithState yields multiple chunks per key
+    (spark.sql.execution.arrow.maxRecordsPerBatch, ~10k rows) in arbitrary
+    relative order, so a per-chunk sort would not absorb intra-batch
+    disorder for high-volume users.
+  * a LATE event (ts ≤ the running session end carried from a previous
+    micro-batch) is folded conservatively: it extends/joins the current
+    session rather than opening a new one, and an event older than the
+    session start is counted into the current session (never a
+    retroactive split) — the no-watermark late-data policy (SURVEY §2.10).
   * state is two scalars per user — bounded memory regardless of history
     length, which is the entire point vs. replaying the window.
   * the engine's core CDC path deliberately does NOT use executor state
@@ -39,13 +48,16 @@ def _sessionize_fn(gap_seconds: float):
             session_end, n = state.get
         else:
             session_end, n = None, 0
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for ts in pdf["ts"]:
-                t = ts.timestamp()
-                if session_end is None or t > session_end:
-                    n += 1
-                session_end = max(session_end or float("-inf"), t + gap_seconds)
+        # one concat + sort across ALL chunks: chunk boundaries are an Arrow
+        # batching artifact with no ordering guarantee between chunks
+        chunks = [pdf for pdf in pdf_iter]
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts in pdf["ts"]:
+            t = ts.timestamp()
+            if session_end is None or t > session_end:
+                n += 1
+            session_end = max(session_end or float("-inf"), t + gap_seconds)
         state.update((session_end, n))
         yield pd.DataFrame(
             {"user_id": [user_id], "n_sessions": [n], "session_end": [session_end]}

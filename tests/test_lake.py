@@ -213,3 +213,43 @@ def test_crashed_commit_heals_instead_of_wedging(spark, tmp_path):
     assert got.snapshot_id == cur + 1
     assert t.current_snapshot_id() == cur + 1
     assert t.read(spark).count() == 1
+    # healing QUARANTINES the orphan (atomic rename) rather than unlinking —
+    # a second healer racing on the same slot loses the rename, so it can
+    # never delete the winner's freshly-written replacement snapshot
+    qs = [f for f in os.listdir(t.meta_dir) if f.startswith(f".orphan-v{cur + 1}.")]
+    assert len(qs) == 1
+    # aged quarantine files are GC'd with the snapshots
+    os.utime(os.path.join(t.meta_dir, qs[0]), (old, old))
+    t.expire_snapshots(keep_last=10, orphan_grace_s=1.0)
+    assert not [f for f in os.listdir(t.meta_dir) if f.startswith(".orphan-")]
+
+
+def test_stalled_writer_cannot_regress_current(spark, tmp_path):
+    """A writer stalled past the grace period whose v{N} slot was healed (and
+    built on by later commits) must not move CURRENT backwards when it wakes
+    up and publishes: _publish is CAS-like on the snapshot's parent."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from catalogue_pipeline_spark.lake.table import CommitConflict
+
+    t = make_table(tmp_path)
+    cur = t.current_snapshot_id()  # 0
+    # stalled writer wrote v1 but paused before _publish
+    orphan = os.path.join(t.meta_dir, f"v{cur + 1}.json")
+    snap = t.snapshot()
+    snap.snapshot_id, snap.parent_id = cur + 1, cur
+    with open(orphan, "w") as f:
+        f.write(snap.to_json())
+    old = time.time() - 10_000
+    os.utime(orphan, (old, old))
+    # another committer heals the slot and advances the table twice
+    t.commit([], set(), {"operation": "heal"})
+    t.commit([], set(), {"operation": "next"})
+    assert t.current_snapshot_id() == cur + 2
+    # the stalled writer wakes and tries to publish its long-dead commit
+    with _pytest.raises(CommitConflict):
+        t._publish(cur + 1, expected_current=cur)
+    assert t.current_snapshot_id() == cur + 2  # no regression

@@ -160,6 +160,34 @@ def test_calm_target_drops_own_stub_item(spark):
     assert got["S"]["type"] == "Redirected"
 
 
+def test_mets_excludes_miro_item_in_same_component(spark):
+    """ItemsRule orElse exclusivity (ItemsRule.scala:25-57): a zero-item
+    picture Sierra target with BOTH a single-digital METS and a single Miro
+    source takes the METS items only — mergeMetsIntoSierraTarget wins the
+    chain, the re-digitised-Miro duplicate's item is excluded — while the
+    Miro source still redirects (knownDuplicateSources)."""
+    rows = [
+        ("S", "sierra", ["X", "M"], False, [], ["idS"], None, "picture"),
+        ("X", "mets", [], False, ["iX"], ["idX"], "thumbX", None),
+        ("M", "miro", [], False, ["iM"], ["idM"], "thumbM", None),
+    ]
+    got = run(spark, rows, schema=SCHEMA_FMT)
+    assert got["S"]["items"] == ["iX"]  # Miro item excluded
+    assert got["S"]["thumbnail"] == "thumbX"  # METS thumb preferred
+    # Miro is still a merged source: redirected, identifiers contributed
+    assert got["M"]["type"] == "Redirected" and got["M"]["redirect_target"] == "S"
+    assert got["X"]["type"] == "Redirected"
+    assert sorted(got["S"]["identifiers"]) == ["idM", "idS", "idX"]
+    # without the METS member the Miro item DOES land on the target
+    rows2 = [
+        ("S", "sierra", ["M"], False, [], ["idS"], None, "picture"),
+        ("M", "miro", [], False, ["iM"], ["idM"], "thumbM", None),
+    ]
+    got2 = run(spark, rows2, schema=SCHEMA_FMT)
+    assert got2["S"]["items"] == ["iM"]
+    assert got2["M"]["type"] == "Redirected"
+
+
 def test_restricted_member_suppresses_thumbnail(spark):
     """ThumbnailRule.scala shouldSuppressThumbnail: any restricted digital
     location anywhere in the merge set blanks the thumbnail."""

@@ -85,3 +85,35 @@ def test_marcxml_collection_loader(spark, tmp_path):
         load_marcxml_collection(spark, str(p)).collect()
     loose = load_marcxml_collection(spark, str(p), strict=False)
     assert {r["id"] for r in loose.collect()} == {"ebs002", "oc35-id"}
+
+
+def test_marcxml_035_without_subfield_a_does_not_steal_later_ids(spark, tmp_path):
+    """A 035 datafield with NO $a must not take subfield a from a LATER
+    datafield (e.g. 040$a) — the match is bounded at </datafield>, so the
+    record is correctly id-less (strict raises MissingRecordIdentifier)."""
+    import pytest as _pytest
+
+    from catalogue_pipeline_spark.sources.loaders import load_marcxml_collection
+
+    xml = """<?xml version="1.0"?>
+<marc:collection xmlns:marc="http://www.loc.gov/MARC21/slim">
+  <marc:record>
+    <marc:datafield tag="035">
+      <marc:subfield code="z">cancelled-id</marc:subfield>
+    </marc:datafield>
+    <marc:datafield tag="040">
+      <marc:subfield code="a">NOT-AN-ID</marc:subfield>
+    </marc:datafield>
+  </marc:record>
+  <marc:record>
+    <marc:controlfield tag="001">keep1</marc:controlfield>
+  </marc:record>
+</marc:collection>
+"""
+    p = tmp_path / "drop035"
+    p.mkdir()
+    (p / "full.xml").write_text(xml)
+    with _pytest.raises(ValueError, match="MissingRecordIdentifier"):
+        load_marcxml_collection(spark, str(p)).collect()
+    loose = load_marcxml_collection(spark, str(p), strict=False)
+    assert {r["id"] for r in loose.collect()} == {"keep1"}  # 040$a NOT taken

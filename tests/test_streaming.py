@@ -129,3 +129,58 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
         for r in marked.groupBy("user_id").agg(F.sum("new").alias("n")).collect()
     }
     assert got == want and len(got) == 6
+
+
+def test_sessionize_multichunk_disorder(spark, tmp_path):
+    """A high-volume user whose micro-batch spans MULTIPLE Arrow chunks
+    (arrow.maxRecordsPerBatch below the group size) with scrambled intra-batch
+    order still sessionizes correctly: the fold concatenates all chunks and
+    sorts ONCE — per-chunk sorting would inflate the session count because
+    chunk boundaries carry no ordering guarantee."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from catalogue_pipeline_spark.streaming.sessionize import sessionize_stream
+
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "7")
+    try:
+        base = dt.datetime(2024, 1, 1)
+        # 60 events, sessions split at gap > 60s: offsets 0..29 (1 session),
+        # 1000..1029 (next), scrambled deterministically
+        offs = list(range(0, 30)) + list(range(1000, 1030))
+        scrambled = sorted(range(len(offs)), key=lambda i: (i * 37) % 60)
+        rows = [
+            (1, i, base + dt.timedelta(seconds=offs[j]))
+            for i, j in enumerate(scrambled)
+        ]
+        schema = "user_id long, event_id long, ts timestamp"
+        src = tmp_path / "mc"
+        src.mkdir()
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / "b0"))
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = (
+            sessionize_stream(stream, gap_seconds=60.0)
+            .writeStream.format("memory")
+            .queryName("sessions_mc")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck_mc"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = (
+            spark.sql("SELECT * FROM sessions_mc")
+            .groupBy("user_id")
+            .agg(F.max(F.struct("session_end", "n_sessions")).alias("w"))
+            .select("w.n_sessions")
+            .collect()
+        )
+        assert [r["n_sessions"] for r in got] == [2]
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)

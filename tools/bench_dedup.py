@@ -74,12 +74,22 @@ def main():
         docs = spark.read.parquet(path)
 
         t0 = time.time()
-        lsh_pairs = lsh_near_duplicates(docs, threshold=0.85).count()
+        lsh_df = lsh_near_duplicates(docs, threshold=0.85)
+        lsh_pairs = lsh_df.count()
         t_lsh = time.time() - t0
 
         t0 = time.time()
-        exact_pairs = ngram_jaccard_pairs(docs, threshold=0.85).count()
+        exact_df = ngram_jaccard_pairs(docs, threshold=0.85)
+        exact_pairs = exact_df.count()
         t_exact = time.time() - t0
+
+        # recall as a true SET comparison (not a count ratio): exact pairs
+        # missing from the LSH set, and LSH pairs outside the exact set —
+        # offsetting errors can't fake a 1.0
+        keys = ["id_a", "id_b"]
+        missed = exact_df.select(*keys).exceptAll(lsh_df.select(*keys)).count()
+        extra = lsh_df.select(*keys).exceptAll(exact_df.select(*keys)).count()
+        assert extra == 0, f"LSH produced {extra} pairs outside the exact set"
 
         out = {
             "n_docs": n_docs,
@@ -89,7 +99,8 @@ def main():
             "speedup": round(t_exact / t_lsh, 2),
             "exact_pairs": exact_pairs,
             "lsh_pairs": lsh_pairs,
-            "recall": round(lsh_pairs / exact_pairs, 4) if exact_pairs else None,
+            "missed_pairs": missed,
+            "recall": round((exact_pairs - missed) / exact_pairs, 4) if exact_pairs else None,
         }
         print(json.dumps(out))
         md = (
