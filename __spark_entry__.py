@@ -1143,6 +1143,124 @@ def _q52_ivf_topk(spark, sf_dir):
     )
 
 
+def _q53_marc_transform(spark, sf_dir):
+    """Per-source transformer slice (EBSCO MARCXML → work fields) driver-
+    oracled: MARCXML records are GENERATED deterministically from customer
+    (8 title templates exercising the 245 subfield rules — trailing-$h drop,
+    retained-$h bracket strip, order preservation, blank/missing errors,
+    entity unescape — plus 020/022 identifier fields and a deleted flag),
+    transformed by the JVM-regex rule plan, and checked against an oracle
+    that computes every record's expected work fields in CLOSED FORM."""
+    from catalogue_pipeline_spark.plans.marc_transform import transform_ebsco_marc
+
+    ck = F.col("c_custkey")
+    cks = ck.cast("string")
+    t = ck % 8
+    sf = lambda c, v: F.concat(  # noqa: E731
+        F.lit(f'<subfield code="{c}">'), v, F.lit("</subfield>")
+    )
+    df245 = lambda *subs: F.concat(  # noqa: E731
+        F.lit('<datafield tag="245">'), *subs, F.lit("</datafield>")
+    )
+    w = F.concat(F.lit("Work "), cks)
+    body = (
+        F.when(t == 0, df245(sf("a", w)))
+        .when(t == 1, df245(sf("a", F.concat(w, F.lit(":"))), sf("b", F.concat(F.lit("part B"), cks))))
+        .when(
+            t == 2,
+            df245(sf("a", w), sf("h", F.lit("[cartographic material] :")), sf("b", F.concat(F.lit("sub "), cks))),
+        )
+        .when(t == 3, df245(sf("a", w), sf("h", F.lit("[electronic resource]"))))
+        .when(t == 4, df245(sf("n", F.concat(F.lit("Vol. "), (ck % 9).cast("string"))), sf("p", F.concat(F.lit("Sequel "), cks))))
+        .when(t == 5, F.lit(""))  # no 245 → Error
+        .when(t == 6, df245(sf("a", F.lit("")), sf("b", F.lit(" "))))  # blank → Error
+        .otherwise(df245(sf("a", F.concat(F.lit("A &amp; B "), cks))))  # entities
+    )
+    ids = F.concat(
+        F.when(
+            ck % 3 == 0,
+            F.concat(F.lit('<datafield tag="020">'), sf("a", F.concat(F.lit("ibn"), cks)), F.lit("</datafield>")),
+        ).otherwise(F.lit("")),
+        F.when(
+            ck % 5 == 0,  # 020 with NO $a — must be skipped
+            F.lit('<datafield tag="020"><subfield code="z">cancelled</subfield></datafield>'),
+        ).otherwise(F.lit("")),
+        F.when(
+            ck % 4 == 0,
+            F.concat(F.lit('<datafield tag="022">'), sf("a", F.concat(F.lit("isn"), cks)), F.lit("</datafield>")),
+        ).otherwise(F.lit("")),
+    )
+    records = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .filter((ck > 0) & (ck <= 400))
+        .select(
+            F.concat(F.lit("r"), cks).alias("id"),
+            F.concat(
+                F.lit("<record>"),
+                F.concat(F.lit('<controlfield tag="001">ebs'), cks, F.lit("</controlfield>")),
+                body,
+                ids,
+                F.lit("</record>"),
+            ).alias("content"),
+            (ck % 10 == 0).alias("deleted"),
+        )
+    )
+    out = transform_ebsco_marc(records)
+    return out.select(
+        "id",
+        "type",
+        "title",
+        F.concat_ws(",", "other_identifiers").alias("ids_csv"),
+        "error",
+    )
+
+
+def _q54_crash_fencing(spark, sf_dir):
+    """V8/S15/ST4 driver-oracled: apply ranges with an injected CRASH after
+    range 1's data commit but before its checkpoint write, then resume with a
+    FRESH driver (new process semantics, same stores). Fencing must (a)
+    repair the lost checkpoint from the table's own snapshot chain
+    (reconcile), (b) NOT re-apply the crashed range, (c) apply the rest
+    exactly once. Emitted evidence: the final visible state (must equal a
+    single clean apply — q02's oracle) plus per-row constants
+    ranges_committed / range_commits, which the oracle pins to 4/4 — a
+    re-applied range would read 4/5, a lost one 3/3."""
+    from catalogue_pipeline_spark.cdc.replay import CrashInjected
+
+    work = tempfile.mkdtemp(prefix="cps-q54-")
+    try:
+        binlog = os.path.join(work, "binlog")
+        write_binlog(_changelog(spark, sf_dir), binlog, ranges=4)
+        table = LakeTable.create(
+            os.path.join(work, "transcripts"), STATE_SCHEMA, bucket_key="conv_id", num_buckets=8
+        )
+        ck = CheckpointStore(os.path.join(work, "ck"))
+        n = _changelog(spark, sf_dir).agg(F.max("offset")).collect()[0][0] + 1
+        ranges = plan_ranges(0, n, range_size=max(n // 4, 1))
+        d1 = ReplayDriver(spark, binlog, table, ck)
+        try:
+            d1.run(ranges, crash_after_commit_of=ranges[1].range_id)
+            raise AssertionError("crash was not injected")
+        except CrashInjected:
+            pass
+        # fresh driver = restarted process; same table + checkpoint stores
+        d2 = ReplayDriver(spark, binlog, table, ck)
+        d2.run(ranges)
+        rids = [
+            s.get("range", {}).get("range_id")
+            for s in table.summaries()
+            if s.get("range", {}).get("range_id") is not None
+        ]
+        out = visible_transcripts(table.read(spark)).select(
+            "*",
+            F.lit(len(set(rids))).alias("ranges_committed"),
+            F.lit(len(rids)).alias("range_commits"),
+        )
+        return _materialize(out, "q54")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_cdc_apply": _q01_cdc_apply,
@@ -1197,6 +1315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_idempotent_reapply": _q50_idempotent_reapply,
         "q51_work_ancestors": _q51_work_ancestors,
         "q52_ivf_topk": _q52_ivf_topk,
+        "q53_marc_transform": _q53_marc_transform,
+        "q54_crash_fencing": _q54_crash_fencing,
     }
 
 
@@ -1881,6 +2001,43 @@ def oracle_sql() -> dict[str, str]:
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
           FROM scored)
         WHERE rank <= 5
+    """
+    # q53: closed-form expectation of the EBSCO MARC transformer — the oracle
+    # recomputes each generated record's work fields directly from c_custkey
+    # (independent of any XML parsing), pinning the 245 subfield rules,
+    # 020/022 identifier extraction, deleted handling, and error rows.
+    sql["q53_marc_transform"] = """
+        WITH b AS (
+          SELECT c_custkey AS ck, c_custkey % 8 AS t, c_custkey % 10 = 0 AS del
+          FROM customer WHERE c_custkey > 0 AND c_custkey <= 400)
+        SELECT 'ebs' || CAST(ck AS VARCHAR) AS id,
+               CASE WHEN del THEN 'Deleted'
+                    WHEN t IN (5, 6) THEN 'Error'
+                    ELSE 'Visible' END AS type,
+               CASE WHEN del OR t IN (5, 6) THEN NULL
+                    WHEN t = 0 THEN 'Work ' || ck
+                    WHEN t = 1 THEN 'Work ' || ck || ': part B' || ck
+                    WHEN t = 2 THEN 'Work ' || ck || ' : sub ' || ck
+                    WHEN t = 3 THEN 'Work ' || ck
+                    WHEN t = 4 THEN 'Vol. ' || (ck % 9) || ' Sequel ' || ck
+                    ELSE 'A & B ' || ck END AS title,
+               CASE WHEN del OR t IN (5, 6) THEN ''
+                    ELSE coalesce(array_to_string(
+                      list_filter([
+                        CASE WHEN ck % 3 = 0 THEN 'isbn:ibn' || ck END,
+                        CASE WHEN ck % 4 = 0 THEN 'issn:isn' || ck END
+                      ], x -> x IS NOT NULL), ','), '') END AS ids_csv,
+               CASE WHEN del THEN NULL
+                    WHEN t = 5 THEN 'missing mandatory field 245 (title)'
+                    WHEN t = 6 THEN 'empty title field (245) after processing subfields'
+                    END AS error
+        FROM b
+    """
+    # q54: crash/resume must converge to the single clean apply; the commit
+    # counters pin exactly-once (4 distinct ranges, 4 range commits).
+    sql["q54_crash_fencing"] = f"""
+        SELECT v.*, CAST(4 AS INT) AS ranges_committed, CAST(4 AS INT) AS range_commits
+        FROM ({_SQL_CDC_VISIBLE}) v
     """
     # q33: the minhash recipe is deliberately SQL-portable — md5-derived
     # 60-bit shingle hash, then min of (a·h+b) mod p per permutation,

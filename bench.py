@@ -128,17 +128,32 @@ def main():
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     qtimes: dict[str, float] = {}
+    qspread: dict[str, list[float]] = {}
     total = 0.0
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     if not skip_queries:
         qs = entrymod.queries()
         for name in HEADLINE:
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            n = df.count()
-            dt_ = time.time() - t0
-            qtimes[name] = round(dt_, 3)
-            total += dt_
-            print(f"# {name}: {n} rows in {dt_:.2f}s", file=sys.stderr)
+            # ≥3 repeats per query, report the MEDIAN plus the full band —
+            # single-run timings in a shared JVM can't distinguish drift
+            # from noise (codegen caches, GC phase, page cache)
+            times = []
+            n = 0
+            for _ in range(max(repeats, 1)):
+                t0 = time.time()
+                df = qs[name](spark, sf_dir)
+                n = df.count()
+                times.append(time.time() - t0)
+            times.sort()
+            med = times[len(times) // 2]
+            qtimes[name] = round(med, 3)
+            qspread[name] = [round(t, 3) for t in times]
+            total += med
+            print(
+                f"# {name}: {n} rows, median {med:.2f}s over {len(times)} runs "
+                f"[{times[0]:.2f}..{times[-1]:.2f}]",
+                file=sys.stderr,
+            )
 
     binlog, gen_sec, own_binlog = ensure_binlog(spark, n_events)
     results = {}
@@ -157,6 +172,7 @@ def main():
         "value": round(total, 2),
         "unit": "sec",
         "queries": qtimes,
+        "queries_all_runs": qspread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cdc": primary,
         "cdc_cow": results.get("cow"),

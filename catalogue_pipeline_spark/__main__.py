@@ -46,6 +46,15 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--mode", choices=["cow", "delta"], default="cow")
     sp.add_argument("--max-ranges", type=int, default=None)
 
+    sp = sub.add_parser("reindex")  # the reindexer's partial/specific modes
+    sp.add_argument("binlog")
+    sp.add_argument("table")
+    sp.add_argument("--ids", default=None, help="comma-separated conv_ids (specific mode)")
+    sp.add_argument("--conv-prefix", default=None, help="conv_id prefix filter (partial mode)")
+    sp.add_argument("--mode", choices=["cow", "delta"], default="cow")
+    sp.add_argument("--changeset", default="reindex-cli")
+    sp.add_argument("--max-offset", type=int, default=None)
+
     sp = sub.add_parser("compact")
     sp.add_argument("table")
     sp.add_argument("--changeset", default="compact-cli")
@@ -115,6 +124,26 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+
+    elif a.cmd == "reindex":
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        driver = ReplayDriver(
+            spark,
+            a.binlog,
+            LakeTable(a.table),
+            CheckpointStore(tempfile.mkdtemp(prefix="cps-reindex-ck-")),
+            mode=a.mode,
+        )
+        sid, m = driver.replay_selective(
+            conv_ids=a.ids.split(",") if a.ids else None,
+            conv_filter=F.col("conv_id").startswith(a.conv_prefix) if a.conv_prefix else None,
+            max_offset_exclusive=a.max_offset,
+            changeset_id=a.changeset,
+        )
+        print(json.dumps({"snapshot_id": sid, "metrics": m.as_map()}))
 
     elif a.cmd == "compact":
         snap = compact(spark, LakeTable(a.table), changeset_id=a.changeset)

@@ -268,8 +268,11 @@ def reduce_state(raw: DataFrame) -> DataFrame:
     """Reduce raw state rows (base + deltas, possibly many rows per key) to
     one row per key by merging both max-registers. Identity on already-
     reduced input. Partial-aggregates map-side like resolve_lww."""
+    # deleted == "true" iff op_pri == 1 (resolve.py invariant), so the winner
+    # struct carries only primitives — the deleted string stays out of the
+    # shuffle/sort buffers and is recomputed after the aggregate
     agg = raw.groupBy("conv_id", "turn_idx").agg(
-        F.max(F.struct("ts", "op_pri", "offset", "deleted")).alias("w"),
+        F.max(F.struct("ts", "op_pri", "offset")).alias("w"),
         F.max(
             F.when(
                 F.col("nd_ts").isNotNull(),
@@ -294,7 +297,9 @@ def reduce_state(raw: DataFrame) -> DataFrame:
         F.col("w.offset").alias("offset"),
         F.col("nd.ts").alias("nd_ts"),
         F.col("nd.offset").alias("nd_offset"),
-        F.col("w.deleted").alias("deleted"),
+        F.when(F.col("w.op_pri") == 1, F.lit("true"))
+        .otherwise(F.lit("false"))
+        .alias("deleted"),
     )
 
 

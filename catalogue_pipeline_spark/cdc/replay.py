@@ -223,6 +223,56 @@ class ReplayDriver:
                     self.table.expire_snapshots(keep_last=expire_keep_last)
         return rep
 
+    # -- selective replay (the reindexer's partial/specific modes) ---------
+    def replay_selective(
+        self,
+        conv_ids: list[str] | None = None,
+        conv_filter=None,
+        max_offset_exclusive: int | None = None,
+        changeset_id: str = "reindex",
+    ) -> tuple[int | None, ApplyMetrics]:
+        """Re-drive CHOSEN conversations from the binlog through the same
+        apply path — the reference reindexer's "specific" (a given set of
+        IDs) and "partial" (a filtered subset) modes (reindexer/README.md:
+        47-55), without replanning offset ranges.
+
+        ``conv_ids`` selects exact conversation ids (an isin/semi-join
+        filter that pushes down to the binlog scan); ``conv_filter`` is any
+        boolean Column over binlog columns (e.g. ``F.col("conv_id")
+        .startswith("hot_")``). Both given = AND.
+
+        Idempotent by construction: re-applying max-registers over a state
+        that already reflects these events is a complete no-op — in cow mode
+        literally nothing is committed (V3: no bucket rewritten); in delta
+        mode the appended registers fold away at read time and vanish at the
+        next compaction. So selective replay needs no fencing of its own and
+        can run at any time. ``max_offset_exclusive``
+        bounds the scan to the already-covered watermark so a concurrent
+        tailer's new events are not half-applied out of band.
+
+        Runs as ONE apply (not range-chunked): the selection is assumed
+        small relative to the binlog — the reindexer's "small number of
+        records" case. For a bulk re-drive, use ``run`` over fresh ranges.
+        """
+        if conv_ids is None and conv_filter is None:
+            raise ValueError("selective replay needs conv_ids and/or conv_filter")
+        batch = self.spark.read.parquet(self.binlog_path)
+        if max_offset_exclusive is not None:
+            batch = batch.filter(F.col("offset") < max_offset_exclusive)
+        if conv_ids is not None:
+            batch = batch.filter(F.col("conv_id").isin([str(c) for c in conv_ids]))
+        if conv_filter is not None:
+            batch = batch.filter(conv_filter)
+        resolved = resolve_lww(self.registry.normalize(batch))
+        apply_fn = append_delta if self.mode == "delta" else merge_into_state
+        return apply_fn(
+            self.spark,
+            self.table,
+            resolved,
+            changeset_id=changeset_id,
+            range_summary={"range_id": None, "reindex": changeset_id},
+        )
+
     # -- gap detection (S4) ------------------------------------------------
     def coverage_gaps(self, upto_offset: int) -> list[tuple[int, int]]:
         """Holes in successfully-applied offset coverage — the interval-sweep

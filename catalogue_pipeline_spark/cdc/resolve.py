@@ -75,8 +75,15 @@ def resolve_lww(batch: DataFrame) -> DataFrame:
     raw events folded into the key — feeds the dedup_drops metric).
     """
     ev = with_op_pri(batch)
+    # The winner struct carries op_pri, NOT the op string: op_pri == 1 iff
+    # op == 'delete' by construction, so ``deleted`` is recoverable after the
+    # aggregate and the ~6-byte op string never rides the shuffle or the
+    # sort-aggregate buffers. Measured on this box (24M events,
+    # tools/probe_resolve_variants.py): local[16] resolve 4.0 s → 3.0 s and
+    # 4→16-core scaling efficiency 0.54 → 0.73 — bytes-per-row through the
+    # exchange is the scaling limiter for this string-heavy workload.
     agg = ev.groupBy("conv_id", "turn_idx").agg(
-        F.max(F.struct("ts", "op_pri", "offset", "op")).alias("w"),
+        F.max(F.struct("ts", "op_pri", "offset")).alias("w"),
         # max ignores nulls ⇒ null register when the key only ever saw deletes
         F.max(
             F.when(
@@ -97,7 +104,7 @@ def resolve_lww(batch: DataFrame) -> DataFrame:
         F.col("w.offset").alias("offset"),
         F.col("nd.ts").alias("nd_ts"),
         F.col("nd.offset").alias("nd_offset"),
-        F.when(F.col("w.op") == "delete", F.lit("true"))
+        F.when(F.col("w.op_pri") == 1, F.lit("true"))
         .otherwise(F.lit("false"))
         .alias("deleted"),
         "n_events",

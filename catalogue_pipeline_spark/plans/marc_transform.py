@@ -1,0 +1,182 @@
+"""Per-source transformer slice: EBSCO MARCXML → work fields.
+
+The reference's largest functional mass is source-specific transformers
+mapping MARC records into the Work model; this is the EBSCO slice re-expressed
+Spark-first (every rule a column expression inside codegen — no pymarc, no
+per-row Python):
+
+  * source id    — controlfield 001, trimmed; mandatory
+                   (marc/identifier.py extract_id)
+  * title        — datafield 245, subfields {a,b,c,h,n,p} in ORIGINAL order;
+                   a trailing $h is dropped entirely; a retained $h has all
+                   "[...]" segments removed then trimmed; other subfields are
+                   preserved verbatim; joined with single spaces; a record
+                   whose components are all blank is an error
+                   (marc/title.py extract_title / MarcTitle.scala rules)
+  * other ids    — 020$a → isbn, 022$a → issn, only fields that HAVE an $a
+                   (ebsco/other_identifiers.py)
+  * deleted      — rows flagged deleted become Deleted works (with reason),
+                   everything else Visible (marcxml_transformer.py:44-52)
+  * errors       — per-record failures don't abort the batch: they surface as
+                   type='Error' rows with a reason, and the batch-level
+                   report counts successes vs failures
+                   (transformer.py:96-168 success_count/failure_count)
+
+Input contract: (id, content, deleted, last_modified) — the shape
+``load_marcxml_collection`` + snapshot bookkeeping produce (S5/J4).
+
+V2 on re-transform: transformed works are deterministic functions of
+(content, deleted), so writing them through the engine's LWW merge path makes
+an unchanged re-transform a complete no-op — no bucket is rewritten and no
+snapshot is committed (tested in tests/test_marc_transform.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# subfield elements inside a datafield, in document order
+_SUBFIELD_RE = r'(?s)<(?:\w+:)?subfield[^>]*code="[a-z0-9]"[^>]*>.*?</(?:\w+:)?subfield>'
+_CONTROL_001_RE = (
+    r'(?s)<(?:\w+:)?controlfield[^>]*tag="001"[^>]*>\s*(.*?)\s*</(?:\w+:)?controlfield>'
+)
+
+
+def _datafield_block(content: Column, tag: str) -> Column:
+    """First datafield element with the given tag (the reference picks the
+    first 245 when the non-repeatable field repeats)."""
+    return F.regexp_extract(
+        content,
+        rf'(?s)<(?:\w+:)?datafield[^>]*tag="{tag}"[^>]*>(?:(?!</(?:\w+:)?datafield>).)*</(?:\w+:)?datafield>',
+        0,
+    )
+
+
+def _all_datafield_blocks(content: Column, tags: list[str]) -> Column:
+    alt = "|".join(tags)
+    return F.regexp_extract_all(
+        content,
+        F.lit(
+            rf'(?s)<(?:\w+:)?datafield[^>]*tag="(?:{alt})"[^>]*>(?:(?!</(?:\w+:)?datafield>).)*</(?:\w+:)?datafield>'
+        ),
+        0,
+    )
+
+
+def _sub_code(el: Column) -> Column:
+    return F.regexp_extract(el, r'code="([a-z0-9])"', 1)
+
+
+def _sub_value(el: Column) -> Column:
+    # verbatim (NO trim — the title rule preserves whitespace), entities decoded
+    v = F.regexp_extract(el, r"(?s)>(.*?)</(?:\w+:)?subfield>", 1)
+    return _xml_unescape(v)
+
+
+def _xml_unescape(c: Column) -> Column:
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"), ("&amp;", "&")):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def _title_expr(content: Column) -> Column:
+    """MarcTitle rules over the first 245 field; NULL when 245 is missing or
+    yields only blank components (caller turns null into an Error row)."""
+    block = _datafield_block(content, "245")
+    subs = F.regexp_extract_all(block, F.lit(_SUBFIELD_RE), 0)
+    sel = F.filter(subs, lambda el: _sub_code(el).isin("a", "b", "c", "h", "n", "p"))
+    # drop a single trailing $h outright
+    sel = F.when(
+        (F.size(sel) > 0) & (_sub_code(F.element_at(sel, -1)) == "h"),
+        F.slice(sel, 1, F.size(sel) - 1),
+    ).otherwise(sel)
+    comps = F.transform(
+        sel,
+        lambda el: F.when(
+            _sub_code(el) == "h",
+            F.trim(F.regexp_replace(_sub_value(el), r"\[[^\]]+\]", "")),
+        ).otherwise(_sub_value(el)),
+    )
+    joined = F.array_join(comps, " ")
+    all_blank = F.size(F.filter(comps, lambda c: F.trim(c) != "")) == 0
+    return F.when((F.size(comps) > 0) & ~all_blank, joined)
+
+
+def _other_identifiers_expr(content: Column) -> Column:
+    """020$a → isbn, 022$a → issn for fields that HAVE an $a, in document
+    order, serialized as 'type:value' strings."""
+    blocks = _all_datafield_blocks(content, ["020", "022"])
+    with_a = F.filter(
+        blocks,
+        lambda b: F.regexp_extract(b, r'<(?:\w+:)?subfield[^>]*code="a"', 0) != "",
+    )
+    return F.transform(
+        with_a,
+        lambda b: F.concat(
+            F.when(b.contains('tag="020"'), F.lit("isbn")).otherwise(F.lit("issn")),
+            F.lit(":"),
+            _xml_unescape(
+                F.trim(
+                    F.regexp_extract(
+                        b,
+                        r'(?s)<(?:\w+:)?subfield[^>]*code="a"[^>]*>(.*?)</(?:\w+:)?subfield>',
+                        1,
+                    )
+                )
+            ),
+        ),
+    )
+
+
+def transform_ebsco_marc(records: DataFrame) -> DataFrame:
+    """records(id, content[, deleted, last_modified]) → one work row per
+    record:
+
+    (id, type ∈ Visible|Deleted|Error, title, other_identifiers
+     array<string>, error, last_modified)
+
+    Deleted records keep their identity but carry no transformed fields
+    (DeletedSourceWork + DeletedFromSource reason); records whose mandatory
+    fields fail extraction become Error rows instead of aborting the batch.
+    """
+    cols = records.columns
+    if "deleted" not in cols:
+        records = records.withColumn("deleted", F.lit(False))
+    if "last_modified" not in cols:
+        records = records.withColumn("last_modified", F.lit(None).cast("timestamp"))
+
+    content = F.col("content")
+    marc_id = F.nullif(F.trim(F.regexp_extract(content, _CONTROL_001_RE, 1)), F.lit(""))
+    title = _title_expr(content)
+    error = F.when(marc_id.isNull(), F.lit("missing mandatory field 001 (id)")).when(
+        ~F.col("deleted") & title.isNull(),
+        F.when(
+            _datafield_block(content, "245") == "",
+            F.lit("missing mandatory field 245 (title)"),
+        ).otherwise(F.lit("empty title field (245) after processing subfields")),
+    )
+    return records.select(
+        F.coalesce(marc_id, F.col("id")).alias("id"),
+        F.when(error.isNotNull(), F.lit("Error"))
+        .when(F.col("deleted"), F.lit("Deleted"))
+        .otherwise(F.lit("Visible"))
+        .alias("type"),
+        F.when(error.isNull() & ~F.col("deleted"), title).alias("title"),
+        F.when(error.isNull() & ~F.col("deleted"), _other_identifiers_expr(content))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("other_identifiers"),
+        error.alias("error"),
+        F.when(F.col("deleted"), F.lit("deleted from source")).alias("deleted_reason"),
+        F.col("last_modified"),
+    )
+
+
+def transform_report(works: DataFrame) -> dict:
+    """The transformer's batch report (success/failure counts,
+    transformer.py:170-199) in one aggregate pass."""
+    row = works.agg(
+        F.sum(F.when(F.col("type") != "Error", 1).otherwise(0)).alias("ok"),
+        F.sum(F.when(F.col("type") == "Error", 1).otherwise(0)).alias("err"),
+    ).collect()[0]
+    return {"success_count": row["ok"] or 0, "failure_count": row["err"] or 0}

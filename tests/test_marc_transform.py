@@ -1,0 +1,218 @@
+"""EBSCO MARC transformer scenarios, mirroring the reference's test cases
+(catalogue_graph/tests/adapters/transformers/marc/test_title.py,
+test_other_identifiers.py, ebsco/test_transformer.py) plus the V2 no-op
+re-transform invariant."""
+
+import pytest
+
+from catalogue_pipeline_spark.plans.marc_transform import (
+    transform_ebsco_marc,
+    transform_report,
+)
+
+
+def _rec(rec_id, fields, deleted=False):
+    return (rec_id, f"<record>{fields}</record>", deleted)
+
+
+def _cf001(v):
+    return f'<controlfield tag="001">{v}</controlfield>'
+
+
+def _df(tag, *subs):
+    inner = "".join(f'<subfield code="{c}">{v}</subfield>' for c, v in subs)
+    return f'<datafield tag="{tag}">{inner}</datafield>'
+
+
+SCHEMA = "id string, content string, deleted boolean"
+
+
+def run(spark, rows):
+    df = spark.createDataFrame(rows, SCHEMA)
+    return {r["id"]: r for r in transform_ebsco_marc(df).collect()}
+
+
+def test_title_a_only(spark):
+    got = run(spark, [_rec("r1", _cf001("ebs1") + _df("245", ("a", "How to Avoid Huge Ships")))])
+    assert got["ebs1"]["type"] == "Visible"
+    assert got["ebs1"]["title"] == "How to Avoid Huge Ships"
+
+
+def test_title_a_b_joined_with_space(spark):
+    got = run(
+        spark,
+        [
+            _rec(
+                "r1",
+                _cf001("ebs1")
+                + _df(
+                    "245",
+                    ("a", "101 Ways to Know If Your Cat Is French:"),
+                    ("b", "How To Talk to Your Cat About Their Secret Life"),
+                ),
+            )
+        ],
+    )
+    assert (
+        got["ebs1"]["title"]
+        == "101 Ways to Know If Your Cat Is French: How To Talk to Your Cat About Their Secret Life"
+    )
+
+
+def test_title_trailing_h_dropped_and_inner_h_bracket_stripped(spark):
+    # trailing $h is dropped entirely
+    got = run(
+        spark,
+        [_rec("r1", _cf001("e1") + _df("245", ("a", "A title"), ("h", "[electronic resource]")))],
+    )
+    assert got["e1"]["title"] == "A title"
+    # a retained (non-last) $h has ALL bracketed segments removed, then trim
+    got2 = run(
+        spark,
+        [
+            _rec(
+                "r2",
+                _cf001("e2")
+                + _df(
+                    "245",
+                    ("a", "A map"),
+                    ("h", "[cartographic material] :"),
+                    ("b", "of somewhere"),
+                ),
+            )
+        ],
+    )
+    assert got2["e2"]["title"] == "A map : of somewhere"
+
+
+def test_title_ignores_unselected_subfields_and_preserves_order(spark):
+    got = run(
+        spark,
+        [
+            _rec(
+                "r1",
+                _cf001("e1")
+                + _df("245", ("a", "Part one"), ("6", "880-01"), ("n", "Vol. 2"), ("p", "The sequel")),
+            )
+        ],
+    )
+    assert got["e1"]["title"] == "Part one Vol. 2 The sequel"
+
+
+def test_missing_245_and_blank_title_are_error_rows_not_batch_failures(spark):
+    got = run(
+        spark,
+        [
+            _rec("r1", _cf001("e1")),  # no 245
+            _rec("r2", _cf001("e2") + _df("245", ("a", ""), ("b", " "))),  # blank
+            _rec("r3", _cf001("e3") + _df("245", ("a", "Fine"))),
+        ],
+    )
+    assert got["e1"]["type"] == "Error" and "245" in got["e1"]["error"]
+    assert got["e2"]["type"] == "Error" and "Empty" in got["e2"]["error"].title()
+    assert got["e3"]["type"] == "Visible"
+
+
+def test_missing_001_is_error(spark):
+    got = run(spark, [_rec("raw-id", _df("245", ("a", "No id")))])
+    assert got["raw-id"]["type"] == "Error" and "001" in got["raw-id"]["error"]
+
+
+def test_other_identifiers_isbn_issn_only_with_subfield_a(spark):
+    got = run(
+        spark,
+        [
+            _rec(
+                "r1",
+                _cf001("e1")
+                + _df("245", ("a", "T"))
+                + _df("020", ("a", "978-3-16-148410-0"))
+                + _df("020", ("z", "cancelled"))  # no $a → skipped
+                + _df("022", ("a", "2049-3630")),
+            )
+        ],
+    )
+    assert got["e1"]["other_identifiers"] == ["isbn:978-3-16-148410-0", "issn:2049-3630"]
+
+
+def test_deleted_record_becomes_deleted_work_with_reason(spark):
+    got = run(
+        spark,
+        [_rec("r1", _cf001("e1") + _df("245", ("a", "Was here")), True)],
+    )
+    assert got["e1"]["type"] == "Deleted"
+    assert got["e1"]["title"] is None
+    assert got["e1"]["deleted_reason"] == "deleted from source"
+
+
+def test_xml_entities_unescaped(spark):
+    got = run(
+        spark,
+        [_rec("r1", _cf001("e1") + _df("245", ("a", "Salt &amp; pepper &lt;3")))],
+    )
+    assert got["e1"]["title"] == "Salt & pepper <3"
+
+
+def test_transform_report_counts(spark):
+    df = spark.createDataFrame(
+        [
+            _rec("r1", _cf001("e1") + _df("245", ("a", "ok"))),
+            _rec("r2", _cf001("e2")),  # error
+        ],
+        SCHEMA,
+    )
+    rep = transform_report(transform_ebsco_marc(df))
+    assert rep == {"success_count": 1, "failure_count": 1}
+
+
+def test_retransform_is_noop_through_merge_path(spark, tmp_path):
+    """V2: transformed works are deterministic in (content, deleted), so
+    writing a re-transform of UNCHANGED records through the LWW merge commits
+    nothing (no bucket rewritten, snapshot id unchanged)."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from catalogue_pipeline_spark.cdc import STATE_SCHEMA
+    from catalogue_pipeline_spark.cdc.merge import merge_into_state
+    from catalogue_pipeline_spark.lake import LakeTable
+
+    rows = [
+        _rec("r1", _cf001("e1") + _df("245", ("a", "Work one"))),
+        _rec("r2", _cf001("e2") + _df("245", ("a", "Work two"), ("b", "subtitle"))),
+        _rec("r3", _cf001("e3") + _df("245", ("a", "Gone")), True),
+    ]
+    records = spark.createDataFrame(rows, SCHEMA)
+    ts = dt.datetime(2024, 5, 1, 12, 0, 0)
+
+    def as_state(works):
+        # works → the engine's state shape: one turn per work, title as text
+        return works.select(
+            F.col("id").alias("conv_id"),
+            F.lit(0).cast("long").alias("turn_idx"),
+            F.lit("work").alias("role"),
+            F.col("title").alias("text"),
+            F.concat_ws(",", "other_identifiers").alias("tool"),
+            F.lit(ts).cast("timestamp").alias("ts"),
+            F.when(F.col("type") == "Deleted", 1).otherwise(0).alias("op_pri"),
+            F.lit(1).cast("long").alias("offset"),
+            F.when(F.col("type") != "Deleted", F.lit(ts).cast("timestamp")).alias("nd_ts"),
+            F.when(F.col("type") != "Deleted", F.lit(1).cast("long")).alias("nd_offset"),
+            F.when(F.col("type") == "Deleted", "true").otherwise("false").alias("deleted"),
+            F.lit(1).cast("long").alias("n_events"),
+        )
+
+    table = LakeTable.create(
+        os.path.join(str(tmp_path), "works"), STATE_SCHEMA, bucket_key="conv_id", num_buckets=4
+    )
+    works1 = transform_ebsco_marc(records)
+    sid1, m1 = merge_into_state(spark, table, as_state(works1), changeset_id="t1")
+    assert sid1 is not None and m1.keys_in == 3 and m1.events_applied >= 3
+
+    # re-transform the SAME records → merge is a complete no-op
+    works2 = transform_ebsco_marc(records)
+    sid2, m2 = merge_into_state(spark, table, as_state(works2), changeset_id="t2")
+    assert sid2 is None  # V3: no commit at all
+    assert m2.noop_updates == 3 and m2.events_applied == 0
+    assert table.current_snapshot_id() == sid1
