@@ -1189,6 +1189,25 @@ def _q53_marc_transform(spark, sf_dir):
             ck % 4 == 0,
             F.concat(F.lit('<datafield tag="022">'), sf("a", F.concat(F.lit("isn"), cks)), F.lit("</datafield>")),
         ).otherwise(F.lit("")),
+        # 246 alternative title; a caption form (ind2=6) that must be skipped
+        F.when(
+            ck % 7 == 0,
+            F.concat(F.lit('<datafield tag="246" ind1="3" ind2="0">'), sf("a", F.concat(F.lit("Alt "), cks)), F.lit("</datafield>")),
+        ).otherwise(F.lit("")),
+        F.when(
+            ck % 11 == 0,
+            F.concat(F.lit('<datafield tag="246" ind1="3" ind2="6">'), sf("a", F.concat(F.lit("Caption "), cks)), F.lit("</datafield>")),
+        ).otherwise(F.lit("")),
+        # 520 description: $a summary + $u link
+        F.when(
+            ck % 6 == 0,
+            F.concat(
+                F.lit('<datafield tag="520">'),
+                sf("a", F.concat(F.lit("Sum "), cks, F.lit("."))),
+                sf("u", F.concat(F.lit("https://ex.org/"), cks)),
+                F.lit("</datafield>"),
+            ),
+        ).otherwise(F.lit("")),
     )
     records = (
         spark.read.parquet(_t(sf_dir, "customer"))
@@ -1211,6 +1230,8 @@ def _q53_marc_transform(spark, sf_dir):
         "type",
         "title",
         F.concat_ws(",", "other_identifiers").alias("ids_csv"),
+        F.concat_ws(",", "alternative_titles").alias("alt_csv"),
+        "description",
         "error",
     )
 
@@ -1259,6 +1280,99 @@ def _q54_crash_fencing(spark, sf_dir):
         return _materialize(out, "q54")
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _q55_id_minter(spark, sf_dir):
+    """X3 driver-oracled via INVARIANT PROBES (canonical ids derive from
+    engine hashes, so no SQL engine can recompute the values — instead the
+    oracle pins the properties the reference buys with its uniqueness table
+    and transactional assignment, id_generator.py:41-54): every key minted,
+    ids all distinct, all match the reference alphabet/shape
+    (identifiers.py:1-39), a re-mint returns byte-identical ids (idempotent
+    re-run), and keys minted in an EARLIER batch keep their ids when later
+    batches add more (stability across batches)."""
+    from catalogue_pipeline_spark.plans.id_minter import create_minter_table, mint_ids
+
+    work = tempfile.mkdtemp(prefix="cps-q55-")
+    try:
+        ck = F.col("c_custkey")
+        cust = spark.read.parquet(_t(sf_dir, "customer")).filter((ck > 0) & (ck <= 500))
+        skey = F.concat(F.lit("key-"), ck.cast("string")).alias("source_key")
+        keys = cust.select(skey)
+        first300 = cust.filter(ck <= 300).select(skey)
+
+        # incremental: mint 300, then the full 500 against the same table
+        t1 = create_minter_table(os.path.join(work, "m1"))
+        a = mint_ids(spark, t1, first300, changeset_id="b1")
+        b = mint_ids(spark, t1, keys, changeset_id="b2")
+        # independent fresh-table mint of the same 500 (replay determinism)
+        t2 = create_minter_table(os.path.join(work, "m2"))
+        c = mint_ids(spark, t2, keys, changeset_id="r1")
+
+        fmt = "^[abcdefghjkmnpqrstuvwxyz][23456789abcdefghjkmnpqrstuvwxyz]{7}$"
+        probes = [
+            ("n_keys", b.count()),
+            ("n_distinct_ids", b.select("canonical_id").distinct().count()),
+            ("n_format_ok", b.filter(F.col("canonical_id").rlike(fmt)).count()),
+            (
+                "n_replay_identical",
+                b.join(c, ["source_key", "canonical_id"]).count(),
+            ),
+            (
+                "n_early_batch_stable",
+                a.join(b, ["source_key", "canonical_id"]).count(),
+            ),
+        ]
+        return spark.createDataFrame(probes, "probe string, n long")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _q56_schema_evolution(spark, sf_dir):
+    """F1 / schema-evolution driver-oracled (pipeline_store.py:273-281
+    projection-onto-common-columns tolerance): three batches in HISTORICAL
+    schemas — v1 (no ``tool`` column, int32 turn_idx), v2 (+tool), v3 (wide)
+    — each normalized by the SchemaRegistry onto the current schema and
+    unioned. The oracle emits the expected projection in closed form: v1
+    rows get typed-null tool, narrow ints are widened, column order is
+    canonical."""
+    reg = SchemaRegistry()
+    ck = F.col("c_custkey")
+    cust = spark.read.parquet(_t(sf_dir, "customer")).filter((ck > 0) & (ck <= 300))
+    base = cust.select(
+        ck.alias("_ck"),
+        ck.alias("offset"),
+        F.lit("upsert").alias("op"),
+        F.concat(F.lit("c"), (ck % 40).cast("string")).alias("conv_id"),
+        (ck % 12).alias("turn_raw"),
+        F.lit("user").alias("role"),
+        F.concat(F.lit("text-"), ck.cast("string")).alias("text"),
+        F.timestamp_seconds(F.lit(1700000000) + ck).alias("ts"),
+    )
+    k = F.col("_ck")
+    v1 = base.filter(k % 3 == 0).select(  # narrow turn_idx, NO tool column
+        "offset", "op", "conv_id",
+        F.col("turn_raw").cast("int").alias("turn_idx"),
+        "role", "text", "ts", F.lit(1).alias("schema_ver"),
+    )
+    v2 = base.filter(k % 3 == 1).select(  # + tool, still-narrow turn_idx
+        "offset", "op", "conv_id",
+        F.col("turn_raw").cast("int").alias("turn_idx"),
+        "role", "text",
+        F.concat(F.lit("tool_"), (k % 5).cast("string")).alias("tool"),
+        "ts", F.lit(2).alias("schema_ver"),
+    )
+    v3 = base.filter(k % 3 == 2).select(  # current widest schema
+        "offset", "op", "conv_id",
+        F.col("turn_raw").cast("bigint").alias("turn_idx"),
+        "role", "text",
+        F.lit(None).cast("string").alias("tool"),
+        "ts", F.lit(3).alias("schema_ver"),
+    )
+    out = reg.normalize(v1).unionByName(reg.normalize(v2)).unionByName(reg.normalize(v3))
+    return out.select(
+        "offset", "conv_id", "turn_idx", "role", "text", "tool", "ts", "schema_ver"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1317,6 +1431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_ivf_topk": _q52_ivf_topk,
         "q53_marc_transform": _q53_marc_transform,
         "q54_crash_fencing": _q54_crash_fencing,
+        "q55_id_minter": _q55_id_minter,
+        "q56_schema_evolution": _q56_schema_evolution,
     }
 
 
@@ -2027,6 +2143,14 @@ def oracle_sql() -> dict[str, str]:
                         CASE WHEN ck % 3 = 0 THEN 'isbn:ibn' || ck END,
                         CASE WHEN ck % 4 = 0 THEN 'issn:isn' || ck END
                       ], x -> x IS NOT NULL), ','), '') END AS ids_csv,
+               CASE WHEN del OR t IN (5, 6) THEN ''
+                    WHEN ck % 7 = 0 THEN 'Alt ' || ck
+                    ELSE '' END AS alt_csv,
+               CASE WHEN del OR t IN (5, 6) THEN NULL
+                    WHEN ck % 6 = 0 THEN
+                      '<p>Sum ' || ck || '. <a href="https://ex.org/' || ck
+                      || '">https://ex.org/' || ck || '</a></p>'
+                    END AS description,
                CASE WHEN del THEN NULL
                     WHEN t = 5 THEN 'missing mandatory field 245 (title)'
                     WHEN t = 6 THEN 'empty title field (245) after processing subfields'
@@ -2038,6 +2162,30 @@ def oracle_sql() -> dict[str, str]:
     sql["q54_crash_fencing"] = f"""
         SELECT v.*, CAST(4 AS INT) AS ranges_committed, CAST(4 AS INT) AS range_commits
         FROM ({_SQL_CDC_VISIBLE}) v
+    """
+    # q55: invariant probes in closed form — 500 keys minted, all ids
+    # distinct / well-formed / replay-identical; the 300 early-batch keys
+    # keep their ids.
+    sql["q55_id_minter"] = """
+        SELECT 'n_keys' AS probe, CAST(500 AS BIGINT) AS n
+        UNION ALL SELECT 'n_distinct_ids', 500
+        UNION ALL SELECT 'n_format_ok', 500
+        UNION ALL SELECT 'n_replay_identical', 500
+        UNION ALL SELECT 'n_early_batch_stable', 300
+    """
+    # q56: the expected normalized projection in closed form — v1 rows get a
+    # typed-null tool, narrow turn_idx widens to BIGINT, canonical order.
+    sql["q56_schema_evolution"] = """
+        SELECT c_custkey AS offset,
+               'c' || CAST(c_custkey % 40 AS VARCHAR) AS conv_id,
+               CAST(c_custkey % 12 AS BIGINT) AS turn_idx,
+               'user' AS role,
+               'text-' || CAST(c_custkey AS VARCHAR) AS text,
+               CASE WHEN c_custkey % 3 = 1
+                    THEN 'tool_' || CAST(c_custkey % 5 AS VARCHAR) END AS tool,
+               to_timestamp(1700000000 + c_custkey) AS ts,
+               CAST(1 + c_custkey % 3 AS INT) AS schema_ver
+        FROM customer WHERE c_custkey > 0 AND c_custkey <= 300
     """
     # q33: the minhash recipe is deliberately SQL-portable — md5-derived
     # 60-bit shingle hash, then min of (a·h+b) mod p per permutation,

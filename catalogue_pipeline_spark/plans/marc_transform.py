@@ -15,6 +15,11 @@ per-row Python):
                    (marc/title.py extract_title / MarcTitle.scala rules)
   * other ids    — 020$a → isbn, 022$a → issn, only fields that HAVE an $a
                    (ebsco/other_identifiers.py)
+  * alt titles   — 130/240/246 full-field values, caption titles (246
+                   ind2=6) skipped, trimmed/deduped preserving order
+                   (marc/alternative_titles.py)
+  * description  — 520 $a/$b/$c + $u-as-HTML-link per field in a <p>,
+                   fields joined with newlines (marc/description.py)
   * deleted      — rows flagged deleted become Deleted works (with reason),
                    everything else Visible (marcxml_transformer.py:44-52)
   * errors       — per-record failures don't abort the batch: they surface as
@@ -129,6 +134,61 @@ def _other_identifiers_expr(content: Column) -> Column:
     )
 
 
+def _field_subfield_values(block: Column) -> Column:
+    """All subfield values of one datafield, in document order."""
+    return F.transform(
+        F.regexp_extract_all(block, F.lit(_SUBFIELD_RE), 0), _sub_value
+    )
+
+
+def _alternative_titles_expr(content: Column) -> Column:
+    """130/240/246 → alternative titles (marc/alternative_titles.py): all
+    subfield values of each field joined with spaces, 246-with-ind2=6
+    (caption titles) skipped, trimmed, blanks dropped, de-duplicated with
+    first-occurrence order preserved."""
+    blocks = _all_datafield_blocks(content, ["130", "240", "246"])
+    keep = F.filter(
+        blocks,
+        lambda b: ~(b.contains('tag="246"') & (F.regexp_extract(b, r'ind2="6"', 0) != "")),
+    )
+    titles = F.transform(keep, lambda b: F.trim(F.array_join(_field_subfield_values(b), " ")))
+    return F.array_distinct(F.filter(titles, lambda t: t != ""))
+
+
+def _description_expr(content: Column) -> Column:
+    """520 → description (marc/description.py): per field, subfields a/b/c
+    trimmed then $u values (URL-shaped ones wrapped as HTML links), joined
+    with spaces inside a <p> element; fields joined with newlines; NULL when
+    there is no 520 content."""
+    blocks = _all_datafield_blocks(content, ["520"])
+
+    def fmt(b):
+        subs = F.regexp_extract_all(b, F.lit(_SUBFIELD_RE), 0)
+        plain = F.transform(
+            F.filter(subs, lambda el: _sub_code(el).isin("a", "b", "c")),
+            lambda el: F.trim(_sub_value(el)),
+        )
+        links = F.transform(
+            F.filter(subs, lambda el: _sub_code(el) == "u"),
+            lambda el: F.when(
+                F.trim(_sub_value(el)).rlike(r"^https?://"),
+                F.concat(
+                    F.lit('<a href="'),
+                    F.trim(_sub_value(el)),
+                    F.lit('">'),
+                    F.trim(_sub_value(el)),
+                    F.lit("</a>"),
+                ),
+            ).otherwise(_sub_value(el)),
+        )
+        return F.concat(
+            F.lit("<p>"), F.array_join(F.concat(plain, links), " "), F.lit("</p>")
+        )
+
+    joined = F.trim(F.array_join(F.transform(blocks, fmt), "\n"))
+    return F.when(F.size(blocks) > 0, joined)
+
+
 def transform_ebsco_marc(records: DataFrame) -> DataFrame:
     """records(id, content[, deleted, last_modified]) → one work row per
     record:
@@ -166,6 +226,12 @@ def transform_ebsco_marc(records: DataFrame) -> DataFrame:
         F.when(error.isNull() & ~F.col("deleted"), _other_identifiers_expr(content))
         .otherwise(F.array().cast("array<string>"))
         .alias("other_identifiers"),
+        F.when(error.isNull() & ~F.col("deleted"), _alternative_titles_expr(content))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("alternative_titles"),
+        F.when(error.isNull() & ~F.col("deleted"), _description_expr(content)).alias(
+            "description"
+        ),
         error.alias("error"),
         F.when(F.col("deleted"), F.lit("deleted from source")).alias("deleted_reason"),
         F.col("last_modified"),

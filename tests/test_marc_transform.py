@@ -153,6 +153,42 @@ def test_xml_entities_unescaped(spark):
     assert got["e1"]["title"] == "Salt & pepper <3"
 
 
+def test_alternative_titles_caption_skipped_and_deduped(spark):
+    """130/240/246 become alternative titles; a 246 with ind2=6 (caption) is
+    skipped; values are trimmed, blanks dropped, duplicates removed with
+    first-occurrence order preserved (marc/alternative_titles.py)."""
+    fields = (
+        _cf001("e1")
+        + _df("245", ("a", "Main"))
+        + _df("130", ("a", "Uniform title"))
+        + '<datafield tag="246" ind1="3" ind2="6"><subfield code="a">Caption title</subfield></datafield>'
+        + '<datafield tag="246" ind1="3" ind2="0"><subfield code="a"> Varying form </subfield></datafield>'
+        + _df("240", ("a", "Uniform title"))  # duplicate of the 130 value
+        + _df("246", ("a", ""))  # blank → dropped
+    )
+    got = run(spark, [_rec("r1", fields)])
+    assert got["e1"]["alternative_titles"] == ["Uniform title", "Varying form"]
+
+
+def test_description_520_with_links(spark):
+    """520 $a/$b/$c + $u per field inside <p>, URL-shaped $u as an HTML
+    link, fields joined with newlines (marc/description.py)."""
+    fields = (
+        _cf001("e1")
+        + _df("245", ("a", "T"))
+        + _df("520", ("a", "A summary. "), ("u", "https://example.org/x"))
+        + _df("520", ("a", "Second."), ("u", "not a url"))
+    )
+    got = run(spark, [_rec("r1", fields)])
+    assert got["e1"]["description"] == (
+        '<p>A summary. <a href="https://example.org/x">https://example.org/x</a></p>\n'
+        "<p>Second. not a url</p>"
+    )
+    # no 520 → NULL description
+    got2 = run(spark, [_rec("r2", _cf001("e2") + _df("245", ("a", "T")))])
+    assert got2["e2"]["description"] is None
+
+
 def test_transform_report_counts(spark):
     df = spark.createDataFrame(
         [
