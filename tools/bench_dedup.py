@@ -73,22 +73,30 @@ def main():
         build_corpus(spark, n_docs, viral_pct).write.parquet(path)
         docs = spark.read.parquet(path)
 
+        # collect the PAIR KEYS once per operator (pairs are tiny — a few
+        # thousand rows — vs the joins that produce them; an exceptAll-based
+        # compare would lazily RE-EXECUTE the expensive joins)
         t0 = time.time()
-        lsh_df = lsh_near_duplicates(docs, threshold=0.85)
-        lsh_pairs = lsh_df.count()
+        lsh_set = {
+            (r["id_a"], r["id_b"])
+            for r in lsh_near_duplicates(docs, threshold=0.85).select("id_a", "id_b").collect()
+        }
         t_lsh = time.time() - t0
+        lsh_pairs = len(lsh_set)
 
         t0 = time.time()
-        exact_df = ngram_jaccard_pairs(docs, threshold=0.85)
-        exact_pairs = exact_df.count()
+        exact_set = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(docs, threshold=0.85).select("id_a", "id_b").collect()
+        }
         t_exact = time.time() - t0
+        exact_pairs = len(exact_set)
 
         # recall as a true SET comparison (not a count ratio): exact pairs
         # missing from the LSH set, and LSH pairs outside the exact set —
         # offsetting errors can't fake a 1.0
-        keys = ["id_a", "id_b"]
-        missed = exact_df.select(*keys).exceptAll(lsh_df.select(*keys)).count()
-        extra = lsh_df.select(*keys).exceptAll(exact_df.select(*keys)).count()
+        missed = len(exact_set - lsh_set)
+        extra = len(lsh_set - exact_set)
         assert extra == 0, f"LSH produced {extra} pairs outside the exact set"
 
         out = {
