@@ -1208,6 +1208,39 @@ def _q53_marc_transform(spark, sf_dir):
                 F.lit("</datafield>"),
             ),
         ).otherwise(F.lit("")),
+        # contributors: primary 100 (comma-trimmed label, period-trimmed
+        # role) and an added 700 that duplicates it apart from `primary` —
+        # the dedupe must keep only the fronted primary
+        F.when(
+            ck % 9 == 0,
+            F.concat(
+                F.lit('<datafield tag="100">'),
+                sf("a", F.concat(F.lit("Author "), cks, F.lit(","))),
+                sf("e", F.lit("editor.")),
+                F.lit('</datafield><datafield tag="700">'),
+                sf("a", F.concat(F.lit("Author "), cks, F.lit(","))),
+                sf("e", F.lit("editor.")),
+                F.lit("</datafield>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            ck % 13 == 0,
+            F.concat(F.lit('<datafield tag="710">'), sf("a", F.concat(F.lit("Org "), cks)), F.lit("</datafield>")),
+        ).otherwise(F.lit("")),
+        # subjects: a kept 650 (ind2=0) with subdivisions, and a dropped one
+        # (ind2=7 with an unrecognised $2)
+        F.when(
+            ck % 14 == 0,
+            F.concat(
+                F.lit('<datafield tag="650" ind1=" " ind2="0">'),
+                sf("a", F.concat(F.lit("Top "), cks)),
+                sf("x", F.concat(F.lit("Sub "), cks)),
+                F.lit('</datafield><datafield tag="650" ind1=" " ind2="7">'),
+                sf("a", F.lit("Never kept")),
+                sf("2", F.lit("fast")),
+                F.lit("</datafield>"),
+            ),
+        ).otherwise(F.lit("")),
     )
     records = (
         spark.read.parquet(_t(sf_dir, "customer"))
@@ -1232,6 +1265,8 @@ def _q53_marc_transform(spark, sf_dir):
         F.concat_ws(",", "other_identifiers").alias("ids_csv"),
         F.concat_ws(",", "alternative_titles").alias("alt_csv"),
         "description",
+        F.concat_ws("~", "contributors").alias("contrib_csv"),
+        F.concat_ws("~", "subjects").alias("subj_csv"),
         "error",
     )
 
@@ -2151,6 +2186,14 @@ def oracle_sql() -> dict[str, str]:
                       '<p>Sum ' || ck || '. <a href="https://ex.org/' || ck
                       || '">https://ex.org/' || ck || '</a></p>'
                     END AS description,
+               CASE WHEN del OR t IN (5, 6) THEN ''
+                    ELSE coalesce(array_to_string(list_filter([
+                      CASE WHEN ck % 9 = 0 THEN 'Person|Author ' || ck || '|editor|P' END,
+                      CASE WHEN ck % 13 = 0 THEN 'Organisation|Org ' || ck || '||S' END
+                    ], x -> x IS NOT NULL), '~'), '') END AS contrib_csv,
+               CASE WHEN del OR t IN (5, 6) THEN ''
+                    WHEN ck % 14 = 0 THEN 'Top ' || ck || ' - Sub ' || ck
+                    ELSE '' END AS subj_csv,
                CASE WHEN del THEN NULL
                     WHEN t = 5 THEN 'missing mandatory field 245 (title)'
                     WHEN t = 6 THEN 'empty title field (245) after processing subfields'

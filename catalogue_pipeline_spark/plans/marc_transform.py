@@ -20,6 +20,11 @@ per-row Python):
                    (marc/alternative_titles.py)
   * description  — 520 $a/$b/$c + $u-as-HTML-link per field in a <p>,
                    fields joined with newlines (marc/description.py)
+  * contributors — 100/110/111/700/710/711 with type-specific label
+                   subfields, $e roles, primary fronting and primary-blind
+                   dedupe (ebsco/contributors.py)
+  * subjects     — 600/610/611/648/650/651 with the indicator-2 keep rule
+                   and tag-specific label builds (ebsco/subjects.py)
   * deleted      — rows flagged deleted become Deleted works (with reason),
                    everything else Visible (marcxml_transformer.py:44-52)
   * errors       — per-record failures don't abort the batch: they surface as
@@ -189,6 +194,139 @@ def _description_expr(content: Column) -> Column:
     return F.when(F.size(blocks) > 0, joined)
 
 
+_TRAILING_PERIOD_RE = r"([^.])\.\s*$"  # one trailing period, never an ellipsis
+
+
+def _trim_trailing_period(c: Column) -> Column:
+    return F.rtrim(F.regexp_replace(c, _TRAILING_PERIOD_RE, r"$1"))
+
+
+def _trim_trailing_comma(c: Column) -> Column:
+    return F.regexp_replace(c, r"\s*,\s*$", "")
+
+
+_CONTRIB_TAGS = ["100", "110", "111", "700", "710", "711"]
+_PERSON_ORG_LABEL = ["a", "b", "c", "d", "q", "t", "l"]
+_MEETING_LABEL = ["a", "c", "d", "n", "t"]
+
+
+def _contributors_expr(content: Column) -> Column:
+    """100/110/111 (primary) + 700/710/711 (added) → contributors
+    (ebsco/contributors.py): type from the tag suffix (00 Person, 10
+    Organisation, 11 Meeting), label from type-specific subfields (stripped,
+    blanks dropped, space-joined, trailing comma trimmed, trailing period
+    PRESERVED), roles from $e (trailing period trimmed, ellipses kept),
+    primary contributors fronted, duplicates (equal apart from `primary`)
+    removed keeping the first. Serialized ``type|label|roles|P-or-S``."""
+    blocks = _all_datafield_blocks(content, _CONTRIB_TAGS)
+
+    def fmt(b):
+        tag = F.regexp_extract(b, r'tag="(\d{3})"', 1)
+        is_meeting = tag.endswith("11")
+        ctype = (
+            F.when(tag.endswith("00"), F.lit("Person"))
+            .when(tag.endswith("10"), F.lit("Organisation"))
+            .otherwise(F.lit("Meeting"))
+        )
+        subs = F.regexp_extract_all(b, F.lit(_SUBFIELD_RE), 0)
+        label_codes = F.when(
+            is_meeting, F.array(*[F.lit(c) for c in _MEETING_LABEL])
+        ).otherwise(F.array(*[F.lit(c) for c in _PERSON_ORG_LABEL]))
+        parts = F.transform(
+            F.filter(subs, lambda el: F.array_contains(label_codes, _sub_code(el))),
+            lambda el: F.trim(_sub_value(el)),
+        )
+        label = _trim_trailing_comma(
+            F.trim(F.array_join(F.filter(parts, lambda p: p != ""), " "))
+        )
+        roles = F.array_join(
+            F.transform(
+                F.filter(subs, lambda el: _sub_code(el) == "e"),
+                lambda el: _trim_trailing_period(F.trim(_sub_value(el))),
+            ),
+            ";",
+        )
+        primary = F.when(tag.startswith("1"), F.lit("P")).otherwise(F.lit("S"))
+        return F.concat_ws("|", ctype, label, roles, primary)
+
+    all_c = F.transform(blocks, fmt)
+    fronted = F.concat(
+        F.filter(all_c, lambda c: c.endswith("|P")),
+        F.filter(all_c, lambda c: c.endswith("|S")),
+    )
+    # dedupe on everything EXCEPT the primary flag, first occurrence wins
+    key = lambda c: F.regexp_replace(c, r"\|[PS]$", "")  # noqa: E731
+    return F.aggregate(
+        fronted,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            F.exists(acc, lambda y: key(y) == key(x)), acc
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+_SUBJECT_TAGS = ["600", "610", "611", "648", "650", "651"]
+_SUBDIVISION_CODES = ["v", "x", "y", "z"]
+
+
+def _subjects_expr(content: Column) -> Column:
+    """600/610/611/648/650/651 → subject labels (ebsco/subjects.py): kept
+    when ind2 ∈ {0,2} or (ind2=7 with $2 ∈ local/homoit/indig/enslv) and $a
+    is non-blank; tag-specific label builds — 600 appends $e then $x
+    space-joined (no trailing-period trim), 610 appends c/d/e, 611 is the
+    main label only, 648/650/651 join $a with the v/x/y/z subdivisions
+    using ' - '; non-600 labels have trailing periods stripped."""
+    blocks = _all_datafield_blocks(content, _SUBJECT_TAGS)
+
+    def vals(subs, codes):
+        return F.transform(
+            F.filter(subs, lambda el: _sub_code(el).isin(*codes)), _sub_value
+        )
+
+    def fmt(b):
+        tag = F.regexp_extract(b, r'tag="(\d{3})"', 1)
+        subs = F.regexp_extract_all(b, F.lit(_SUBFIELD_RE), 0)
+        ind2 = F.regexp_extract(b, r'ind2="(.)"', 1)
+        src2 = F.trim(F.array_join(vals(subs, ["2"]), " "))
+        keep = ind2.isin("0", "2") | (
+            (ind2 == "7") & src2.isin("local", "homoit", "indig", "enslv")
+        )
+        a_blank = F.trim(F.array_join(vals(subs, ["a"]), "")) == ""
+        main600 = F.array_join(
+            vals(subs, ["a", "b", "c", "d", "t", "p", "n", "q", "l"]), " "
+        )
+        label = (
+            F.when(
+                tag == "600",
+                F.array_join(
+                    F.concat(
+                        F.array(F.array_join(F.concat(F.array(main600), vals(subs, ["e"])), " ")),
+                        vals(subs, ["x"]),
+                    ),
+                    " ",
+                ),
+            )
+            .when(
+                tag == "610",
+                F.array_join(
+                    F.concat(F.array(F.array_join(vals(subs, ["a", "b"]), " ")), vals(subs, ["c", "d", "e"])),
+                    " ",
+                ),
+            )
+            .when(tag == "611", F.array_join(vals(subs, ["a", "c", "d"]), " "))
+            .otherwise(
+                F.array_join(
+                    F.concat(F.array(F.array_join(vals(subs, ["a"]), " ")), vals(subs, _SUBDIVISION_CODES)),
+                    " - ",
+                )
+            )
+        )
+        label = F.when(tag != "600", F.regexp_replace(label, r"\.+$", "")).otherwise(label)
+        return F.when(keep & ~a_blank, label)
+
+    return F.filter(F.transform(blocks, fmt), lambda s: s.isNotNull())
+
+
 def transform_ebsco_marc(records: DataFrame) -> DataFrame:
     """records(id, content[, deleted, last_modified]) → one work row per
     record:
@@ -232,6 +370,12 @@ def transform_ebsco_marc(records: DataFrame) -> DataFrame:
         F.when(error.isNull() & ~F.col("deleted"), _description_expr(content)).alias(
             "description"
         ),
+        F.when(error.isNull() & ~F.col("deleted"), _contributors_expr(content))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("contributors"),
+        F.when(error.isNull() & ~F.col("deleted"), _subjects_expr(content))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("subjects"),
         error.alias("error"),
         F.when(F.col("deleted"), F.lit("deleted from source")).alias("deleted_reason"),
         F.col("last_modified"),

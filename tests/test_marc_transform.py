@@ -189,6 +189,61 @@ def test_description_520_with_links(spark):
     assert got2["e2"]["description"] is None
 
 
+def test_contributors_types_roles_primary_dedupe(spark):
+    """ebsco/contributors.py rules: type from tag suffix, type-specific label
+    subfields, $e roles (trailing period trimmed, ellipsis kept), primary
+    (1xx) contributors fronted, duplicates equal-apart-from-primary removed
+    keeping the primary occurrence."""
+    fields = (
+        _cf001("e1")
+        + _df("245", ("a", "T"))
+        + _df("700", ("a", "Smith, Jane,"), ("e", "editor."))  # added entry FIRST in doc
+        + _df("100", ("a", "Smith, Jane,"), ("e", "editor."))  # primary duplicate
+        + _df("110", ("a", "Acme Corp"), ("b", "Research Div."))
+        + _df("111", ("a", "Big Meeting"), ("n", "(2nd)"), ("e", "organizer"))
+    )
+    got = run(spark, [_rec("r1", fields)])
+    assert got["e1"]["contributors"] == [
+        # primaries fronted in document order; the 700 duplicate of the 100
+        # (equal apart from primary) is dropped, keeping the primary
+        "Person|Smith, Jane|editor|P",  # trailing comma trimmed, role period trimmed
+        "Organisation|Acme Corp Research Div.||P",  # label period PRESERVED
+        "Meeting|Big Meeting (2nd)|organizer|P",  # meeting label = a,c,d,n,t only
+    ]
+
+
+def test_contributors_role_ellipsis_and_secondary(spark):
+    fields = (
+        _cf001("e1")
+        + _df("245", ("a", "T"))
+        + _df("700", ("a", "Doe, John"), ("e", "author..."))  # ellipsis kept
+        + _df("710", ("a", "Other Org"))
+    )
+    got = run(spark, [_rec("r1", fields)])
+    assert got["e1"]["contributors"] == [
+        "Person|Doe, John|author...|S",
+        "Organisation|Other Org||S",
+    ]
+
+
+def test_subjects_keep_rule_and_label_builds(spark):
+    """ebsco/subjects.py: ind2 ∈ {0,2} kept, ind2=7 only with a recognised
+    $2, others dropped; 650 joins $a with v/x/y/z via ' - '; 600 appends $e
+    and $x space-joined without period trimming; blank $a dropped."""
+    f650 = '<datafield tag="650" ind1=" " ind2="0"><subfield code="a">Medicine</subfield><subfield code="x">History</subfield><subfield code="z">England</subfield></datafield>'
+    f650_7ok = '<datafield tag="650" ind1=" " ind2="7"><subfield code="a">Kept.</subfield><subfield code="2">homoit</subfield></datafield>'
+    f650_7no = '<datafield tag="650" ind1=" " ind2="7"><subfield code="a">Dropped</subfield><subfield code="2">fast</subfield></datafield>'
+    f650_blank = '<datafield tag="650" ind1=" " ind2="0"><subfield code="a"> </subfield></datafield>'
+    f600 = '<datafield tag="600" ind1="1" ind2="0"><subfield code="a">Darwin, Charles,</subfield><subfield code="d">1809-1882.</subfield><subfield code="x">Travel</subfield></datafield>'
+    fields = _cf001("e1") + _df("245", ("a", "T")) + f650 + f650_7ok + f650_7no + f650_blank + f600
+    got = run(spark, [_rec("r1", fields)])
+    assert got["e1"]["subjects"] == [
+        "Medicine - History - England",
+        "Kept",  # trailing period stripped (non-600), $2=homoit kept
+        "Darwin, Charles, 1809-1882. Travel",  # 600: no period trim
+    ]
+
+
 def test_transform_report_counts(spark):
     df = spark.createDataFrame(
         [
