@@ -1242,6 +1242,28 @@ def _q53_marc_transform(spark, sf_dir):
             ),
         ).otherwise(F.lit("")),
     )
+    # positional fields: leader biblevel m/s alternates; 006 online form
+    # present unless ck%3==1 (format NULL there); 008 language rotates with
+    # an unknown code at ck%4==3 (language NULL); 250 edition sparse
+    leader = F.when(
+        ck % 2 == 0, F.lit("<leader>00000pam a22000003i 4500</leader>")
+    ).otherwise(F.lit("<leader>00000cas a22000003  4500</leader>"))
+    f006 = F.when(ck % 3 != 1, F.lit('<controlfield tag="006">m     o  d  |||||</controlfield>')).otherwise(F.lit(""))
+    langcode = (
+        F.when(ck % 4 == 0, F.lit("lat"))
+        .when(ck % 4 == 1, F.lit("eng"))
+        .when(ck % 4 == 2, F.lit("fre"))
+        .otherwise(F.lit("zxx"))
+    )
+    f008 = F.concat(
+        F.lit('<controlfield tag="008">900716s1991    maub    ob    001 0 '),
+        langcode,
+        F.lit("  </controlfield>"),
+    )
+    ed250 = F.when(
+        ck % 12 == 0,
+        F.concat(F.lit('<datafield tag="250">'), sf("a", F.concat(F.lit("Ed "), cks, F.lit("."))), F.lit("</datafield>")),
+    ).otherwise(F.lit(""))
     records = (
         spark.read.parquet(_t(sf_dir, "customer"))
         .filter((ck > 0) & (ck <= 400))
@@ -1249,9 +1271,13 @@ def _q53_marc_transform(spark, sf_dir):
             F.concat(F.lit("r"), cks).alias("id"),
             F.concat(
                 F.lit("<record>"),
+                leader,
                 F.concat(F.lit('<controlfield tag="001">ebs'), cks, F.lit("</controlfield>")),
+                f006,
+                f008,
                 body,
                 ids,
+                ed250,
                 F.lit("</record>"),
             ).alias("content"),
             (ck % 10 == 0).alias("deleted"),
@@ -1267,6 +1293,9 @@ def _q53_marc_transform(spark, sf_dir):
         "description",
         F.concat_ws("~", "contributors").alias("contrib_csv"),
         F.concat_ws("~", "subjects").alias("subj_csv"),
+        "edition",
+        "format",
+        "language",
         "error",
     )
 
@@ -2194,6 +2223,14 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN del OR t IN (5, 6) THEN ''
                     WHEN ck % 14 = 0 THEN 'Top ' || ck || ' - Sub ' || ck
                     ELSE '' END AS subj_csv,
+               CASE WHEN del OR t IN (5, 6) THEN NULL
+                    WHEN ck % 12 = 0 THEN 'Ed ' || ck || '.' END AS edition,
+               CASE WHEN del OR t IN (5, 6) OR ck % 3 = 1 THEN NULL
+                    WHEN ck % 2 = 0 THEN 'ebooks' ELSE 'ejournals' END AS format,
+               CASE WHEN del OR t IN (5, 6) THEN NULL
+                    WHEN ck % 4 = 0 THEN 'lat:Latin'
+                    WHEN ck % 4 = 1 THEN 'eng:English'
+                    WHEN ck % 4 = 2 THEN 'fre:French' END AS language,
                CASE WHEN del THEN NULL
                     WHEN t = 5 THEN 'missing mandatory field 245 (title)'
                     WHEN t = 6 THEN 'empty title field (245) after processing subfields'

@@ -25,6 +25,12 @@ per-row Python):
                    dedupe (ebsco/contributors.py)
   * subjects     — 600/610/611/648/650/651 with the indicator-2 keep rule
                    and tag-specific label builds (ebsco/subjects.py)
+  * edition      — 250 $a (ebsco/edition.py)
+  * format       — leader chars 6/7 × 006 char 6 positional rules →
+                   ebooks/ejournals (ebsco/format.py, parsers/leader.py,
+                   parsers/field006.py)
+  * language     — 008 chars 35-37 through the MARC code lookup
+                   (ebsco/language.py, parsers/field008.py)
   * deleted      — rows flagged deleted become Deleted works (with reason),
                    everything else Visible (marcxml_transformer.py:44-52)
   * errors       — per-record failures don't abort the batch: they surface as
@@ -327,6 +333,81 @@ def _subjects_expr(content: Column) -> Column:
     return F.filter(F.transform(blocks, fmt), lambda s: s.isNotNull())
 
 
+# MARC language codes seen in practice (lookups/languages semantics: unknown
+# code → NO language, mirroring from_code's None)
+_LANGUAGE_CODES = {
+    "eng": "English", "fre": "French", "ger": "German", "spa": "Spanish",
+    "ita": "Italian", "lat": "Latin", "dut": "Dutch", "rus": "Russian",
+    "chi": "Chinese", "jpn": "Japanese", "ara": "Arabic", "por": "Portuguese",
+    "swe": "Swedish", "dan": "Danish", "nor": "Norwegian", "pol": "Polish",
+    "gre": "Greek, Modern (1453-)", "heb": "Hebrew", "hin": "Hindi",
+    "tur": "Turkish", "cze": "Czech", "hun": "Hungarian", "fin": "Finnish",
+    "kor": "Korean", "tha": "Thai", "vie": "Vietnamese", "ukr": "Ukrainian",
+    "wel": "Welsh", "gle": "Irish", "cat": "Catalan", "rum": "Romanian",
+    "mul": "Multiple languages", "und": "Undetermined",
+}
+
+
+def _control_raw(content: Column, tag: str) -> Column:
+    """A control field's value VERBATIM — positional fields (006/008/leader)
+    must not be trimmed."""
+    return F.regexp_extract(
+        content,
+        rf'(?s)<(?:\w+:)?controlfield[^>]*tag="{tag}"[^>]*>(.*?)</(?:\w+:)?controlfield>',
+        1,
+    )
+
+
+def _leader_raw(content: Column) -> Column:
+    return F.regexp_extract(content, r"(?s)<(?:\w+:)?leader[^>]*>(.*?)</(?:\w+:)?leader>", 1)
+
+
+def _edition_expr(content: Column) -> Column:
+    """250 $a joined with spaces (ebsco/edition.py); NULL when absent."""
+    blocks = _all_datafield_blocks(content, ["250"])
+    vals = F.flatten(
+        F.transform(
+            blocks,
+            lambda b: F.transform(
+                F.filter(
+                    F.regexp_extract_all(b, F.lit(_SUBFIELD_RE), 0),
+                    lambda el: _sub_code(el) == "a",
+                ),
+                _sub_value,
+            ),
+        )
+    )
+    return F.nullif(F.array_join(vals, " "), F.lit(""))
+
+
+def _format_expr(content: Column) -> Column:
+    """ebsco/format.py: online form (006 char 6 == 'o') of a language
+    material record (leader char 6 == 'a') → bibliographic level (leader
+    char 7) picks EBooks ('m') or EJournals ('s'); anything else → NULL."""
+    leader = _leader_raw(content)
+    f006 = _control_raw(content, "006")
+    online_lang_material = (F.substring(f006, 7, 1) == "o") & (
+        F.substring(leader, 7, 1) == "a"
+    )
+    return F.when(
+        online_lang_material,
+        F.when(F.substring(leader, 8, 1) == "m", F.lit("ebooks")).when(
+            F.substring(leader, 8, 1) == "s", F.lit("ejournals")
+        ),
+    )
+
+
+def _language_expr(content: Column) -> Column:
+    """008 chars 35-37 → language as 'code:label' via the MARC code lookup
+    (ebsco/language.py + lookups/languages); unknown or absent → NULL."""
+    code = F.substring(_control_raw(content, "008"), 36, 3)
+    pairs = []
+    for k, v in _LANGUAGE_CODES.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    label = F.element_at(F.create_map(*pairs), code)
+    return F.when(label.isNotNull(), F.concat(code, F.lit(":"), label))
+
+
 def transform_ebsco_marc(records: DataFrame) -> DataFrame:
     """records(id, content[, deleted, last_modified]) → one work row per
     record:
@@ -376,6 +457,9 @@ def transform_ebsco_marc(records: DataFrame) -> DataFrame:
         F.when(error.isNull() & ~F.col("deleted"), _subjects_expr(content))
         .otherwise(F.array().cast("array<string>"))
         .alias("subjects"),
+        F.when(error.isNull() & ~F.col("deleted"), _edition_expr(content)).alias("edition"),
+        F.when(error.isNull() & ~F.col("deleted"), _format_expr(content)).alias("format"),
+        F.when(error.isNull() & ~F.col("deleted"), _language_expr(content)).alias("language"),
         error.alias("error"),
         F.when(F.col("deleted"), F.lit("deleted from source")).alias("deleted_reason"),
         F.col("last_modified"),

@@ -244,6 +244,47 @@ def test_subjects_keep_rule_and_label_builds(spark):
     ]
 
 
+def test_edition_format_language(spark):
+    """Positional-field rules: format needs online form-of-item (006[6]='o')
+    on a language-material leader ([6]='a'), bibliographic level [7] picks
+    ebooks/ejournals; language = 008 chars 35-37 via the code lookup;
+    edition = 250 $a."""
+    leader = "<leader>00000pam a22000003i 4500</leader>"  # [6]=a, [7]=m
+    f006 = '<controlfield tag="006">m     o  d  |||||</controlfield>'
+    f008 = '<controlfield tag="008">900716s1991    maub    ob    001 0 lat  </controlfield>'
+    rec = (
+        leader + _cf001("e1") + f006 + f008
+        + _df("245", ("a", "T")) + _df("250", ("a", "2nd ed."))
+    )
+    got = run(spark, [_rec("r1", rec)])
+    assert got["e1"]["edition"] == "2nd ed."
+    assert got["e1"]["format"] == "ebooks"
+    assert got["e1"]["language"] == "lat:Latin"
+
+    # serial bibliographic level → ejournals; print form (006[6] blank) → None
+    rec2 = (
+        "<leader>00000cas a22000003  4500</leader>" + _cf001("e2") + f006
+        + _df("245", ("a", "T"))
+    )
+    got2 = run(spark, [_rec("r2", rec2)])
+    assert got2["e2"]["format"] == "ejournals"
+    rec3 = (
+        leader + _cf001("e3")
+        + '<controlfield tag="006">m        d  |||||</controlfield>'
+        + _df("245", ("a", "T"))
+    )
+    got3 = run(spark, [_rec("r3", rec3)])
+    assert got3["e3"]["format"] is None
+    # unknown language code → no language (from_code None semantics)
+    rec4 = (
+        leader + _cf001("e4")
+        + '<controlfield tag="008">900716s1991    maub    ob    001 0 zxx  </controlfield>'
+        + _df("245", ("a", "T"))
+    )
+    got4 = run(spark, [_rec("r4", rec4)])
+    assert got4["e4"]["language"] is None and got4["e4"]["edition"] is None
+
+
 def test_transform_report_counts(spark):
     df = spark.createDataFrame(
         [
