@@ -1264,6 +1264,16 @@ def _q53_marc_transform(spark, sf_dir):
         ck % 12 == 0,
         F.concat(F.lit('<datafield tag="250">'), sf("a", F.concat(F.lit("Ed "), cks, F.lit("."))), F.lit("</datafield>")),
     ).otherwise(F.lit(""))
+    prod264 = F.when(
+        ck % 15 == 0,
+        F.concat(
+            F.lit('<datafield tag="264" ind1=" " ind2="1">'),
+            sf("a", F.concat(F.lit("City "), cks, F.lit(" :"))),
+            sf("b", F.concat(F.lit("Pub "), cks, F.lit(","))),
+            sf("c", F.lit("1991.")),
+            F.lit("</datafield>"),
+        ),
+    ).otherwise(F.lit(""))
     records = (
         spark.read.parquet(_t(sf_dir, "customer"))
         .filter((ck > 0) & (ck <= 400))
@@ -1278,12 +1288,15 @@ def _q53_marc_transform(spark, sf_dir):
                 body,
                 ids,
                 ed250,
+                prod264,
                 F.lit("</record>"),
             ).alias("content"),
             (ck % 10 == 0).alias("deleted"),
         )
     )
-    out = transform_ebsco_marc(records)
+    from catalogue_pipeline_spark.plans.marc_transform import with_production_period
+
+    out = with_production_period(transform_ebsco_marc(records))
     return out.select(
         "id",
         "type",
@@ -1296,6 +1309,10 @@ def _q53_marc_transform(spark, sf_dir):
         "edition",
         "format",
         "language",
+        F.concat_ws("~", "production").alias("prod_csv"),
+        "date_range_008",
+        "prod_from",
+        "prod_to",
         "error",
     )
 
@@ -2231,6 +2248,14 @@ def oracle_sql() -> dict[str, str]:
                     WHEN ck % 4 = 0 THEN 'lat:Latin'
                     WHEN ck % 4 = 1 THEN 'eng:English'
                     WHEN ck % 4 = 2 THEN 'fre:French' END AS language,
+               CASE WHEN del OR t IN (5, 6) THEN ''
+                    WHEN ck % 15 = 0 THEN
+                      'Publication|City ' || ck || ' : Pub ' || ck || ', 1991.|City '
+                      || ck || '|Pub ' || ck || '|1991'
+                    ELSE '' END AS prod_csv,
+               CASE WHEN del OR t IN (5, 6) THEN NULL ELSE '1991' END AS date_range_008,
+               CASE WHEN del OR t IN (5, 6) THEN NULL ELSE '1991-01-01' END AS prod_from,
+               CASE WHEN del OR t IN (5, 6) THEN NULL ELSE '1991-12-31' END AS prod_to,
                CASE WHEN del THEN NULL
                     WHEN t = 5 THEN 'missing mandatory field 245 (title)'
                     WHEN t = 6 THEN 'empty title field (245) after processing subfields'

@@ -408,6 +408,90 @@ def _language_expr(content: Column) -> Column:
     return F.when(label.isNotNull(), F.concat(code, F.lit(":"), label))
 
 
+_IND2_264_MAP = {"0": "Production", "1": "Publication", "2": "Distribution", "3": "Manufacture"}
+
+
+def _production_expr(content: Column) -> Column:
+    """260/264 → production events (ebsco/production.py): label = all
+    subfield values space-joined; places from $a (+$e on 260, trailing
+    colon trimmed, period preserved), agents from $b (+$f on 260, trailing
+    comma trimmed), date labels from $c (+$g on 260, trailing period
+    trimmed); 260 with $e/$f/$g carries function Manufacture; 264 takes its
+    function from indicator 2 (4 or blank → event dropped). 260 events are
+    PREFERRED — 264 is used only when no 260 event survives. Serialized
+    ``function|label|places;|agents;|dates;`` per event. (The reference's
+    'replace label-only dates with the 008 range' refinement happens where
+    Periods are parsed — see ``date_range_008`` + ``prod_from``/``prod_to``.)"""
+
+    def events(tag: str):
+        blocks = _all_datafield_blocks(content, [tag])
+
+        def fmt(b):
+            subs = F.regexp_extract_all(b, F.lit(_SUBFIELD_RE), 0)
+            label = F.trim(F.array_join(F.transform(subs, _sub_value), " "))
+
+            def norm_vals(codes, trim):
+                return F.transform(
+                    F.filter(subs, lambda el: _sub_code(el).isin(*codes)),
+                    lambda el: trim(F.trim(_sub_value(el))),
+                )
+
+            place_codes = ["a", "e"] if tag == "260" else ["a"]
+            agent_codes = ["b", "f"] if tag == "260" else ["b"]
+            date_codes = ["c", "g"] if tag == "260" else ["c"]
+            places = norm_vals(place_codes, lambda c: F.regexp_replace(c, r"\s*:\s*$", ""))
+            agents = norm_vals(agent_codes, _trim_trailing_comma)
+            dates = norm_vals(date_codes, _trim_trailing_period)
+            if tag == "260":
+                has_efg = F.exists(subs, lambda el: _sub_code(el).isin("e", "f", "g"))
+                function = F.when(has_efg, F.lit("Manufacture")).otherwise(F.lit(""))
+                keep = label != ""
+            else:
+                ind2 = F.regexp_extract(b, r'ind2="(.)"', 1)
+                function = F.coalesce(
+                    *[F.when(ind2 == k, F.lit(v)) for k, v in _IND2_264_MAP.items()]
+                )
+                keep = (label != "") & function.isNotNull()
+            ev = F.concat_ws(
+                "|",
+                F.coalesce(function, F.lit("")),
+                label,
+                F.array_join(places, ";"),
+                F.array_join(agents, ";"),
+                F.array_join(dates, ";"),
+            )
+            return F.when(keep, ev)
+
+        return F.filter(F.transform(blocks, fmt), lambda e: e.isNotNull())
+
+    e260, e264 = events("260"), events("264")
+    return F.when(F.size(e260) > 0, e260).otherwise(e264)
+
+
+def _date_range_008_expr(content: Column) -> Column:
+    """008 chars 6-14 → the maximal date range string (parsers/field008.py
+    maximal_date_range): type n/| or date1=uuuu → NULL; c/u → '{d1,u→0}-';
+    s/r/t → d1, or '{u→0}-{u→9}' when uncertain; d/m/q → '{d1,u→0}-{d2,u→9}'.
+    Unexpected type codes yield NULL (the reference raises; a column
+    expression degrades, and the transformer's error channel is for
+    mandatory fields)."""
+    f008 = _control_raw(content, "008")
+    dtype = F.substring(f008, 7, 1)
+    d1 = F.substring(f008, 8, 4)
+    d2 = F.substring(f008, 12, 4)
+    d1_0, d1_9 = F.translate(d1, "u", "0"), F.translate(d1, "u", "9")
+    d2_9 = F.translate(d2, "u", "9")
+    return (
+        F.when((f008 == "") | dtype.isin("n", "|") | (d1 == "uuuu"), F.lit(None))
+        .when(dtype.isin("c", "u"), F.concat(d1_0, F.lit("-")))
+        .when(
+            dtype.isin("s", "r", "t"),
+            F.when(d1.contains("u"), F.concat(d1_0, F.lit("-"), d1_9)).otherwise(d1),
+        )
+        .when(dtype.isin("d", "m", "q"), F.concat(d1_0, F.lit("-"), d2_9))
+    )
+
+
 def transform_ebsco_marc(records: DataFrame) -> DataFrame:
     """records(id, content[, deleted, last_modified]) → one work row per
     record:
@@ -460,9 +544,38 @@ def transform_ebsco_marc(records: DataFrame) -> DataFrame:
         F.when(error.isNull() & ~F.col("deleted"), _edition_expr(content)).alias("edition"),
         F.when(error.isNull() & ~F.col("deleted"), _format_expr(content)).alias("format"),
         F.when(error.isNull() & ~F.col("deleted"), _language_expr(content)).alias("language"),
+        F.when(error.isNull() & ~F.col("deleted"), _production_expr(content))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("production"),
+        F.when(error.isNull() & ~F.col("deleted"), _date_range_008_expr(content)).alias(
+            "date_range_008"
+        ),
         error.alias("error"),
         F.when(F.col("deleted"), F.lit("deleted from source")).alias("deleted_reason"),
         F.col("last_modified"),
+    )
+
+
+def with_production_period(works: DataFrame) -> DataFrame:
+    """Parse the 008-derived date range through the engine's period parser
+    (X1), adding ``prod_from``/``prod_to`` ISO date strings — the wiring the
+    reference does in _parse_period_or_bare_label (ebsco/production.py:20-27;
+    the parser handles every maximal_date_range shape, including the
+    half-bounded '1979-')."""
+    from ..functions.periods import parse_period_udf
+
+    # one UDF invocation, projected twice (don't rely on CSE of pandas UDFs)
+    out = works.withColumn(
+        "_pp",
+        F.when(
+            F.col("date_range_008").isNotNull(),
+            parse_period_udf()(F.col("date_range_008")),
+        ),
+    )
+    return (
+        out.withColumn("prod_from", F.col("_pp.from_date").cast("string"))
+        .withColumn("prod_to", F.col("_pp.to_date").cast("string"))
+        .drop("_pp")
     )
 
 

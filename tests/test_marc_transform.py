@@ -285,6 +285,59 @@ def test_edition_format_language(spark):
     assert got4["e4"]["language"] is None and got4["e4"]["edition"] is None
 
 
+def test_production_260_preferred_and_264_functions(spark):
+    """ebsco/production.py: 260 events win over 264; 260 with $e/$f/$g gains
+    function Manufacture; 264 function from ind2 (4/blank dropped); places
+    trim trailing colon, agents trailing comma, dates trailing period."""
+    f260 = _df("260", ("a", "London :"), ("b", "Printed for the author,"), ("c", "1850."))
+    f264 = '<datafield tag="264" ind1=" " ind2="1"><subfield code="a">York :</subfield><subfield code="b">Pub,</subfield><subfield code="c">2001.</subfield></datafield>'
+    got = run(spark, [_rec("r1", _cf001("e1") + _df("245", ("a", "T")) + f260 + f264)])
+    assert got["e1"]["production"] == [
+        "|London : Printed for the author, 1850.|London|Printed for the author|1850"
+    ]
+    # no 260 → the 264 event, with its ind2 function
+    got2 = run(spark, [_rec("r2", _cf001("e2") + _df("245", ("a", "T")) + f264)])
+    assert got2["e2"]["production"] == ["Publication|York : Pub, 2001.|York|Pub|2001"]
+    # 264 ind2=4 (copyright) is dropped entirely
+    f264c = f264.replace('ind2="1"', 'ind2="4"')
+    got3 = run(spark, [_rec("r3", _cf001("e3") + _df("245", ("a", "T")) + f264c)])
+    assert got3["e3"]["production"] == []
+    # 260 with manufacture subfields
+    f260m = _df("260", ("a", "Leeds :"), ("b", "B,"), ("c", "1900."), ("f", "Maker,"))
+    got4 = run(spark, [_rec("r4", _cf001("e4") + _df("245", ("a", "T")) + f260m)])
+    assert got4["e4"]["production"][0].startswith("Manufacture|")
+    assert got4["e4"]["production"][0].endswith("|Leeds|B;Maker|1900")
+
+
+def test_008_maximal_date_range_and_period_parse(spark):
+    """parsers/field008.py maximal_date_range shapes, then the range parsed
+    through the engine's period parser (the production-date wiring)."""
+    from catalogue_pipeline_spark.plans.marc_transform import (
+        transform_ebsco_marc,
+        with_production_period,
+    )
+
+    def rec8(rid, data):
+        return _rec(rid, _cf001(rid) + f'<controlfield tag="008">{data}</controlfield>' + _df("245", ("a", "T")))
+
+    cases = {
+        "s1": ("||||||s1925uuuu", "1925", "1925-01-01", "1925-12-31"),
+        "s2": ("||||||s192uuuuu", "1920-1929", "1920-01-01", "1929-12-31"),
+        "c1": ("||||||u1979uuuu", "1979-", "1979-01-01", "9999-12-31"),
+        "d1": ("||||||d19uu200u", "1900-2009", "1900-01-01", "2009-12-31"),
+        "q1": ("||||||q19251956", "1925-1956", "1925-01-01", "1956-12-31"),
+        "n1": ("||||||n1979uuuu", None, None, None),
+        "u4": ("||||||suuuuuuuu", None, None, None),
+    }
+    rows = [rec8(rid, data) for rid, (data, *_rest) in cases.items()]
+    df = with_production_period(transform_ebsco_marc(spark.createDataFrame(rows, SCHEMA)))
+    got = {r["id"]: r for r in df.collect()}
+    for rid, (_data, rng, from_, to_) in cases.items():
+        assert got[rid]["date_range_008"] == rng, rid
+        assert got[rid]["prod_from"] == from_, rid
+        assert got[rid]["prod_to"] == to_, rid
+
+
 def test_transform_report_counts(spark):
     df = spark.createDataFrame(
         [
