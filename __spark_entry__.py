@@ -1264,6 +1264,25 @@ def _q53_marc_transform(spark, sf_dir):
         ck % 12 == 0,
         F.concat(F.lit('<datafield tag="250">'), sf("a", F.concat(F.lit("Ed "), cks, F.lit("."))), F.lit("</datafield>")),
     ).otherwise(F.lit(""))
+    g655 = F.when(
+        ck % 17 == 0,
+        F.concat(
+            F.lit('<datafield tag="655" ind1=" " ind2="7">'),
+            sf("a", F.concat(F.lit("Genre "), cks, F.lit("."))),
+            sf("x", F.lit("Serial")),
+            F.lit("</datafield>"),
+        ),
+    ).otherwise(F.lit(""))
+    h856 = F.when(
+        ck % 19 == 0,
+        F.concat(
+            F.lit('<datafield tag="856" ind1="4" ind2="0">'),
+            sf("3", F.concat(F.lit("v."), cks)),
+            sf("z", F.lit("View online")),
+            sf("u", F.concat(F.lit("https://h.org/"), cks)),
+            F.lit("</datafield>"),
+        ),
+    ).otherwise(F.lit(""))
     prod264 = F.when(
         ck % 15 == 0,
         F.concat(
@@ -1289,6 +1308,8 @@ def _q53_marc_transform(spark, sf_dir):
                 ids,
                 ed250,
                 prod264,
+                g655,
+                h856,
                 F.lit("</record>"),
             ).alias("content"),
             (ck % 10 == 0).alias("deleted"),
@@ -1313,6 +1334,8 @@ def _q53_marc_transform(spark, sf_dir):
         "date_range_008",
         "prod_from",
         "prod_to",
+        F.concat_ws("~", "genres").alias("genre_csv"),
+        F.concat_ws("~", "holdings").alias("hold_csv"),
         "error",
     )
 
@@ -2256,6 +2279,14 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN del OR t IN (5, 6) THEN NULL ELSE '1991' END AS date_range_008,
                CASE WHEN del OR t IN (5, 6) THEN NULL ELSE '1991-01-01' END AS prod_from,
                CASE WHEN del OR t IN (5, 6) THEN NULL ELSE '1991-12-31' END AS prod_to,
+               -- genre label: parts joined ' - ', only the FULL label's
+               -- trailing period trimmed ('Genre N. - Serial' keeps its dot)
+               CASE WHEN del OR t IN (5, 6) THEN ''
+                    WHEN ck % 17 = 0 THEN 'Genre ' || ck || '. - Serial'
+                    ELSE '' END AS genre_csv,
+               CASE WHEN del OR t IN (5, 6) THEN ''
+                    WHEN ck % 19 = 0 THEN 'v.' || ck || '|View online|https://h.org/' || ck
+                    ELSE '' END AS hold_csv,
                CASE WHEN del THEN NULL
                     WHEN t = 5 THEN 'missing mandatory field 245 (title)'
                     WHEN t = 6 THEN 'empty title field (245) after processing subfields'

@@ -31,6 +31,14 @@ per-row Python):
                    parsers/field006.py)
   * language     — 008 chars 35-37 through the MARC code lookup
                    (ebsco/language.py, parsers/field008.py)
+  * production   — 260/264 events with 260-preference and indicator-2
+                   functions; 008 maximal date ranges through the period
+                   parser (ebsco/production.py, parsers/field008.py)
+  * designation / current frequency — 362 $a / 310 $a$b
+  * genres       — 655 single-$a labels with subdivisions
+                   (ebsco/genres.py, label_subdivisions.py)
+  * holdings     — 856 $3/$z/$u online resources with the URL guard
+                   (ebsco/holdings.py)
   * deleted      — rows flagged deleted become Deleted works (with reason),
                    everything else Visible (marcxml_transformer.py:44-52)
   * errors       — per-record failures don't abort the batch: they surface as
@@ -492,6 +500,89 @@ def _date_range_008_expr(content: Column) -> Column:
     )
 
 
+def _designation_expr(content: Column) -> Column:
+    """362 $a values (ebsco/designation.py)."""
+    blocks = _all_datafield_blocks(content, ["362"])
+    return F.flatten(
+        F.transform(
+            blocks,
+            lambda b: F.transform(
+                F.filter(
+                    F.regexp_extract_all(b, F.lit(_SUBFIELD_RE), 0),
+                    lambda el: _sub_code(el) == "a",
+                ),
+                _sub_value,
+            ),
+        )
+    )
+
+
+def _current_frequency_expr(content: Column) -> Column:
+    """310 $a/$b per field stripped and space-joined, fields joined with
+    spaces; NULL when empty (ebsco/current_frequency.py)."""
+    blocks = _all_datafield_blocks(content, ["310"])
+    per_field = F.transform(
+        blocks,
+        lambda b: F.array_join(
+            F.transform(
+                F.filter(
+                    F.regexp_extract_all(b, F.lit(_SUBFIELD_RE), 0),
+                    lambda el: _sub_code(el).isin("a", "b"),
+                ),
+                lambda el: F.trim(_sub_value(el)),
+            ),
+            " ",
+        ),
+    )
+    return F.nullif(F.trim(F.array_join(per_field, " ")), F.lit(""))
+
+
+def _genres_expr(content: Column) -> Column:
+    """655 → genre labels (ebsco/genres.py): exactly ONE $a required (0 or
+    repeated → whole field discarded); label = $a + v/x/y/z subdivisions
+    ' - '-joined (parts stripped), trailing periods trimmed; the exact label
+    'Electronic Books' is sentence-cased; de-duplicated keeping first."""
+    blocks = _all_datafield_blocks(content, ["655"])
+
+    def fmt(b):
+        subs = F.regexp_extract_all(b, F.lit(_SUBFIELD_RE), 0)
+        n_a = F.size(F.filter(subs, lambda el: _sub_code(el) == "a"))
+        parts = F.transform(
+            F.filter(subs, lambda el: _sub_code(el).isin("a", *_SUBDIVISION_CODES)),
+            lambda el: F.trim(_sub_value(el)),
+        )
+        label = F.regexp_replace(F.array_join(parts, " - "), r"\.+$", "")
+        label = F.when(label == "Electronic Books", F.lit("Electronic books")).otherwise(label)
+        return F.when(n_a == 1, label)
+
+    return F.array_distinct(F.filter(F.transform(blocks, fmt), lambda g: g.isNotNull()))
+
+
+def _holdings_expr(content: Column) -> Column:
+    """856 → online holdings (ebsco/holdings.py): fields carrying $3
+    (enumeration), a URL-shaped first $u and a $z public note become
+    ViewOnline/LicensedResource digital locations; anything incomplete is
+    skipped. Serialized ``enumeration|link_text|url``."""
+    blocks = _all_datafield_blocks(content, ["856"])
+
+    def first_sub(subs, code):
+        arr = F.filter(subs, lambda el: _sub_code(el) == code)
+        return F.when(F.size(arr) > 0, _sub_value(F.element_at(arr, 1)))
+
+    def fmt(b):
+        subs = F.regexp_extract_all(b, F.lit(_SUBFIELD_RE), 0)
+        enum, url, note = first_sub(subs, "3"), first_sub(subs, "u"), first_sub(subs, "z")
+        ok = (
+            enum.isNotNull()
+            & note.isNotNull()
+            & url.isNotNull()
+            & F.trim(url).rlike(r"^https?://")
+        )
+        return F.when(ok, F.concat_ws("|", enum, note, url))
+
+    return F.filter(F.transform(blocks, fmt), lambda h: h.isNotNull())
+
+
 def transform_ebsco_marc(records: DataFrame) -> DataFrame:
     """records(id, content[, deleted, last_modified]) → one work row per
     record:
@@ -550,6 +641,18 @@ def transform_ebsco_marc(records: DataFrame) -> DataFrame:
         F.when(error.isNull() & ~F.col("deleted"), _date_range_008_expr(content)).alias(
             "date_range_008"
         ),
+        F.when(error.isNull() & ~F.col("deleted"), _designation_expr(content))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("designation"),
+        F.when(error.isNull() & ~F.col("deleted"), _current_frequency_expr(content)).alias(
+            "current_frequency"
+        ),
+        F.when(error.isNull() & ~F.col("deleted"), _genres_expr(content))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("genres"),
+        F.when(error.isNull() & ~F.col("deleted"), _holdings_expr(content))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("holdings"),
         error.alias("error"),
         F.when(F.col("deleted"), F.lit("deleted from source")).alias("deleted_reason"),
         F.col("last_modified"),

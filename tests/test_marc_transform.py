@@ -338,6 +338,32 @@ def test_008_maximal_date_range_and_period_parse(spark):
         assert got[rid]["prod_to"] == to_, rid
 
 
+def test_designation_frequency_genres_holdings(spark):
+    """The remaining EbscoWorkBuilder fields: 362 designation, 310 current
+    frequency, 655 genres (single-$a rule, subdivisions, Electronic Books
+    sentence-casing, dedupe), 856 holdings (needs $3+$z+URL-shaped $u)."""
+    fields = (
+        _cf001("e1")
+        + _df("245", ("a", "T"))
+        + _df("362", ("a", "Vol. 1 (1990)-"))
+        + _df("310", ("a", "Monthly,"), ("b", "1990-1995"))
+        + _df("310", ("a", "Quarterly"))
+        + _df("655", ("a", "Electronic Books."))
+        + _df("655", ("a", "Periodicals"), ("x", "History."), ("z", "England"))
+        + _df("655", ("a", "Periodicals"), ("x", "History."), ("z", "England"))  # dup
+        + _df("655", ("a", "First"), ("a", "Second"))  # repeated $a → dropped
+        + _df("655", ("x", "No primary"))  # no $a → dropped
+        + _df("856", ("3", "v.1"), ("z", "View online"), ("u", "https://ex.org/1"))
+        + _df("856", ("3", "v.2"), ("z", "View online"), ("u", "not-a-url"))  # bad url
+        + _df("856", ("z", "no enum"), ("u", "https://ex.org/3"))  # missing $3
+    )
+    got = run(spark, [_rec("r1", fields)])["e1"]
+    assert got["designation"] == ["Vol. 1 (1990)-"]
+    assert got["current_frequency"] == "Monthly, 1990-1995 Quarterly"
+    assert got["genres"] == ["Electronic books", "Periodicals - History. - England"]
+    assert got["holdings"] == ["v.1|View online|https://ex.org/1"]
+
+
 def test_transform_report_counts(spark):
     df = spark.createDataFrame(
         [
