@@ -39,6 +39,8 @@ per-row Python):
                    (ebsco/genres.py, label_subdivisions.py)
   * holdings     — 856 $3/$z/$u online resources with the URL guard
                    (ebsco/holdings.py)
+  * parents      — 440/490/773/830 Series titles, suffix-trimmed + deduped
+                   (ebsco/parents.py)
   * deleted      — rows flagged deleted become Deleted works (with reason),
                    everything else Visible (marcxml_transformer.py:44-52)
   * errors       — per-record failures don't abort the batch: they surface as
@@ -583,6 +585,39 @@ def _holdings_expr(content: Column) -> Column:
     return F.filter(F.transform(blocks, fmt), lambda h: h.isNotNull())
 
 
+_PARENT_TAGS = {"440": ["a"], "490": ["a"], "773": ["t", "a", "s"], "830": ["t", "a"]}
+
+
+def _parents_expr(content: Column) -> Column:
+    """440/490/773/830 → Series parent titles (ebsco/parents.py): per field,
+    the FIRST value among the tag's subfield codes, trailing ';' then ','
+    suffixes removed then stripped; blank or already-seen titles dropped
+    (order-preserving dedupe)."""
+    blocks = _all_datafield_blocks(content, list(_PARENT_TAGS))
+
+    def fmt(b):
+        tag = F.regexp_extract(b, r'tag="(\d{3})"', 1)
+        subs = F.regexp_extract_all(b, F.lit(_SUBFIELD_RE), 0)
+        def tag_candidate(t, codes):
+            # single-arg lambda: F.filter treats a 2-arg lambda as
+            # (element, index), so codes must be closed over, not defaulted
+            arr = F.filter(subs, lambda el: _sub_code(el).isin(*codes))
+            return F.when(
+                (tag == t) & (F.size(arr) > 0), _sub_value(F.element_at(arr, 1))
+            )
+
+        title = F.coalesce(*[tag_candidate(t, c) for t, c in _PARENT_TAGS.items()])
+        # removesuffix(';') then removesuffix(',') then strip
+        title = F.trim(
+            F.regexp_replace(F.regexp_replace(title, r";$", ""), r",$", "")
+        )
+        return F.nullif(title, F.lit(""))
+
+    return F.array_distinct(
+        F.filter(F.transform(blocks, fmt), lambda t: t.isNotNull())
+    )
+
+
 def transform_ebsco_marc(records: DataFrame) -> DataFrame:
     """records(id, content[, deleted, last_modified]) → one work row per
     record:
@@ -653,6 +688,9 @@ def transform_ebsco_marc(records: DataFrame) -> DataFrame:
         F.when(error.isNull() & ~F.col("deleted"), _holdings_expr(content))
         .otherwise(F.array().cast("array<string>"))
         .alias("holdings"),
+        F.when(error.isNull() & ~F.col("deleted"), _parents_expr(content))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("parents"),
         error.alias("error"),
         F.when(F.col("deleted"), F.lit("deleted from source")).alias("deleted_reason"),
         F.col("last_modified"),

@@ -364,6 +364,21 @@ def test_designation_frequency_genres_holdings(spark):
     assert got["holdings"] == ["v.1|View online|https://ex.org/1"]
 
 
+def test_parents_series_titles(spark):
+    """440/490/773/830 → Series parents (ebsco/parents.py): first value of
+    the tag's subfield codes, ';' then ',' suffixes removed, deduped."""
+    fields = (
+        _cf001("e1")
+        + _df("245", ("a", "T"))
+        + _df("490", ("a", "Studies in things ;"))
+        + _df("773", ("t", "Host journal,"), ("g", "Vol. 2"))
+        + _df("830", ("a", "Studies in things"))  # dup after trimming
+        + _df("440", ("x", "no matching code"))  # none of the tag's codes
+    )
+    got = run(spark, [_rec("r1", fields)])["e1"]
+    assert got["parents"] == ["Studies in things", "Host journal"]
+
+
 def test_transform_report_counts(spark):
     df = spark.createDataFrame(
         [
