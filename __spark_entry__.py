@@ -1479,6 +1479,74 @@ def _q56_schema_evolution(spark, sf_dir):
     )
 
 
+def _q57_optimistic_lock(spark, sf_dir):
+    """V4 driver-oracled via probes: compare-and-swap commits against the
+    lake table — a commit carrying a stale expected_parent is REJECTED
+    (CommitConflict), the retry against the moved head succeeds, and of two
+    same-slot racers exactly one wins the O_EXCL lock while the loser gets a
+    conflict (never a silent overwrite). Closed-form oracle pins all counts
+    and the final snapshot id."""
+    import threading
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from catalogue_pipeline_spark.lake.table import CommitConflict, LakeTable
+
+    work = tempfile.mkdtemp(prefix="cps-q57-")
+    try:
+        schema = StructType(
+            [
+                StructField("conv_id", StringType(), False),
+                StructField("turn_idx", LongType(), False),
+            ]
+        )
+        table = LakeTable.create(os.path.join(work, "t"), schema, bucket_key="conv_id", num_buckets=2)
+        table.commit([], set(), {"operation": "a"})  # 0 -> 1
+
+        stale_rejected = 0
+        try:
+            table.commit([], set(), {"operation": "stale"}, expected_parent=0)
+        except CommitConflict:
+            stale_rejected = 1
+        retry_ok = 0
+        snap = table.commit([], set(), {"operation": "retry"}, expected_parent=1)
+        retry_ok = 1 if snap.snapshot_id == 2 else 0
+
+        outcomes: list[str] = []
+        lock = threading.Lock()
+
+        def racer(name: str) -> None:
+            # both racers pin the SAME expected_parent, so exactly one wins
+            # under any interleaving: the loser fails either the CAS check
+            # (winner already published) or the O_EXCL slot write
+            try:
+                LakeTable(table.path).commit(
+                    [], set(), {"operation": name}, expected_parent=2
+                )
+                with lock:
+                    outcomes.append("win")
+            except CommitConflict:
+                with lock:
+                    outcomes.append("conflict")
+
+        threads = [threading.Thread(target=racer, args=(f"r{i}",)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        probes = [
+            ("stale_cas_rejected", stale_rejected),
+            ("retry_succeeded", retry_ok),
+            ("race_winners", outcomes.count("win")),
+            ("race_conflicts", outcomes.count("conflict")),
+            ("final_snapshot", table.current_snapshot_id()),
+        ]
+        return spark.createDataFrame(probes, "probe string, n long")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_cdc_apply": _q01_cdc_apply,
@@ -1537,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_crash_fencing": _q54_crash_fencing,
         "q55_id_minter": _q55_id_minter,
         "q56_schema_evolution": _q56_schema_evolution,
+        "q57_optimistic_lock": _q57_optimistic_lock,
     }
 
 
@@ -2311,6 +2380,15 @@ def oracle_sql() -> dict[str, str]:
     """
     # q56: the expected normalized projection in closed form — v1 rows get a
     # typed-null tool, narrow turn_idx widens to BIGINT, canonical order.
+    # q57: CAS semantics in closed form — stale parent rejected, retry lands
+    # as v2, the race has exactly one winner (v3 final).
+    sql["q57_optimistic_lock"] = """
+        SELECT 'stale_cas_rejected' AS probe, CAST(1 AS BIGINT) AS n
+        UNION ALL SELECT 'retry_succeeded', 1
+        UNION ALL SELECT 'race_winners', 1
+        UNION ALL SELECT 'race_conflicts', 1
+        UNION ALL SELECT 'final_snapshot', 3
+    """
     sql["q56_schema_evolution"] = """
         SELECT c_custkey AS offset,
                'c' || CAST(c_custkey % 40 AS VARCHAR) AS conv_id,
