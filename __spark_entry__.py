@@ -1547,6 +1547,74 @@ def _q57_optimistic_lock(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _q58_concepts_remover(spark, sf_dir):
+    """Catalogue-graph slice driver-oracled: concept node/edge extraction
+    from works (nodes deduped by deterministic label-derived id,
+    concepts_transformer.py:31-60) + TWO incremental graph-remover runs
+    (snapshot diff via anti-joins, 5% safety gate, add/delete logs,
+    graph_remover.py:90-140). The corpus shifts between runs so exactly one
+    concept drops out and two appear; every probe is a closed-form count."""
+    import datetime as dt
+
+    from catalogue_pipeline_spark.plans.concepts import (
+        create_remover_state,
+        extract_concept_edges,
+        extract_concept_nodes,
+        run_graph_remover,
+    )
+
+    work = tempfile.mkdtemp(prefix="cps-q58-")
+    try:
+        ck = F.col("c_custkey")
+
+        def corpus(subj_mod, genre_mod, person_mod):
+            return (
+                spark.read.parquet(_t(sf_dir, "customer"))
+                .filter((ck > 0) & (ck <= 200))
+                .select(
+                    F.concat(F.lit("w"), ck.cast("string")).alias("id"),
+                    F.array(F.concat(F.lit("S"), (ck % subj_mod).cast("string"))).alias("subjects"),
+                    F.when(
+                        ck % 2 == 0,
+                        F.array(F.concat(F.lit("G"), (ck % genre_mod).cast("string"))),
+                    ).otherwise(F.array().cast("array<string>")).alias("genres"),
+                    F.array(
+                        F.concat(F.lit("Person|P"), (ck % person_mod).cast("string"), F.lit("|r|P"))
+                    ).alias("contributors"),
+                )
+            )
+
+        run1, run2 = corpus(20, 10, 30), corpus(21, 11, 29)
+        snap, log = create_remover_state(os.path.join(work, "state"))
+        t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+        n_edges_1 = extract_concept_edges(run1).count()
+        rep1, _ = run_graph_remover(
+            spark, snap, log, extract_concept_nodes(run1).select("concept_id"), t0
+        )
+        rep2, deleted = run_graph_remover(
+            spark,
+            snap,
+            log,
+            extract_concept_nodes(run2).select("concept_id"),
+            t0 + dt.timedelta(days=30),
+        )
+        logs = log.read(spark)
+        probes = [
+            ("edges_run1", n_edges_1),
+            ("first_run_nodes", rep1.n_added),
+            ("run2_previous", rep2.n_previous),
+            ("run2_deleted", rep2.n_deleted),
+            ("run2_added", rep2.n_added),
+            ("snapshot_after_run2", snap.read(spark).count()),
+            ("log_deleted_rows", logs.filter(F.col("action") == "deleted").count()),
+            ("log_added_rows", logs.filter(F.col("action") == "added").count()),
+        ]
+        return spark.createDataFrame(probes, "probe string, n long")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_cdc_apply": _q01_cdc_apply,
@@ -1606,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_id_minter": _q55_id_minter,
         "q56_schema_evolution": _q56_schema_evolution,
         "q57_optimistic_lock": _q57_optimistic_lock,
+        "q58_concepts_remover": _q58_concepts_remover,
     }
 
 
@@ -2388,6 +2457,21 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 'race_winners', 1
         UNION ALL SELECT 'race_conflicts', 1
         UNION ALL SELECT 'final_snapshot', 3
+    """
+    # q58 closed form: run1 nodes = 20 subjects (S0-19) + 5 genres (even ck →
+    # even residues mod 10) + 30 persons = 55; run2 = 21 + 11 (mod 11 covers
+    # all residues over even ck) + 29 = 61 → deleted {P29}, added {S20, the
+    # 6 new genre labels}; edges run1 = 200 subject + 100 genre + 200
+    # contributor tuples.
+    sql["q58_concepts_remover"] = """
+        SELECT 'edges_run1' AS probe, CAST(500 AS BIGINT) AS n
+        UNION ALL SELECT 'first_run_nodes', 55
+        UNION ALL SELECT 'run2_previous', 55
+        UNION ALL SELECT 'run2_deleted', 1
+        UNION ALL SELECT 'run2_added', 7
+        UNION ALL SELECT 'snapshot_after_run2', 61
+        UNION ALL SELECT 'log_deleted_rows', 1
+        UNION ALL SELECT 'log_added_rows', 7
     """
     sql["q56_schema_evolution"] = """
         SELECT c_custkey AS offset,

@@ -425,6 +425,23 @@ class LakeTable:
         return self.commit(added, removed, s, schema=schema,
                            expected_parent=expected_parent)
 
+    def overwrite_all(
+        self,
+        df: DataFrame,
+        changeset_id: str,
+        summary: dict | None = None,
+        sort_cols: list[str] | None = None,
+    ) -> Snapshot:
+        """Full-table replace in ONE atomic snapshot (all previous files
+        removed, new files added together) — the snapshot-advance primitive
+        for control-plane tables like the graph remover's ids snapshot."""
+        added = self.write_data_files(df, changeset_id, sort_cols=sort_cols)
+        parent = self.snapshot()
+        removed = {f["path"] for f in parent.files}
+        s = {"operation": "overwrite-all", "changeset_id": changeset_id}
+        s.update(summary or {})
+        return self.commit(added, removed, s)
+
     def delta_buckets(self, snapshot_id: int | None = None) -> list[int]:
         """Buckets currently carrying merge-on-read delta files."""
         snap = self.snapshot(snapshot_id)

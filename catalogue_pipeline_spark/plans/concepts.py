@@ -1,0 +1,179 @@
+"""Catalogue-graph slice: concept extraction + the incremental graph remover.
+
+The reference's catalogue_graph builds a knowledge graph from works: a
+transformer extracts concept NODES and work→concept EDGES from each work's
+subjects/genres/contributors (graph/transformers/catalogue/
+concepts_transformer.py:31-60 — nodes deduped by wellcome id), and a
+monthly "graph remover" diffs the ids loaded by the current run against the
+previous run's snapshot, deletes the difference from the graph behind a 5%
+fractional-change safety gate, logs added/deleted ids with a 1-year
+retention, and advances the snapshot (graph/steps/graph_remover.py:25-140,
+utils/safety.py:8-23).
+
+Spark-first rendering:
+
+  * concept ids are DETERMINISTIC label-derived canonical ids
+    (functions.canonical_id over (type, label) — the reference's
+    label-derived identifier path), so extraction is a pure projection and
+    re-runs mint identical ids with no coordination;
+  * the previous-ids snapshot and the added/deleted logs are lake tables —
+    the diff is two anti-joins (no driver-side sets, unlike the reference's
+    polars-in-memory sets, so a 10^9-node graph diff still runs);
+  * the safety gate is the shared fractional_change_gate (A8);
+  * log retention is a filtered rewrite at append time, exactly the
+    reference's "remove all IDs older than 1 year".
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+
+from ..functions import canonical_id
+from ..lake.table import LakeTable
+from ..operators.precedence import fractional_change_gate
+
+SNAPSHOT_SCHEMA = StructType([StructField("id", StringType(), False)])
+LOG_SCHEMA = StructType(
+    [
+        StructField("timestamp", TimestampType(), False),
+        StructField("id", StringType(), False),
+        StructField("action", StringType(), False),  # added | deleted
+    ]
+)
+
+
+def extract_concept_nodes(works: DataFrame) -> DataFrame:
+    """Concept nodes from a transformed-works frame: one row per distinct
+    (concept_id, type, label) across subjects, genres and contributor
+    agents. Dedup-by-id is a distinct, not a driver-side seen-set
+    (concepts_transformer.py:33-43)."""
+    subj = works.select(
+        F.explode("subjects").alias("label"), F.lit("Subject").alias("type")
+    )
+    genr = works.select(
+        F.explode("genres").alias("label"), F.lit("Genre").alias("type")
+    )
+    # contributor strings serialize as type|label|roles|P-or-S
+    contrib = works.select(F.explode("contributors").alias("c")).select(
+        F.split("c", r"\|")[1].alias("label"), F.split("c", r"\|")[0].alias("type")
+    )
+    nodes = subj.unionByName(genr).unionByName(contrib).filter(F.col("label") != "")
+    return nodes.select(
+        canonical_id(F.col("type"), F.col("label")).alias("concept_id"),
+        "type",
+        "label",
+    ).distinct()
+
+
+def extract_concept_edges(works: DataFrame, id_col: str = "id") -> DataFrame:
+    """work→concept HAS_CONCEPT edges, one per (work, concept, field)."""
+    parts = []
+    for field, typ in (("subjects", "Subject"), ("genres", "Genre")):
+        parts.append(
+            works.select(
+                F.col(id_col).alias("work_id"), F.explode(field).alias("label")
+            ).select(
+                "work_id",
+                canonical_id(F.lit(typ), F.col("label")).alias("concept_id"),
+                F.lit(field).alias("field"),
+            )
+        )
+    contrib = works.select(
+        F.col(id_col).alias("work_id"), F.explode("contributors").alias("c")
+    ).select(
+        "work_id",
+        canonical_id(F.split("c", r"\|")[0], F.split("c", r"\|")[1]).alias("concept_id"),
+        F.lit("contributors").alias("field"),
+    )
+    parts.append(contrib)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+@dataclass
+class RemoverReport:
+    first_run: bool
+    n_previous: int
+    n_current: int
+    n_added: int
+    n_deleted: int
+
+
+def create_remover_state(path: str) -> tuple[LakeTable, LakeTable]:
+    snap = LakeTable.create(f"{path}/ids_snapshot", SNAPSHOT_SCHEMA, bucket_key="id", num_buckets=8)
+    log = LakeTable.create(f"{path}/ids_log", LOG_SCHEMA, bucket_key="id", num_buckets=8)
+    return snap, log
+
+
+def run_graph_remover(
+    spark: SparkSession,
+    snapshot_table: LakeTable,
+    log_table: LakeTable,
+    current_ids: DataFrame,
+    now: dt.datetime,
+    threshold: float = 0.05,
+    force: bool = False,
+    retention_days: int = 365,
+) -> tuple[RemoverReport, DataFrame]:
+    """One remover run: diff current vs the snapshot, gate, log, advance.
+
+    Returns (report, deleted_ids_df) — the caller applies the deletions to
+    its downstream store (the reference calls Neptune delete_entities_by_id;
+    here deletions typically become tombstones through the merge path).
+    First run (empty snapshot): nothing deleted, everything recorded.
+    """
+    cur = current_ids.select(F.col(current_ids.columns[0]).alias("id")).distinct()
+    prev = snapshot_table.read(spark).select("id")
+    n_prev, n_cur = prev.count(), cur.count()
+    first_run = n_prev == 0
+
+    deleted = prev.join(cur, "id", "left_anti")
+    added = cur.join(prev, "id", "left_anti")
+    n_deleted = 0 if first_run else deleted.count()
+    n_added = 0 if first_run else added.count()
+
+    # the 5% safety valve (safety.py DEFAULT_THRESHOLD; A8)
+    fractional_change_gate(n_deleted, n_prev, threshold=threshold, force=force)
+
+    # append added/deleted log rows, pruning entries past retention — the
+    # rewrite IS the retention policy (graph_remover.py:79-83). On the first
+    # run both sets are empty (graph_remover.py:104-110): the baseline load
+    # is not an "addition".
+    stamp = F.lit(now).cast("timestamp")
+    log_src = (
+        deleted.withColumn("action", F.lit("deleted")).unionByName(
+            added.withColumn("action", F.lit("added"))
+        )
+        if not first_run
+        else spark.createDataFrame([], "id string, action string")
+    )
+    new_rows = log_src.select(stamp.alias("timestamp"), "id", "action")
+    cutoff = now - dt.timedelta(days=retention_days)
+    kept = log_table.read(spark).filter(F.col("timestamp") >= F.lit(cutoff))
+    log_table.overwrite_all(
+        kept.unionByName(new_rows),
+        changeset_id=f"remover-{now:%Y%m%dT%H%M%S}",
+        summary={"operation": "remover-log"},
+    )
+
+    # advance the ids snapshot to the current run
+    snapshot_table.overwrite_all(
+        cur,
+        changeset_id=f"snapshot-{now:%Y%m%dT%H%M%S}",
+        summary={"operation": "ids-snapshot"},
+    )
+    report = RemoverReport(
+        first_run=first_run,
+        n_previous=n_prev,
+        n_current=n_cur,
+        n_added=n_added if not first_run else n_cur,
+        n_deleted=n_deleted,
+    )
+    return report, deleted

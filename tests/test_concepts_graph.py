@@ -1,0 +1,101 @@
+"""Catalogue-graph slice: concept node/edge extraction + the incremental
+graph remover (graph/steps/graph_remover.py semantics — snapshot diff, 5%
+safety gate, add/delete logs with retention, snapshot advance)."""
+
+import datetime as dt
+import os
+
+import pytest
+
+from catalogue_pipeline_spark.plans.concepts import (
+    create_remover_state,
+    extract_concept_edges,
+    extract_concept_nodes,
+    run_graph_remover,
+)
+
+WORKS_SCHEMA = (
+    "id string, subjects array<string>, genres array<string>, contributors array<string>"
+)
+
+
+def works_df(spark, rows):
+    return spark.createDataFrame(rows, WORKS_SCHEMA)
+
+
+def test_concept_nodes_and_edges(spark):
+    rows = [
+        ("w1", ["Medicine - History"], ["Periodicals"], ["Person|Smith, Jane|editor|P"]),
+        ("w2", ["Medicine - History"], [], []),  # same subject → one node
+        ("w3", [], [], ["Person|Smith, Jane|editor|S"]),  # same agent label
+    ]
+    nodes = extract_concept_nodes(works_df(spark, rows)).collect()
+    by_label = {(r["type"], r["label"]): r["concept_id"] for r in nodes}
+    assert set(by_label) == {
+        ("Subject", "Medicine - History"),
+        ("Genre", "Periodicals"),
+        ("Person", "Smith, Jane"),
+    }
+    # deterministic label-derived ids in the canonical alphabet
+    assert all(len(cid) == 8 for cid in by_label.values())
+
+    edges = extract_concept_edges(works_df(spark, rows)).collect()
+    got = {(r["work_id"], r["field"]) for r in edges}
+    assert got == {
+        ("w1", "subjects"), ("w1", "genres"), ("w1", "contributors"),
+        ("w2", "subjects"), ("w3", "contributors"),
+    }
+    # the shared subject points both works at the SAME concept node
+    subj_ids = {r["concept_id"] for r in edges if r["field"] == "subjects"}
+    assert len(subj_ids) == 1
+    assert subj_ids == {by_label[("Subject", "Medicine - History")]}
+
+
+def test_graph_remover_diff_log_and_snapshot(spark, tmp_path):
+    snap, log = create_remover_state(os.path.join(str(tmp_path), "state"))
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    ids1 = spark.createDataFrame([(f"c{i}",) for i in range(100)], "id string")
+    rep1, deleted1 = run_graph_remover(spark, snap, log, ids1, t0)
+    assert rep1.first_run and rep1.n_deleted == 0 and rep1.n_added == 100
+    assert deleted1.count() == 0
+    assert snap.read(spark).count() == 100
+
+    # run 2: 3 ids drop out, 2 new appear (within the 5% gate)
+    ids2 = spark.createDataFrame(
+        [(f"c{i}",) for i in range(3, 100)] + [("n1",), ("n2",)], "id string"
+    )
+    rep2, deleted2 = run_graph_remover(spark, snap, log, ids2, t0 + dt.timedelta(days=1))
+    assert (rep2.n_deleted, rep2.n_added) == (3, 2)
+    assert sorted(r["id"] for r in deleted2.collect()) == ["c0", "c1", "c2"]
+    assert snap.read(spark).count() == 99
+    logs = log.read(spark).collect()
+    assert sum(1 for r in logs if r["action"] == "deleted") == 3
+    assert sum(1 for r in logs if r["action"] == "added") == 2
+
+    # run 3: mass deletion trips the 5% gate...
+    ids3 = spark.createDataFrame([(f"c{i}",) for i in range(50, 100)], "id string")
+    with pytest.raises(ValueError, match="safety gate"):
+        run_graph_remover(spark, snap, log, ids3, t0 + dt.timedelta(days=2))
+    assert snap.read(spark).count() == 99  # snapshot NOT advanced
+    # ...unless forced (the reference's force_pass escape hatch)
+    rep3, _ = run_graph_remover(
+        spark, snap, log, ids3, t0 + dt.timedelta(days=2), force=True
+    )
+    assert rep3.n_deleted == 49 and snap.read(spark).count() == 50
+
+
+def test_graph_remover_log_retention(spark, tmp_path):
+    snap, log = create_remover_state(os.path.join(str(tmp_path), "state"))
+    t0 = dt.datetime(2024, 1, 1)
+    run_graph_remover(spark, snap, log, spark.createDataFrame([("a",), ("b",)], "id string"), t0)
+    # a year + later: old log rows age out during the next append
+    run_graph_remover(
+        spark, snap, log,
+        spark.createDataFrame([("a",), ("c",)], "id string"),
+        t0 + dt.timedelta(days=400), force=True,
+    )
+    logs = log.read(spark).collect()
+    # first run logged nothing (first_run), so only run-2 rows exist and all
+    # are within retention
+    assert {(r["id"], r["action"]) for r in logs} == {("b", "deleted"), ("c", "added")}
