@@ -1615,6 +1615,161 @@ def _q58_concepts_remover(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _q59_sierra_transform(spark, sf_dir):
+    """Per-source transformer slice #2 (Sierra bib JSON → work fields)
+    driver-oracled: bib records are GENERATED deterministically from customer
+    as Sierra REST-API JSON (to_json of typed varField structs — 8 title
+    templates, materialType rotation incl. linked formats, check-digit ids,
+    visual-collections iconographic numbers with 099 fallback, digcodes,
+    ESTC, and the full merge-candidate family: 776 UkLW, Miro 089/962 with
+    suffix preference, Calm UUIDs, EBSCO EBZ), transformed by the
+    from_json + higher-order-function rule plan, and checked against an
+    oracle that computes every record's expected work fields in CLOSED
+    FORM (including the mod-11 check digit)."""
+    from catalogue_pipeline_spark.plans.sierra_transform import transform_sierra
+
+    ck = F.col("c_custkey")
+    cks = ck.cast("string")
+    sid = (ck + 1000000).cast("string")
+    m = ck % 6
+    t = ck % 8
+    is_ebz = (m == 0) & (ck % 23 == 0)
+    has_001_icono = m.isin(1, 2) & (ck % 16 != 1)
+
+    def vfs(marcTag, subs, content=None, ind2=" "):
+        """One fully-typed varField struct (to_json omits nulls)."""
+        return F.struct(
+            F.lit("a").alias("fieldTag"),
+            F.lit(marcTag).alias("marcTag"),
+            F.lit(" ").alias("ind1"),
+            F.lit(ind2).alias("ind2"),
+            (content if content is not None else F.lit(None).cast("string")).alias(
+                "content"
+            ),
+            (
+                F.array(
+                    *[
+                        F.struct(F.lit(c).alias("tag"), v.alias("content"))
+                        for c, v in subs
+                    ]
+                )
+                if subs
+                else F.lit(None).cast(
+                    "array<struct<tag:string,content:string>>"
+                )
+            ).alias("subfields"),
+        )
+
+    L = F.lit
+    c001 = (
+        F.when(
+            has_001_icono,
+            F.when(ck % 5 != 2, F.concat(cks, L("i"))).otherwise(F.concat(L("x"), cks)),
+        )
+        .when(is_ebz, F.concat(L("ebs"), cks, L("e")))
+    )
+    f245 = (
+        F.when(t == 0, vfs("245", [("a", F.concat(L("Work "), cks))]))
+        .when(t == 1, vfs("245", [("a", F.concat(L("Work "), cks, L(" :"))), ("b", F.concat(L("part B"), cks))]))
+        .when(t == 2, vfs("245", [("a", F.concat(L("Work "), cks)), ("h", L("[electronic resource] :")), ("b", F.concat(L("sub "), cks))]))
+        .when(t == 3, vfs("245", [("a", F.concat(L("Work "), cks)), ("h", L("[art original]"))]))
+        .when(t == 4, vfs("245", [("n", F.concat(L("Vol. "), (ck % 9).cast("string"), L(","))), ("p", F.concat(L("Sequel "), cks))]))
+        .when(t == 6, vfs("245", [("z", L("zz"))]))
+        .when(t == 7, vfs("245", [("a", F.concat(L("A & B "), cks))]))
+    )
+    uuid = F.concat(L("00000000-0000-4000-8000-"), F.lpad(cks, 12, "0"))
+    miro7 = F.lpad(cks, 7, "0")
+    w776 = (
+        F.when(ck % 21 == 0, F.array(
+            vfs("776", [("w", F.concat(L("(UkLW)b"), (ck + 2000000).cast("string"), (ck % 10).cast("string")))]),
+            vfs("776", [("w", F.concat(L("(UkLW)b"), (ck + 3000000).cast("string"), L("x")))]),
+        ))
+        .when(ck % 11 == 0, F.array(
+            vfs("776", [("w", F.concat(L("(UkLW) b"), (ck + 2000000).cast("string"), (ck % 10).cast("string")))]),
+        ))
+        .when(ck % 17 == 0, F.array(vfs("776", [("w", L("(OCLC)999"))])))
+        .otherwise(F.array().cast("array<struct<fieldTag:string,marcTag:string,ind1:string,ind2:string,content:string,subfields:array<struct<tag:string,content:string>>>>"))
+    )
+    maybe = lambda cond, field: F.when(cond, field)  # noqa: E731
+    fields = F.filter(
+        F.concat(
+            F.array(
+                maybe(c001.isNotNull(), vfs("001", None, content=c001)),
+                maybe(is_ebz, vfs("003", None, content=L("EBZ"))),
+                maybe(m.isin(1, 2) & (ck % 16 == 1), vfs("099", [("a", F.concat(cks, L("i.2")))])),
+                F.when(t != 5, f245),
+                maybe(ck % 3 == 0, vfs("020", [("a", F.concat(L("ibn"), cks))])),
+                maybe(ck % 5 == 0, vfs("020", [("z", L("cancelled"))])),
+                maybe(ck % 4 == 0, vfs("022", [("a", F.concat(L("isn"), cks))])),
+                maybe(ck % 7 == 0, vfs("759", [("a", L("digmoh(Channel)"))])),
+                maybe(ck % 7 == 0, vfs("759", [("a", L("digmoh"))])),
+                maybe(ck % 7 == 3, vfs("759", [("a", L("digabc"))])),
+                maybe(ck % 5 == 0, vfs("240", [("a", F.concat(L("Uniform "), cks)), ("5", L("UkLW"))])),
+                maybe(ck % 15 == 0, vfs("242", [("a", F.concat(L("Uniform "), cks))])),
+                maybe(ck % 10 == 5, vfs("246", [("a", F.concat(L("Caption "), cks))], ind2="6")),
+                maybe(ck % 13 == 0, vfs("246", [("a", F.concat(L("Varying "), cks))])),
+                maybe(ck % 4 == 3, vfs("514", [("a", F.concat(L("Lettered "), cks))])),
+                maybe(ck % 4 == 1, vfs("300", [("a", F.concat(cks, L(" sheets"))), ("c", L("20 cm"))])),
+                maybe(ck % 4 == 1, vfs("300", [("b", L("col."))])),
+                maybe(ck % 6 == 0, vfs("520", [("a", F.concat(L("Sum "), cks, L("."))), ("u", F.concat(L("https://ex.org/"), cks))])),
+                maybe(ck % 12 == 0, vfs("250", [("a", F.concat(L(" Ed "), cks, L(". ")))])),
+                maybe(ck % 24 == 0, vfs("250", [("a", L("rev."))])),
+                maybe(ck % 18 == 0, vfs("362", [("a", F.concat(L("Began vol. "), cks))])),
+                maybe(ck % 14 == 0, vfs("310", [("a", L("Monthly,")), ("b", L("1990-"))])),
+                maybe(ck % 14 == 7, vfs("321", [("a", L("Weekly"))])),
+                maybe(ck % 28 == 7, vfs("321", [("a", L("Daily"))])),
+                maybe(ck % 22 == 0, vfs("510", [("a", L("ESTC")), ("c", F.concat(L("T"), cks))])),
+                maybe(ck % 22 == 11, vfs("510", [("a", L("ESTC")), ("c", F.concat(L("cf. T"), cks))])),
+                maybe(ck % 6 == 0, vfs("089", [("a", F.concat(L("V "), cks))])),
+                maybe(ck % 12 == 0, vfs("962", [("u", F.concat(L("http://wellcomeimages.org/indexplus/image/V"), miro7, L("EL.html")))])),
+                maybe(ck % 8 == 0, vfs("035", [("a", uuid)])),
+                maybe(ck % 8 == 4, vfs("035", [("a", F.concat(L("(OCoLC)"), cks))])),
+                maybe(ck % 9 == 1, vfs("490", [("a", F.concat(L("Series "), cks, L(" ;")))])),
+            ),
+            w776,
+        ),
+        lambda x: x.isNotNull(),
+    )
+    mt_code = (
+        F.when(m == 0, L("a")).when(m == 1, L("k")).when(m == 2, L("r"))
+        .when(m == 3, L("v")).when(m == 4, L("j")).otherwise(L("9"))
+    )
+    doc = F.struct(
+        sid.alias("id"),
+        (ck % 10 == 0).alias("deleted"),
+        (ck % 9 == 0).alias("suppressed"),
+        F.struct(mt_code.alias("code"), L("X").alias("value")).alias("materialType"),
+        fields.alias("varFields"),
+    )
+    bibs = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .filter((ck > 0) & (ck <= 400))
+        .select(sid.alias("id"), F.to_json(doc).alias("content"))
+    )
+    out = transform_sierra(bibs)
+    return out.select(
+        "id",
+        "sierra_id",
+        "type",
+        "reason",
+        "title",
+        F.concat_ws("~", "alternative_titles").alias("alt_csv"),
+        "format_id",
+        "format_label",
+        "physical_description",
+        "lettering",
+        "edition",
+        "description",
+        F.concat_ws("~", "designations").alias("desig_csv"),
+        "current_frequency",
+        F.concat_ws("~", "former_frequencies").alias("former_csv"),
+        "reference_number",
+        F.concat_ws("~", "other_identifiers").alias("ids_csv"),
+        F.concat_ws("~", "merge_candidates").alias("merge_csv"),
+        F.concat_ws("~", "parents").alias("parents_csv"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_cdc_apply": _q01_cdc_apply,
@@ -1675,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_schema_evolution": _q56_schema_evolution,
         "q57_optimistic_lock": _q57_optimistic_lock,
         "q58_concepts_remover": _q58_concepts_remover,
+        "q59_sierra_transform": _q59_sierra_transform,
     }
 
 
@@ -2472,6 +2628,106 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 'snapshot_after_run2', 61
         UNION ALL SELECT 'log_deleted_rows', 1
         UNION ALL SELECT 'log_added_rows', 7
+    """
+    # q59: closed-form expectation of the Sierra bib-JSON transformer — the
+    # oracle recomputes every work field (including the mod-11 b-number
+    # check digit) arithmetically from the generator parameters.
+    sql["q59_sierra_transform"] = """
+        WITH b AS (
+          SELECT c_custkey AS ck,
+                 c_custkey % 6 AS m,
+                 c_custkey % 8 AS t,
+                 CAST(c_custkey AS VARCHAR) AS cks,
+                 CAST(1000000 + c_custkey AS VARCHAR) AS sid
+          FROM customer WHERE c_custkey > 0 AND c_custkey <= 400
+        ), d AS (
+          SELECT *,
+                 (8 + (ck // 100) * 4 + ((ck // 10) % 10) * 3 + (ck % 10) * 2) % 11 AS rem,
+                 ck % 10 = 0 AS del,
+                 ck % 9 = 0 AS sup,
+                 (m = 0 AND ck % 23 = 0) AS ebz,
+                 NOT (ck % 10 = 0 OR ck % 9 = 0 OR t IN (5, 6)) AS vis,
+                 CASE WHEN m IN (1, 2) THEN
+                   CASE WHEN ck % 16 = 1 THEN cks || 'i.2'
+                        WHEN ck % 5 <> 2 THEN cks || 'i' END
+                 END AS icono
+          FROM b
+        )
+        SELECT
+          'b' || sid || CASE WHEN rem = 10 THEN 'x' ELSE CAST(rem AS VARCHAR) END AS id,
+          sid AS sierra_id,
+          CASE WHEN del OR sup THEN 'Deleted'
+               WHEN t IN (5, 6) THEN 'Invisible' ELSE 'Visible' END AS type,
+          CASE WHEN del THEN 'DeletedFromSource(Sierra)'
+               WHEN sup THEN 'SuppressedFromSource(Sierra)'
+               WHEN t = 5 THEN 'UnableToTransform(Could not find field 245 to create title)'
+               WHEN t = 6 THEN 'UnableToTransform(No subfields in field 245 for constructing the title)'
+          END AS reason,
+          CASE WHEN vis THEN
+            CASE t WHEN 0 THEN 'Work ' || cks
+                   WHEN 1 THEN 'Work ' || cks || ' : part B' || cks
+                   WHEN 2 THEN 'Work ' || cks || ' : sub ' || cks
+                   WHEN 3 THEN 'Work ' || cks
+                   WHEN 4 THEN 'Vol. ' || CAST(ck % 9 AS VARCHAR) || ', Sequel ' || cks
+                   WHEN 7 THEN 'A & B ' || cks END
+          END AS title,
+          CASE WHEN vis THEN COALESCE(array_to_string(list_filter([
+                 CASE WHEN ck % 5 = 0 THEN 'Uniform ' || cks END,
+                 CASE WHEN ck % 13 = 0 THEN 'Varying ' || cks END
+               ], x -> x IS NOT NULL), '~'), '') ELSE '' END AS alt_csv,
+          CASE WHEN vis THEN
+            CASE m WHEN 0 THEN 'a' WHEN 1 THEN 'k' WHEN 2 THEN 'r'
+                   WHEN 3 THEN 'a' WHEN 4 THEN 'd' END
+          END AS format_id,
+          CASE WHEN vis THEN
+            CASE m WHEN 0 THEN 'Books' WHEN 1 THEN 'Pictures'
+                   WHEN 2 THEN '3-D Objects' WHEN 3 THEN 'Books'
+                   WHEN 4 THEN 'Journals' END
+          END AS format_label,
+          CASE WHEN vis AND ck % 4 = 1
+               THEN cks || ' sheets 20 cm<br/>col.' END AS physical_description,
+          CASE WHEN vis THEN NULLIF(COALESCE(array_to_string(list_filter([
+                 CASE WHEN ck % 10 = 5 THEN 'Caption ' || cks END,
+                 CASE WHEN m = 1 AND ck % 4 = 3 THEN 'Lettered ' || cks END
+               ], x -> x IS NOT NULL), chr(10) || chr(10)), ''), '') END AS lettering,
+          CASE WHEN vis AND ck % 12 = 0 THEN
+            'Ed ' || cks || '.' || CASE WHEN ck % 24 = 0 THEN ' rev.' ELSE '' END
+          END AS edition,
+          CASE WHEN vis AND ck % 6 = 0 THEN
+            '<p>Sum ' || cks || '. <a href="https://ex.org/' || cks
+            || '">https://ex.org/' || cks || '</a></p>'
+          END AS description,
+          CASE WHEN vis AND ck % 18 = 0 THEN 'Began vol. ' || cks ELSE '' END AS desig_csv,
+          CASE WHEN vis AND ck % 14 = 0 THEN 'Monthly, 1990-' END AS current_frequency,
+          CASE WHEN vis AND ck % 14 = 7 THEN
+            'Weekly' || CASE WHEN ck % 28 = 7 THEN '~Daily' ELSE '' END
+          ELSE '' END AS former_csv,
+          CASE WHEN vis THEN icono END AS reference_number,
+          CASE WHEN vis THEN COALESCE(array_to_string(list_filter([
+                 'sierra-identifier:' || sid,
+                 CASE WHEN ck % 3 = 0 THEN 'isbn:ibn' || cks END,
+                 CASE WHEN ck % 4 = 0 THEN 'issn:isn' || cks END,
+                 CASE WHEN ck % 7 = 0 THEN 'wellcome-digcode:digmoh' END,
+                 CASE WHEN ck % 7 = 3 THEN 'wellcome-digcode:digabc' END,
+                 CASE WHEN icono IS NOT NULL THEN 'iconographic-number:' || icono END,
+                 CASE WHEN ck % 22 = 0 THEN 'estc:T' || cks END
+               ], x -> x IS NOT NULL), '~'), '') ELSE '' END AS ids_csv,
+          COALESCE(array_to_string(list_filter([
+            CASE WHEN ck % 21 <> 0 AND ck % 11 = 0 THEN
+              'sierra-system-number:b' || CAST(2000000 + ck AS VARCHAR)
+              || CAST(ck % 10 AS VARCHAR) || ':Physical/digitised Sierra work' END,
+            CASE WHEN ck % 12 = 0 THEN
+              'miro-image-number:V' || lpad(cks, 7, '0') || 'EL:Miro/Sierra work'
+                 WHEN ck % 6 = 0 THEN
+              'miro-image-number:V' || lpad(cks, 7, '0') || ':Miro/Sierra work' END,
+            CASE WHEN ck % 8 = 0 THEN
+              'calm-record-id:00000000-0000-4000-8000-' || lpad(cks, 12, '0')
+              || ':Calm/Sierra harvest' END,
+            CASE WHEN ebz THEN
+              'ebsco-alt-lookup:ebs' || cks || 'e:EBSCO/Sierra e-resource' END
+          ], x -> x IS NOT NULL), '~'), '') AS merge_csv,
+          CASE WHEN ck % 9 = 1 THEN 'Series ' || cks ELSE '' END AS parents_csv
+        FROM d
     """
     sql["q56_schema_evolution"] = """
         SELECT c_custkey AS offset,
