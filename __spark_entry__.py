@@ -1770,6 +1770,55 @@ def _q59_sierra_transform(spark, sf_dir):
     )
 
 
+def _q60_sierra_linker(spark, sf_dir):
+    """Sierra linker fold driver-oracled: two update batches are generated
+    deterministically from customer (batch 1 creates every link; batch 2
+    mixes moves, stale re-deliveries that must be DISCARDED, and same-batch
+    double-updates whose earlier bib ends up unlinked), folded through
+    update_links, and checked against a closed-form oracle of the LinkOps
+    rule ((old linked ∪ old unlinked ∪ survivors) − winner)."""
+    from catalogue_pipeline_spark.plans.sierra_linker import update_links
+
+    ck = F.col("c_custkey")
+    cks = ck.cast("string")
+    base = spark.read.parquet(_t(sf_dir, "customer")).filter((ck > 0) & (ck <= 300))
+    b = lambda n: F.concat(F.lit("b"), n.cast("string"))  # noqa: E731
+    t1 = (100 + ck % 7).cast("long")
+
+    batch1 = base.select(
+        F.concat(F.lit("i"), cks).alias("record_id"),
+        F.when(ck % 3 == 0, F.array(b(ck % 50), b((ck + 1) % 50)))
+        .otherwise(F.array(b(ck % 50)))
+        .alias("bib_ids"),
+        t1.alias("ts"),
+        ck.cast("long").alias("seq"),
+    )
+    upd_a = base.select(
+        F.concat(F.lit("i"), cks).alias("record_id"),
+        F.array(b((ck + 2) % 50)).alias("bib_ids"),
+        F.when(ck % 5 == 0, t1 - 3600).otherwise(t1 + 60).cast("long").alias("ts"),
+        (ck + 1000).cast("long").alias("seq"),
+    )
+    upd_b = base.filter(ck % 6 == 0).select(
+        F.concat(F.lit("i"), cks).alias("record_id"),
+        F.array(b((ck + 3) % 50)).alias("bib_ids"),
+        (t1 + 120).cast("long").alias("ts"),
+        (ck + 2000).cast("long").alias("seq"),
+    )
+    state0 = spark.createDataFrame(
+        [], "record_id string, bib_ids array<string>, "
+        "unlinked_bib_ids array<string>, ts long"
+    )
+    state1 = update_links(state0, batch1).localCheckpoint()
+    state2 = update_links(state1, upd_a.unionByName(upd_b))
+    return state2.select(
+        "record_id",
+        F.concat_ws(",", "bib_ids").alias("bib_csv"),
+        F.concat_ws(",", F.array_sort("unlinked_bib_ids")).alias("unlinked_csv"),
+        "ts",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_cdc_apply": _q01_cdc_apply,
@@ -1831,6 +1880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_optimistic_lock": _q57_optimistic_lock,
         "q58_concepts_remover": _q58_concepts_remover,
         "q59_sierra_transform": _q59_sierra_transform,
+        "q60_sierra_linker": _q60_sierra_linker,
     }
 
 
@@ -2727,6 +2777,38 @@ def oracle_sql() -> dict[str, str]:
               'ebsco-alt-lookup:ebs' || cks || 'e:EBSCO/Sierra e-resource' END
           ], x -> x IS NOT NULL), '~'), '') AS merge_csv,
           CASE WHEN ck % 9 = 1 THEN 'Series ' || cks ELSE '' END AS parents_csv
+        FROM d
+    """
+    # q60: closed-form LinkOps fold — per record the oracle enumerates the
+    # four batch-2 cases (move applied / same-batch double update / stale
+    # discarded / stale+double) and recomputes bib_ids, unlinked and ts.
+    sql["q60_sierra_linker"] = """
+        WITH d AS (
+          SELECT c_custkey AS ck,
+                 CAST(100 + c_custkey % 7 AS BIGINT) AS ts1,
+                 'b' || CAST(c_custkey % 50 AS VARCHAR) AS b0,
+                 'b' || CAST((c_custkey + 1) % 50 AS VARCHAR) AS b1,
+                 'b' || CAST((c_custkey + 2) % 50 AS VARCHAR) AS b2,
+                 'b' || CAST((c_custkey + 3) % 50 AS VARCHAR) AS b3,
+                 c_custkey % 3 = 0 AS two,
+                 c_custkey % 5 = 0 AS stale,
+                 c_custkey % 6 = 0 AS hasb
+          FROM customer WHERE c_custkey > 0 AND c_custkey <= 300
+        )
+        SELECT 'i' || CAST(ck AS VARCHAR) AS record_id,
+               CASE WHEN hasb THEN b3
+                    WHEN NOT stale THEN b2
+                    WHEN two THEN b0 || ',' || b1
+                    ELSE b0 END AS bib_csv,
+               COALESCE(array_to_string(list_sort(
+                 CASE WHEN NOT stale AND hasb THEN
+                        CASE WHEN two THEN [b0, b1, b2] ELSE [b0, b2] END
+                      WHEN NOT stale OR hasb THEN
+                        CASE WHEN two THEN [b0, b1] ELSE [b0] END
+                      ELSE CAST([] AS VARCHAR[]) END), ','), '') AS unlinked_csv,
+               CASE WHEN hasb THEN ts1 + 120
+                    WHEN NOT stale THEN ts1 + 60
+                    ELSE ts1 END AS ts
         FROM d
     """
     sql["q56_schema_evolution"] = """
