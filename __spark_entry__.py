@@ -1819,6 +1819,102 @@ def _q60_sierra_linker(spark, sf_dir):
     )
 
 
+def _q61_stream_sessionize(spark, sf_dir):
+    """ST1 driver-oracled: the applyInPandasWithState sessionizer run as a
+    REAL Structured Streaming query (4 file micro-batches cut on event_id
+    ranges — ts is monotone in event_id, so per-user arrival stays
+    ts-ordered across batches) must equal the analytic-window session count
+    the DuckDB oracle computes with lag() over the same events. State is two
+    scalars per user carried by the state store across micro-batches."""
+    from catalogue_pipeline_spark.streaming.sessionize import sessionize_stream
+
+    work = tempfile.mkdtemp(prefix="cps-q61-")
+    try:
+        ev = spark.read.parquet(_t(sf_dir, "events")).select(
+            "user_id", "event_id", "ts"
+        )
+        n = ev.count()
+        src = os.path.join(work, "arrivals")
+        for i in range(4):
+            lo, hi = i * n // 4, (i + 1) * n // 4
+            (
+                ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+                .coalesce(1)
+                .write.parquet(os.path.join(src, f"b{i}"))
+            )
+        stream = (
+            spark.readStream.schema("user_id long, event_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        q = (
+            sessionize_stream(stream, gap_seconds=300.0)
+            .writeStream.format("memory")
+            .queryName("q61_sessions")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # update mode re-emits a row per user per micro-batch; the final
+        # state is the last emission (max session_end wins)
+        out = (
+            spark.table("q61_sessions")
+            .groupBy("user_id")
+            .agg(F.max(F.struct("session_end", "n_sessions")).alias("w"))
+            .select("user_id", F.col("w.n_sessions").alias("n_sessions"))
+        )
+        # materialize before the temp dir disappears
+        return spark.createDataFrame(
+            out.collect(), "user_id long, n_sessions long"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _q62_related_concepts(spark, sf_dir):
+    """Knowledge-graph related-concepts (referenced-together) driver-oracled:
+    HAS_CONCEPT edges are generated deterministically from customer (subject
+    pairs S_i/S_{i+1}, contributor pairs, genres on even works), pushed
+    through the co-occurrence operator with a BITING supernode cap
+    (max_works_per_concept=20 < the ~60 works per subject) so the capped
+    path itself is oracle-checked; the oracle replicates cap, threshold and
+    pinned tie order in SQL."""
+    from catalogue_pipeline_spark.plans.concepts import related_concepts
+
+    ck = F.col("c_custkey")
+    base = spark.read.parquet(_t(sf_dir, "customer")).filter((ck > 0) & (ck <= 300))
+    wid = F.concat(F.lit("w"), ck.cast("string"))
+
+    def part(cid, field, cond=None):
+        d = base.filter(cond) if cond is not None else base
+        return d.select(
+            wid.alias("work_id"), cid.alias("concept_id"), F.lit(field).alias("field")
+        )
+
+    s = lambda e: F.concat(F.lit("S"), (e % 10).cast("string"))  # noqa: E731
+    p = lambda e: F.concat(F.lit("P"), (e % 20).cast("string"))  # noqa: E731
+    edges = (
+        part(s(ck), "subjects")
+        .unionByName(part(s(ck + 1), "subjects"))
+        .unionByName(part(p(ck), "contributors"))
+        .unionByName(part(p(ck + 2), "contributors"))
+        .unionByName(
+            part(F.concat(F.lit("G"), (ck % 5).cast("string")), "genres", ck % 2 == 0)
+        )
+    )
+    out = related_concepts(
+        edges,
+        source_fields=["subjects"],
+        related_fields=["subjects", "genres"],
+        threshold=3,
+        limit=5,
+        max_works_per_concept=20,
+    )
+    return out.select("concept_id", "related_id", "shared_works", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_cdc_apply": _q01_cdc_apply,
@@ -1881,6 +1977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_concepts_remover": _q58_concepts_remover,
         "q59_sierra_transform": _q59_sierra_transform,
         "q60_sierra_linker": _q60_sierra_linker,
+        "q61_stream_sessionize": _q61_stream_sessionize,
+        "q62_related_concepts": _q62_related_concepts,
     }
 
 
@@ -2810,6 +2908,60 @@ def oracle_sql() -> dict[str, str]:
                     WHEN NOT stale THEN ts1 + 60
                     ELSE ts1 END AS ts
         FROM d
+    """
+    # q61: the streaming sessionizer's oracle is the lag()-based session
+    # count over the same events (gap 300 s, microsecond timestamps).
+    sql["q61_stream_sessionize"] = """
+        WITH l AS (
+          SELECT user_id, epoch_us(ts) AS s,
+                 lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS p
+          FROM events
+        )
+        SELECT user_id,
+               CAST(SUM(CASE WHEN p IS NULL OR s > p + 300000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        FROM l GROUP BY user_id
+    """
+    # q62: SQL replica of the referenced-together co-occurrence (supernode
+    # cap by lowest work_id, threshold, count-DESC/id-ASC tie order).
+    sql["q62_related_concepts"] = """
+        WITH w AS (
+          SELECT c_custkey AS ck FROM customer
+          WHERE c_custkey > 0 AND c_custkey <= 300
+        ), e AS (
+          SELECT 'w' || CAST(ck AS VARCHAR) AS work_id,
+                 'S' || CAST(ck % 10 AS VARCHAR) AS concept_id,
+                 'subjects' AS field FROM w
+          UNION ALL SELECT 'w' || CAST(ck AS VARCHAR),
+                 'S' || CAST((ck + 1) % 10 AS VARCHAR), 'subjects' FROM w
+          UNION ALL SELECT 'w' || CAST(ck AS VARCHAR),
+                 'P' || CAST(ck % 20 AS VARCHAR), 'contributors' FROM w
+          UNION ALL SELECT 'w' || CAST(ck AS VARCHAR),
+                 'P' || CAST((ck + 2) % 20 AS VARCHAR), 'contributors' FROM w
+          UNION ALL SELECT 'w' || CAST(ck AS VARCHAR),
+                 'G' || CAST(ck % 5 AS VARCHAR), 'genres' FROM w WHERE ck % 2 = 0
+        ), src AS (
+          SELECT DISTINCT concept_id, work_id FROM e WHERE field = 'subjects'
+        ), capped AS (
+          SELECT concept_id, work_id FROM (
+            SELECT concept_id, work_id,
+                   row_number() OVER (PARTITION BY concept_id ORDER BY work_id) AS rk
+            FROM src) t WHERE rk <= 20
+        ), rel AS (
+          SELECT DISTINCT concept_id AS related_id, work_id FROM e
+          WHERE field IN ('subjects', 'genres')
+        ), cnt AS (
+          SELECT c.concept_id, r.related_id, COUNT(*) AS shared_works
+          FROM capped c JOIN rel r USING (work_id)
+          WHERE c.concept_id <> r.related_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        )
+        SELECT concept_id, related_id, CAST(shared_works AS BIGINT) AS shared_works,
+               CAST(row_number() OVER (
+                 PARTITION BY concept_id
+                 ORDER BY shared_works DESC, related_id) AS INT) AS rank
+        FROM cnt QUALIFY rank <= 5
     """
     sql["q56_schema_evolution"] = """
         SELECT c_custkey AS offset,

@@ -177,3 +177,78 @@ def run_graph_remover(
         n_deleted=n_deleted,
     )
     return report, deleted
+
+
+def related_concepts(
+    edges: DataFrame,
+    *,
+    source_fields: list[str] | None = None,
+    related_fields: list[str] | None = None,
+    threshold: int = 3,
+    limit: int = 10,
+    max_works_per_concept: int = 1000,
+) -> DataFrame:
+    """Frequently-referenced-together concepts — the ingestor's
+    ``get_referenced_together_query`` (catalogue_graph/src/ingestor/queries/
+    concept_queries.py:152-182) re-expressed as a DataFrame co-occurrence
+    join: per source concept, the top-``limit`` other concepts sharing a
+    work, where the shared-work count is >= ``threshold`` (defaults mirror
+    CONCEPT_QUERY_PARAMS, base_concepts_extractor.py:26-36:
+    related_to_limit=10, shared_works_count_threshold=3).
+    ``source_fields``/``related_fields`` are the referenced_in filters
+    (e.g. frequent_collaborators = contributors×contributors,
+    related_topics = ×subjects).
+
+    Scale shape (the 100 TB reasoning, not incidental):
+      * the reference's Cypher caps works per concept (``LIMIT 1000``,
+        concept_queries.py:161) to bound supernodes; we apply the same cap
+        DETERMINISTICALLY — lowest work_ids win via a rank window — so
+        replays are byte-identical.
+      * the self-join is keyed on work_id, so blow-up is per-work concept
+        count squared (small, ~10s), never per-concept work count (the
+        capped, skewed side); the hot-concept skew lands in the groupBy,
+        which partial-aggregates map-side.
+      * threshold filtering runs BEFORE the per-concept top-N window, so
+        the window sees only qualifying pairs.
+
+    Ordering deviation (documented): the reference orders by count DESC
+    only, leaving ties engine-defined; we pin (count DESC, related_id ASC).
+    """
+    from pyspark.sql import Window
+
+    def side(fields, cid, wid):
+        e = edges
+        if fields:
+            e = e.filter(F.col("field").isin(*fields))
+        return e.select(
+            F.col("concept_id").alias(cid), F.col("work_id").alias(wid)
+        ).distinct()
+
+    src = side(source_fields, "concept_id", "work_id")
+    capped = (
+        src.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("concept_id").orderBy("work_id")
+            ),
+        )
+        .filter(F.col("_rk") <= max_works_per_concept)
+        .drop("_rk")
+    )
+    rel = side(related_fields, "related_id", "work_id")
+    counts = (
+        capped.join(rel, "work_id")
+        .filter(F.col("concept_id") != F.col("related_id"))
+        .groupBy("concept_id", "related_id")
+        .agg(F.count("*").alias("shared_works"))
+        .filter(F.col("shared_works") >= threshold)
+    )
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("concept_id").orderBy(
+                F.col("shared_works").desc(), F.col("related_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank") <= limit)

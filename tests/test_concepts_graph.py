@@ -99,3 +99,80 @@ def test_graph_remover_log_retention(spark, tmp_path):
     # first run logged nothing (first_run), so only run-2 rows exist and all
     # are within retention
     assert {(r["id"], r["action"]) for r in logs} == {("b", "deleted"), ("c", "added")}
+
+
+# ------------------------------------------------------ related concepts
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "work_id string, concept_id string, field string")
+
+
+def test_related_concepts_threshold_and_self_exclusion(spark):
+    from catalogue_pipeline_spark.plans.concepts import related_concepts
+
+    rows = []
+    for w in range(5):
+        rows += [(f"w{w}", "A", "subjects"), (f"w{w}", "B", "subjects")]
+    rows += [("w0", "C", "subjects"), ("w1", "C", "subjects")]  # below threshold
+    out = related_concepts(_edges(spark, rows), threshold=3, limit=10)
+    got = {(r["concept_id"], r["related_id"]): r["shared_works"] for r in out.collect()}
+    assert got == {("A", "B"): 5, ("B", "A"): 5}
+
+
+def test_related_concepts_tie_order_pinned(spark):
+    from catalogue_pipeline_spark.plans.concepts import related_concepts
+
+    rows = []
+    for w in range(3):
+        rows += [(f"w{w}", "A", "subjects"), (f"w{w}", "Z", "subjects"),
+                 (f"w{w}", "B", "subjects")]
+    out = related_concepts(_edges(spark, rows), threshold=3, limit=1)
+    got = {r["concept_id"]: r["related_id"] for r in out.collect()}
+    # equal counts -> lowest related_id wins rank 1
+    assert got["A"] == "B" and got["Z"] == "A"
+
+
+def test_related_concepts_supernode_cap_is_deterministic(spark):
+    from catalogue_pipeline_spark.plans.concepts import related_concepts
+
+    # HOT co-occurs with B in w0..w9 and with C in w8..w17; cap keeps the 10
+    # lexicographically-lowest work ids: w0..w9 + w10..w17 sort as
+    # w0,w1,w10..w17 -> B loses co-occurrences deterministically
+    rows = []
+    for w in range(10):
+        rows += [(f"wa{w}", "HOT", "subjects"), (f"wa{w}", "B", "subjects")]
+    for w in range(10, 20):
+        rows += [(f"wb{w}", "HOT", "subjects"), (f"wb{w}", "C", "subjects")]
+    out = related_concepts(
+        _edges(spark, rows), threshold=1, limit=10, max_works_per_concept=10
+    )
+    got = {
+        (r["concept_id"], r["related_id"]): r["shared_works"] for r in out.collect()
+    }
+    # cap keeps wa0..wa9 (lowest ids) -> all 10 B pairs, zero C pairs
+    assert got[("HOT", "B")] == 10
+    assert ("HOT", "C") not in got
+    # the uncapped related side still sees HOT from C's works
+    assert got[("C", "HOT")] == 10
+
+
+def test_related_concepts_field_filters(spark):
+    from catalogue_pipeline_spark.plans.concepts import related_concepts
+
+    rows = []
+    for w in range(3):
+        rows += [
+            (f"w{w}", "P1", "contributors"),
+            (f"w{w}", "P2", "contributors"),
+            (f"w{w}", "S1", "subjects"),
+        ]
+    # frequent_collaborators shape: contributors x contributors
+    out = related_concepts(
+        _edges(spark, rows),
+        source_fields=["contributors"],
+        related_fields=["contributors"],
+        threshold=3,
+        limit=10,
+    )
+    got = {(r["concept_id"], r["related_id"]) for r in out.collect()}
+    assert got == {("P1", "P2"), ("P2", "P1")}
