@@ -112,3 +112,49 @@ def test_unlink_instructions_explode(spark):
         (r["bib_id"], r["record_id"]) for r in unlink_instructions(state).collect()
     }
     assert rows == {("b1", "i1"), ("b2", "i1")}
+
+
+def test_property_batched_fold_equals_sequential_service(spark):
+    """Property: for per-key ts-nondecreasing arrival (the binlog ordering
+    guarantee), folding updates through update_links in ANY batch split
+    equals the reference service applying messages one at a time
+    (LinkOps.updateLink in arrival order).  Randomized via hypothesis-style
+    seeded generation, executed as one Spark run per split to keep the
+    suite fast."""
+    import random
+
+    rng = random.Random(20260816)
+    n_records, n_updates = 12, 80
+    seqs = {}
+    updates = []
+    for s in range(n_updates):
+        rid = f"i{rng.randrange(n_records)}"
+        prev = seqs.get(rid, 0)
+        ts = prev + rng.randrange(0, 3)  # nondecreasing per key, ties allowed
+        seqs[rid] = ts
+        bibs = sorted({f"b{rng.randrange(6)}" for _ in range(rng.randrange(1, 4))})
+        updates.append((rid, bibs, ts, s))
+
+    # sequential service oracle: apply in arrival order
+    def service(upds):
+        state = {}
+        for rid, bibs, ts, _ in upds:
+            if rid not in state:
+                state[rid] = (list(bibs), [], ts)
+                continue
+            obib, ounl, ots = state[rid]
+            if ts >= ots:
+                unl = sorted((set(obib) | set(ounl)) - set(bibs))
+                state[rid] = (list(bibs), unl, ts)
+        return {r: (sorted(b), sorted(u), t) for r, (b, u, t) in state.items()}
+
+    want = service(updates)
+
+    for cuts in ([80], [37, 80], [20, 41, 62, 80]):
+        state = st(spark, [])
+        lo = 0
+        for hi in cuts:
+            batch = upd(spark, updates[lo:hi])
+            state = update_links(state, batch).localCheckpoint()
+            lo = hi
+        assert as_map(state) == want, f"split {cuts} diverged"
