@@ -1915,6 +1915,65 @@ def _q62_related_concepts(spark, sf_dir):
     return out.select("concept_id", "related_id", "shared_works", "rank")
 
 
+def _q63_palette(spark, sf_dir):
+    """Palette inferrer driver-oracled: md5-derived deterministic RGB pixel
+    arrays (portable to DuckDB bit-for-bit) flow through the explode+groupBy
+    sparse histogram, the average-color hex aggregate, and the sparse-cosine
+    top-3 — the oracle rebuilds the whole pipeline in SQL (same binning
+    arithmetic, same L2 normalization, same pinned tie order)."""
+    from catalogue_pipeline_spark.operators.palette import (
+        average_color_hex,
+        palette_histogram,
+        palette_similarity_topk,
+    )
+
+    ck = F.col("c_custkey")
+    base = spark.read.parquet(_t(sf_dir, "customer")).filter((ck > 0) & (ck <= 200))
+    imgs = base.select(
+        F.concat(F.lit("im"), ck.cast("string")).alias("id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(47)),
+            lambda j: F.struct(
+                *[
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit("px:"),
+                                    ck.cast("string"),
+                                    F.lit(":"),
+                                    j.cast("string"),
+                                )
+                            ),
+                            1 + 2 * o,
+                            2,
+                        ),
+                        16,
+                        10,
+                    )
+                    .cast("int")
+                    .alias(c)
+                    for o, c in enumerate(("r", "g", "b"))
+                ]
+            ),
+        ).alias("pixels"),
+    )
+    hist = palette_histogram(imgs).localCheckpoint()
+    hexes = average_color_hex(imgs)
+    q = spark.createDataFrame([(f"im{i}",) for i in range(1, 6)], "id string")
+    top = palette_similarity_topk(hist, q, k=3)
+    return (
+        top.join(hexes.withColumnRenamed("id", "query_id"), "query_id")
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            "average_color_hex",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_cdc_apply": _q01_cdc_apply,
@@ -1979,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_sierra_linker": _q60_sierra_linker,
         "q61_stream_sessionize": _q61_stream_sessionize,
         "q62_related_concepts": _q62_related_concepts,
+        "q63_palette": _q63_palette,
     }
 
 
@@ -2962,6 +3022,60 @@ def oracle_sql() -> dict[str, str]:
                  PARTITION BY concept_id
                  ORDER BY shared_works DESC, related_id) AS INT) AS rank
         FROM cnt QUALIFY rank <= 5
+    """
+    # q63: full SQL rebuild of the palette pipeline — md5 pixels, integer
+    # binning (min(floor(v*10/255), 9)), L2-normalized sparse histogram,
+    # join-on-bin cosine, count/avg hex — over the same customer rows.
+    sql["q63_palette"] = """
+        WITH px AS (
+          SELECT 'im' || CAST(ck AS VARCHAR) AS id,
+                 ('0x' || substr(h, 1, 2))::INT AS r,
+                 ('0x' || substr(h, 3, 2))::INT AS g,
+                 ('0x' || substr(h, 5, 2))::INT AS b
+          FROM (
+            SELECT c_custkey AS ck,
+                   md5('px:' || CAST(c_custkey AS VARCHAR) || ':'
+                       || CAST(j AS VARCHAR)) AS h
+            FROM customer, unnest(range(48)) AS t(j)
+            WHERE c_custkey > 0 AND c_custkey <= 200
+          )
+        ), binned AS (
+          SELECT id,
+                 LEAST(CAST(floor(r * 10 / 255.0) AS INT), 9) * 100
+               + LEAST(CAST(floor(g * 10 / 255.0) AS INT), 9) * 10
+               + LEAST(CAST(floor(b * 10 / 255.0) AS INT), 9) AS bin
+          FROM px
+        ), cnt AS (
+          SELECT id, bin, COUNT(*) AS n FROM binned GROUP BY 1, 2
+        ), hist AS (
+          SELECT id, bin,
+                 n / sqrt(SUM(n * n) OVER (PARTITION BY id)) AS weight
+          FROM cnt
+        ), hexes AS (
+          SELECT id,
+                 '#' || lpad(format('{:x}', CAST(floor(AVG(r)) AS INT)), 2, '0')
+                     || lpad(format('{:x}', CAST(floor(AVG(g)) AS INT)), 2, '0')
+                     || lpad(format('{:x}', CAST(floor(AVG(b)) AS INT)), 2, '0')
+                 AS average_color_hex
+          FROM px GROUP BY id
+        ), pairs AS (
+          SELECT q.id AS query_id, c.id AS neighbor_id,
+                 SUM(q.weight * c.weight) AS cosine
+          FROM hist q JOIN hist c USING (bin)
+          WHERE q.id IN ('im1', 'im2', 'im3', 'im4', 'im5')
+            AND q.id <> c.id
+          GROUP BY 1, 2
+        ), ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                 ) AS INT) AS rank
+          FROM pairs
+        )
+        SELECT query_id, rank, neighbor_id,
+               round(cosine, 6) AS cosine, average_color_hex
+        FROM ranked JOIN hexes ON hexes.id = ranked.query_id
+        WHERE rank <= 3
     """
     sql["q56_schema_evolution"] = """
         SELECT c_custkey AS offset,
