@@ -66,6 +66,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--changeset", required=True)
     sp.add_argument("--offset-base", type=int, default=0)
 
+    sp = sub.add_parser("transform")  # per-source transformer batch run
+    sp.add_argument("source", choices=["sierra", "ebsco"])
+    sp.add_argument("records_parquet", help="(id, content[, deleted]) records")
+    sp.add_argument("out_parquet")
+
     sp = sub.add_parser("status")
     sp.add_argument("table")
     sp.add_argument("--checkpoints", default=None)
@@ -164,6 +169,23 @@ def main(argv: list[str] | None = None) -> int:
             offset_base=a.offset_base,
         )
         print(json.dumps({"snapshot_id": sid, "metrics": m.as_map()}))
+
+    elif a.cmd == "transform":
+        from pyspark.sql import functions as F
+
+        records = spark.read.parquet(a.records_parquet)
+        if a.source == "sierra":
+            from .plans.sierra_transform import transform_sierra
+
+            works = transform_sierra(records)
+        else:
+            from .plans.marc_transform import transform_ebsco_marc, with_production_period
+
+            works = with_production_period(transform_ebsco_marc(records))
+        works.write.mode("overwrite").parquet(a.out_parquet)
+        out = spark.read.parquet(a.out_parquet)
+        counts = {r["type"]: r["n"] for r in out.groupBy("type").agg(F.count("*").alias("n")).collect()}
+        print(json.dumps({"out": a.out_parquet, "rows": out.count(), "by_type": counts}))
 
     elif a.cmd == "status":
         table = LakeTable(a.table)
