@@ -1974,6 +1974,66 @@ def _q63_palette(spark, sf_dir):
     )
 
 
+def _q64_sierra_items(spark, sf_dir):
+    """SierraItems slice driver-oracled: item JSON records are generated
+    deterministically from customer (7 location classes incl. the
+    'bound in above' fallback shape and missing locations, volume titles vs
+    copyNo automated titles, deleted/suppressed), rolled up per bib through
+    sierra_items/items_per_bib, and checked against a SQL replica of the
+    location tables, the unambiguous-fallback rule and tidyTitles."""
+    from catalogue_pipeline_spark.plans.sierra_transform import items_per_bib
+
+    ck = F.col("c_custkey")
+    cks = ck.cast("string")
+    sid = (ck + 2000000).cast("string")
+    lc = ck % 7
+    loc_name = (
+        F.when(lc == 0, F.lit("Closed stores Hist."))
+        .when(lc == 1, F.lit("Deepstore request"))
+        .when(lc == 2, F.lit("Open shelves"))
+        .when(lc == 3, F.lit("Journals"))
+        .when(lc == 4, F.lit("bound in above"))
+        .when(lc == 6, F.lit("Exhibition space"))
+    )
+    vfs = F.when(
+        ck % 5 == 0,
+        F.array(
+            F.struct(
+                F.lit("v").alias("fieldTag"),
+                F.lit(None).cast("string").alias("marcTag"),
+                F.lit(" ").alias("ind1"),
+                F.lit(" ").alias("ind2"),
+                F.concat(F.lit("Vol. "), cks).alias("content"),
+                F.lit(None)
+                .cast("array<struct<tag:string,content:string>>")
+                .alias("subfields"),
+            )
+        ),
+    )
+    doc = F.struct(
+        sid.alias("id"),
+        (ck % 11 == 0).alias("deleted"),
+        (ck % 13 == 0).alias("suppressed"),
+        F.when(ck % 2 == 0, (ck % 9).cast("long")).alias("copyNo"),
+        F.when(
+            loc_name.isNotNull(),
+            F.struct(F.lit("c").alias("code"), loc_name.alias("name")),
+        ).alias("location"),
+        vfs.alias("varFields"),
+    )
+    items = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .filter((ck > 0) & (ck <= 300))
+        .select(
+            sid.alias("item_id"),
+            F.concat(F.lit("b"), (ck % 60).cast("string")).alias("bib_id"),
+            F.to_json(doc).alias("content"),
+        )
+    )
+    out = items_per_bib(items)
+    return out.select("bib_id", F.concat_ws("~", "items").alias("items_csv"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_cdc_apply": _q01_cdc_apply,
@@ -2039,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_stream_sessionize": _q61_stream_sessionize,
         "q62_related_concepts": _q62_related_concepts,
         "q63_palette": _q63_palette,
+        "q64_sierra_items": _q64_sierra_items,
     }
 
 
@@ -3076,6 +3137,63 @@ def oracle_sql() -> dict[str, str]:
                round(cosine, 6) AS cosine, average_color_hex
         FROM ranked JOIN hexes ON hexes.id = ranked.query_id
         WHERE rank <= 3
+    """
+    # q64: SQL replica of the SierraItems rules — location tables with
+    # canonical ClosedStores label, unambiguous-fallback for 'above'
+    # locations, volume-vs-copyNo titles, tidyTitles, check-digit item ids.
+    sql["q64_sierra_items"] = """
+        WITH m AS (
+          SELECT c_custkey AS ck,
+                 'b' || CAST(c_custkey % 60 AS VARCHAR) AS bib,
+                 CAST(2000000 + c_custkey AS VARCHAR) AS sid,
+                 c_custkey % 7 AS lc,
+                 (c_custkey % 11 = 0 OR c_custkey % 13 = 0) AS dead,
+                 CASE WHEN c_custkey % 5 = 0
+                      THEN 'Vol. ' || CAST(c_custkey AS VARCHAR) END AS vtitle,
+                 CASE WHEN c_custkey % 2 = 0
+                      THEN 'Copy ' || CAST(c_custkey % 9 AS VARCHAR) END AS ctitle
+          FROM customer WHERE c_custkey > 0 AND c_custkey <= 300
+        ), live AS (
+          SELECT *,
+                 (16 + (ck // 100) * 4 + ((ck // 10) % 10) * 3 + (ck % 10) * 2) % 11 AS rem,
+                 CASE WHEN lc IN (0, 1) THEN 'ClosedStores'
+                      WHEN lc IN (2, 3) THEN 'OpenShelves'
+                      WHEN lc = 6 THEN 'OnExhibition' END AS otype,
+                 CASE WHEN lc IN (0, 1) THEN 'Closed stores'
+                      WHEN lc = 2 THEN 'Open shelves'
+                      WHEN lc = 3 THEN 'Journals'
+                      WHEN lc = 6 THEN 'Exhibition space' END AS olabel
+          FROM m WHERE NOT dead
+        ), fb AS (
+          SELECT bib,
+                 COUNT(DISTINCT otype || '#' || olabel) AS np,
+                 MIN(otype || '#' || olabel) AS p1
+          FROM live WHERE otype IS NOT NULL GROUP BY bib
+        ), tidy AS (
+          SELECT bib,
+                 bool_and(vtitle IS NULL AND ctitle IS NOT NULL)
+                   AND COUNT(DISTINCT COALESCE(vtitle, ctitle)) = 1 AS strip
+          FROM live GROUP BY bib
+        ), fin AS (
+          SELECT l.bib,
+                 l.sid || '|i' || l.sid
+                   || CASE WHEN l.rem = 10 THEN 'x' ELSE CAST(l.rem AS VARCHAR) END
+                   || '|' || CASE WHEN t.strip THEN ''
+                                  ELSE COALESCE(l.vtitle, l.ctitle, '') END
+                   || '|' || COALESCE(
+                        CASE WHEN l.lc = 4 AND f.np = 1
+                             THEN str_split(f.p1, '#')[1] ELSE l.otype END, '')
+                   || '|' || COALESCE(
+                        CASE WHEN l.lc = 4 AND f.np = 1
+                             THEN str_split(f.p1, '#')[2] ELSE l.olabel END, '')
+                 AS item_str
+          FROM live l
+          LEFT JOIN fb f USING (bib)
+          JOIN tidy t USING (bib)
+        )
+        SELECT bib AS bib_id,
+               array_to_string(list_sort(list(item_str)), '~') AS items_csv
+        FROM fin GROUP BY bib
     """
     sql["q56_schema_evolution"] = """
         SELECT c_custkey AS offset,

@@ -663,6 +663,7 @@ SIERRA_ITEM_SCHEMA = T.StructType(
         T.StructField("id", T.StringType()),
         T.StructField("deleted", T.BooleanType()),
         T.StructField("suppressed", T.BooleanType()),
+        T.StructField("copyNo", T.LongType()),
         T.StructField(
             "location",
             T.StructType(
@@ -717,3 +718,209 @@ def link_item_records(works: DataFrame, items: DataFrame) -> DataFrame:
     return works.join(per_bib, works.sierra_id == per_bib.bib_id, "left").drop(
         "bib_id"
     ).withColumn("items", F.coalesce(F.col("items"), F.array().cast("array<string>")))
+
+
+# ------------------------------------------------------------ Sierra items
+
+_CLOSED_STORES = [
+    "archives & mss well.coll", "at digitisation", "by appointment",
+    "closed stores", "conservation", "early printed books",
+    "iconographic collection", "offsite", "unrequestable", "deepstore",
+]
+_OPEN_SHELVES = [
+    "biographies", "folios", "history of medicine", "journals",
+    "medical collection", "medicine & society collection", "open shelves",
+    "quick ref collection", "quick ref. collection", "rare materials room",
+    "student coll",
+]
+
+
+def _location_type(name: Column) -> Column:
+    """SierraPhysicalLocationType.fromName (source_model/sierra/rules/
+    SierraPhysicalLocationType.scala:11-62): substring tables over the
+    lowercased name; ''/'none' and unknown names map to NULL."""
+    low = F.lower(name)
+    has = lambda subs: F.coalesce(  # noqa: E731
+        *[F.when(low.contains(sub), F.lit(True)) for sub in subs], F.lit(False)
+    )
+    return (
+        F.when(has(_CLOSED_STORES), F.lit("ClosedStores"))
+        .when(has(_OPEN_SHELVES), F.lit("OpenShelves"))
+        .when(low.contains("exhibition"), F.lit("OnExhibition"))
+    )
+
+
+def sierra_items(items: DataFrame) -> DataFrame:
+    """The SierraItems slice (SierraItems.scala:39-254 +
+    SierraPhysicalLocation.scala, EXCLUDING the SierraItemAccess
+    access-condition rules engine — documented out of slice): per bib, the
+    ordered list of physical items with ids, titles and locations.
+
+    items(item_id, bib_id, content) where content is the Sierra item JSON
+    (deleted/suppressed flags, copyNo, location {code,name}, varFields).
+
+    Rules carried over:
+      * deleted/suppressed items dropped (:45-49)
+      * location: name → type via the substring tables; ClosedStores
+        canonicalizes the label to 'Closed stores'; an unparseable name
+        falls back to the bib's UNAMBIGUOUS other-location (exactly one
+        distinct typed (type,label) among this bib's non-'above'/'-'/''
+        locations, :69-99); an item with NO location gets none
+      * title: fieldTag 'v' varFields (content, else $a contents joined),
+        trimmed/deduped — single value wins; none → 'Copy {copyNo}'
+        (automated); multiple → first (:166-210)
+      * tidyTitles: when EVERY item of the bib carries the same automated
+        title, titles are dropped — they distinguish nothing (:216-240)
+      * items sorted by sierra id; ids emitted in both check-digit and
+        7-digit forms (:148-160).  The scraped item_ordering.json override
+        map is a DATA artifact of wellcomelibrary.org, not a rule, and is
+        deliberately not vendored.
+
+    Plan shape: one from_json, two per-bib aggregates (fallback resolve,
+    tidy-titles) expressed as window functions over the bib_id partition —
+    no iterative logic, shuffles only on bib_id.
+    """
+    from pyspark.sql import Window
+
+    parsed = items.select(
+        "bib_id",
+        F.from_json(F.col("content"), SIERRA_ITEM_SCHEMA).alias("item"),
+    )
+    it = F.col("item")
+    live = parsed.filter(
+        ~F.coalesce(it.getField("deleted"), F.lit(False))
+        & ~F.coalesce(it.getField("suppressed"), F.lit(False))
+    )
+
+    loc_name = it.getField("location").getField("name")
+    parsed_type = _location_type(loc_name)
+    # title candidates from fieldTag 'v'
+    vfs_v = F.filter(
+        F.coalesce(it.getField("varFields"), F.array().cast(
+            SIERRA_BIB_SCHEMA["varFields"].dataType.simpleString()
+        )),
+        lambda vf: vf.getField("fieldTag") == "v",
+    )
+    cands = F.array_distinct(
+        F.filter(
+            F.transform(
+                vfs_v,
+                lambda vf: F.trim(
+                    F.coalesce(
+                        vf.getField("content"),
+                        F.array_join(
+                            F.transform(
+                                F.filter(
+                                    F.coalesce(
+                                        vf.getField("subfields"),
+                                        F.array().cast(_SUBFIELDS_T),
+                                    ),
+                                    lambda s: s.getField("tag") == "a",
+                                ),
+                                lambda s: s.getField("content"),
+                            ),
+                            " ",
+                        ),
+                    )
+                ),
+            ),
+            lambda t: t != "",
+        )
+    )
+    copy_title = F.when(
+        it.getField("copyNo").isNotNull(),
+        F.concat(F.lit("Copy "), it.getField("copyNo").cast("string")),
+    )
+    rows = live.select(
+        "bib_id",
+        it.getField("id").alias("item_sid"),
+        loc_name.alias("loc_name"),
+        parsed_type.alias("loc_type"),
+        F.when(F.size(cands) > 0, F.try_element_at(cands, F.lit(1))).alias(
+            "v_title"
+        ),
+        copy_title.alias("copy_title"),
+    )
+
+    # per-bib unambiguous fallback: distinct typed (type,label) pairs among
+    # usable other locations
+    usable = (
+        F.col("loc_name").isNotNull()
+        & ~F.lower(F.col("loc_name")).contains("above")
+        & (F.col("loc_name") != "-")
+        & (F.col("loc_name") != "")
+    )
+    pair = F.when(
+        usable,
+        F.struct(
+            F.col("loc_type").alias("t"),
+            F.when(F.col("loc_type") == "ClosedStores", F.lit("Closed stores"))
+            .otherwise(F.col("loc_name"))
+            .alias("l"),
+        ),
+    )
+    w = Window.partitionBy("bib_id")
+    rows = rows.withColumn("_pairs", F.collect_set(pair).over(w))
+    single = (F.size(F.col("_pairs")) == 1) & F.try_element_at(
+        F.col("_pairs"), F.lit(1)
+    ).getField("t").isNotNull()
+    fb = F.when(single, F.try_element_at(F.col("_pairs"), F.lit(1)))
+
+    final_type = F.when(
+        F.col("loc_name").isNotNull(),
+        F.coalesce(F.col("loc_type"), fb.getField("t")),
+    )
+    final_label = F.when(
+        F.col("loc_name").isNotNull(),
+        F.when(F.col("loc_type") == "ClosedStores", F.lit("Closed stores"))
+        .when(F.col("loc_type").isNotNull(), F.col("loc_name"))
+        .otherwise(fb.getField("l")),
+    )
+    # a location needs a resolved type (the for-comprehension yields nothing
+    # otherwise)
+    final_label = F.when(final_type.isNotNull(), final_label)
+
+    title = F.coalesce(F.col("v_title"), F.col("copy_title"))
+    automated = F.col("v_title").isNull() & F.col("copy_title").isNotNull()
+    rows = rows.select(
+        "bib_id",
+        "item_sid",
+        final_type.alias("loc_type"),
+        final_label.alias("loc_label"),
+        title.alias("title"),
+        automated.alias("automated"),
+    )
+    # tidyTitles: every item automated AND one distinct title → drop titles
+    all_auto = F.min(F.col("automated").cast("int")).over(w) == 1
+    n_titles = F.size(F.collect_set("title").over(w))
+    tidy = all_auto & (n_titles == 1)
+    return rows.select(
+        "bib_id",
+        F.concat(
+            F.lit("i"), F.col("item_sid"), sierra_check_digit(F.col("item_sid"))
+        ).alias("item_id"),
+        F.col("item_sid").alias("item_sierra_id"),
+        F.when(~tidy, F.col("title")).alias("title"),
+        "loc_type",
+        "loc_label",
+    )
+
+
+def items_per_bib(items: DataFrame) -> DataFrame:
+    """sierra_items rolled up per bib, sorted by item sierra id (the
+    deterministic order SierraItems.scala:35-38 documents)."""
+    rows = sierra_items(items)
+    return rows.groupBy("bib_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.concat_ws(
+                    "|",
+                    F.col("item_sierra_id"),
+                    F.col("item_id"),
+                    F.coalesce(F.col("title"), F.lit("")),
+                    F.coalesce(F.col("loc_type"), F.lit("")),
+                    F.coalesce(F.col("loc_label"), F.lit("")),
+                )
+            )
+        ).alias("items")
+    )

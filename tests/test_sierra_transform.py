@@ -361,3 +361,97 @@ def test_link_item_records_joins_live_items(spark):
     # 2000001 -> 1*2 + 2*8 = 18 % 11 = 7
     assert out["1000001"] == ["i20000017@Closed stores"]
     assert out["1000002"] == []
+
+
+# ------------------------------------------------------------ sierra items
+
+def _items_df(spark, rows):
+    """rows: (item_id, bib_id, item_json_dict)"""
+    return spark.createDataFrame(
+        [(i, b, json.dumps(d)) for i, b, d in rows],
+        "item_id string, bib_id string, content string",
+    )
+
+
+def _items_map(df):
+    from catalogue_pipeline_spark.plans.sierra_transform import items_per_bib
+
+    return {r["bib_id"]: r["items"] for r in items_per_bib(df).collect()}
+
+
+def test_items_location_mapping_and_closed_stores_label(spark):
+    out = _items_map(_items_df(spark, [
+        ("2000001", "b1", {"id": "2000001",
+                           "location": {"code": "x", "name": "Closed stores Med."}}),
+        ("2000002", "b1", {"id": "2000002",
+                           "location": {"code": "y", "name": "Open shelves"}}),
+        ("2000003", "b1", {"id": "2000003",
+                           "location": {"code": "z", "name": "On Exhibition"}}),
+    ]))
+    assert out["b1"] == [
+        "2000001|i20000017||ClosedStores|Closed stores",
+        "2000002|i20000029||OpenShelves|Open shelves",
+        "2000003|i20000030||OnExhibition|On Exhibition",
+    ]
+
+
+def test_items_above_location_uses_unambiguous_fallback(spark):
+    out = _items_map(_items_df(spark, [
+        ("2000001", "b1", {"id": "2000001",
+                           "location": {"code": "x", "name": "Closed stores"}}),
+        ("2000002", "b1", {"id": "2000002",
+                           "location": {"code": "b", "name": "bound in above"}}),
+    ]))
+    # the 'above' item inherits the bib's single unambiguous location
+    assert out["b1"][1] == "2000002|i20000029||ClosedStores|Closed stores"
+
+
+def test_items_ambiguous_fallback_yields_no_location(spark):
+    out = _items_map(_items_df(spark, [
+        ("2000001", "b1", {"id": "2000001",
+                           "location": {"code": "x", "name": "Closed stores"}}),
+        ("2000002", "b1", {"id": "2000002",
+                           "location": {"code": "y", "name": "Open shelves"}}),
+        ("2000003", "b1", {"id": "2000003",
+                           "location": {"code": "b", "name": "Contained in above"}}),
+    ]))
+    assert out["b1"][2] == "2000003|i20000030|||"
+
+
+def test_items_deleted_and_suppressed_dropped(spark):
+    out = _items_map(_items_df(spark, [
+        ("2000001", "b1", {"id": "2000001", "deleted": True}),
+        ("2000002", "b1", {"id": "2000002", "suppressed": True}),
+        ("2000003", "b1", {"id": "2000003"}),
+    ]))
+    assert len(out["b1"]) == 1 and out["b1"][0].startswith("2000003|")
+
+
+def test_items_volume_title_beats_copy_no(spark):
+    out = _items_map(_items_df(spark, [
+        ("2000001", "b1", {"id": "2000001", "copyNo": 2,
+                           "varFields": [{"fieldTag": "v", "content": "Vol. 1"}]}),
+        ("2000002", "b1", {"id": "2000002", "copyNo": 3}),
+    ]))
+    assert out["b1"] == [
+        "2000001|i20000017|Vol. 1||",
+        "2000002|i20000029|Copy 3||",
+    ]
+
+
+def test_items_tidy_titles_drops_uniform_automated_titles(spark):
+    out = _items_map(_items_df(spark, [
+        ("2000001", "b1", {"id": "2000001", "copyNo": 1}),
+        ("2000002", "b1", {"id": "2000002", "copyNo": 1}),
+    ]))
+    # both items say "Copy 1" -> distinguishes nothing -> dropped
+    assert out["b1"] == ["2000001|i20000017|||", "2000002|i20000029|||"]
+
+
+def test_items_title_from_v_subfield_a(spark):
+    out = _items_map(_items_df(spark, [
+        ("2000001", "b1", {"id": "2000001",
+                           "varFields": [{"fieldTag": "v",
+                                          "subfields": [{"tag": "a", "content": "Box 7"}]}]}),
+    ]))
+    assert out["b1"] == ["2000001|i20000017|Box 7||"]
