@@ -2034,6 +2034,112 @@ def _q64_sierra_items(spark, sf_dir):
     return out.select("bib_id", F.concat_ws("~", "items").alias("items_csv"))
 
 
+def _q65_calm_transform(spark, sf_dir):
+    """Per-source transformer slice #3 (CALM map-records → work fields)
+    driver-oracled: key→list map records generated deterministically from
+    customer exercise the suppression statuses, AMSG guides, Title>Level>
+    RefNo error precedence, level table, HTML normalization, identifier
+    family, validated merge candidates and the period-parsed production
+    range; the oracle recomputes every field in closed form."""
+    from catalogue_pipeline_spark.plans.calm_transform import (
+        transform_calm,
+        with_parsed_production,
+    )
+
+    ck = F.col("c_custkey")
+    cks = ck.cast("string")
+    t, lv, st = ck % 8, ck % 6, ck % 5
+    L = F.lit
+
+    def entry(key, cond, *vals):
+        return F.when(
+            cond, F.struct(L(key).alias("k"), F.array(*vals).alias("v"))
+        )
+
+    title_val = F.when(
+        t == 7, F.concat(L("A <b>t</b> <i>i</i> &amp; "), cks)
+    ).otherwise(F.concat(L("Arch "), cks))
+    level_val = (
+        F.when(ck % 19 == 0, L("Shelf"))
+        .when(lv == 0, L("Collection"))
+        .when(lv == 1, L("Series"))
+        .when(lv == 2, L("SubSection"))
+        .when(lv == 3, L("Item"))
+        .when(lv == 4, L("Group of Pieces"))
+    )
+    status_val = (
+        F.when(st == 0, L("Catalogued"))
+        .when(st == 1, L(" not yet available "))
+        .when(st == 2, L("Third-Party Metadata"))
+        .when(st == 3, L("in progress"))
+    )
+    refno_val = F.when(ck % 23 == 0, F.concat(L("AMSG/"), cks)).otherwise(
+        F.concat(
+            L("WA/S"), (ck % 20).cast("string"),
+            F.when(ck % 4 == 0, F.concat(L("/I"), cks)).otherwise(L("")),
+        )
+    )
+    entries = F.filter(
+        F.array(
+            entry("Title", t != 3, title_val),
+            entry("Level", (lv != 5) | (ck % 19 == 0), level_val),
+            entry("RefNo", ck % 17 != 0, refno_val),
+            entry("CatalogueStatus", st != 4, status_val),
+            entry("AltRefNo", ck % 3 == 0, F.concat(L("ALT "), cks)),
+            entry(
+                "BNumber",
+                ck % 6 == 0,
+                F.concat(L("b"), (ck + 2000000).cast("string"), (ck % 10).cast("string")),
+            ),
+            entry("BNumber", ck % 6 == 3, L("junk")),
+            entry("AccNo", ck % 7 == 0, F.concat(L("ACC"), cks)),
+            entry("Material", ck % 9 == 0, L("Archives - Digital")),
+            entry("Subject", ck % 4 == 0, F.concat(L("Sub "), cks)),
+            entry("Alternative_Title", ck % 11 == 0, F.concat(L("Alt "), cks)),
+            entry("Extent", ck % 8 == 0, F.concat(L("E"), cks)),
+            entry("UserWrapped6", ck % 16 == 0, F.concat(L("U"), cks)),
+            entry(
+                "Description", ck % 12 == 0,
+                F.concat(L("Desc <b>x</b> "), cks), L("more"),
+            ),
+            F.when(
+                ck % 28 == 0,
+                F.struct(L("Date").alias("k"), F.array(L("1901"), L("1905-1910")).alias("v")),
+            ).otherwise(entry("Date", ck % 14 == 0, L("1901"))),
+        ),
+        lambda e: e.isNotNull(),
+    )
+    records = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .filter((ck > 0) & (ck <= 300))
+        .select(
+            F.concat(F.lit("c"), cks).alias("id"),
+            F.map_from_entries(entries).alias("data"),
+            (ck % 10 == 0).alias("deleted"),
+        )
+    )
+    out = with_parsed_production(transform_calm(records))
+    return out.select(
+        "id",
+        "type",
+        "reason",
+        "title",
+        "work_type",
+        "collection_path",
+        "reference_number",
+        F.concat_ws("~", "other_identifiers").alias("ids_csv"),
+        "format_id",
+        F.concat_ws("~", "alternative_titles").alias("alt_csv"),
+        F.concat_ws("~", "subjects").alias("subj_csv"),
+        "description",
+        "physical_description",
+        "production_label",
+        F.concat_ws("~", "merge_candidates").alias("merge_csv"),
+        "prod_from",
+        "prod_to",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_cdc_apply": _q01_cdc_apply,
@@ -2100,6 +2206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_related_concepts": _q62_related_concepts,
         "q63_palette": _q63_palette,
         "q64_sierra_items": _q64_sierra_items,
+        "q65_calm_transform": _q65_calm_transform,
     }
 
 
@@ -3194,6 +3301,85 @@ def oracle_sql() -> dict[str, str]:
         SELECT bib AS bib_id,
                array_to_string(list_sort(list(item_str)), '~') AS items_csv
         FROM fin GROUP BY bib
+    """
+    # q65: closed-form CALM expectation (suppression, error precedence,
+    # level table, tag-strip normalization, validated merge candidates,
+    # parsed production range as ISO strings).
+    sql["q65_calm_transform"] = """
+        WITH d AS (
+          SELECT c_custkey AS ck,
+                 CAST(c_custkey AS VARCHAR) AS cks,
+                 c_custkey % 8 AS t, c_custkey % 6 AS lv, c_custkey % 5 AS st,
+                 c_custkey % 10 = 0 AS del,
+                 (c_custkey % 5 IN (3, 4)
+                  OR (c_custkey % 23 = 0 AND c_custkey % 17 <> 0)) AS sup,
+                 c_custkey % 19 = 0 AS shelf,
+                 c_custkey % 17 = 0 AS noref,
+                 'WA/S' || CAST(c_custkey % 20 AS VARCHAR)
+                   || CASE WHEN c_custkey % 4 = 0
+                           THEN '/I' || CAST(c_custkey AS VARCHAR) ELSE '' END
+                   AS refno
+          FROM customer WHERE c_custkey > 0 AND c_custkey <= 300
+        ), e AS (
+          SELECT *,
+                 (lv = 5 AND NOT shelf) AS nolevel,
+                 (lv = 4 AND NOT shelf) AS gop,
+                 NOT (del OR sup OR t = 3 OR (lv = 5 AND NOT shelf)
+                      OR (lv = 4 AND NOT shelf) OR shelf OR noref) AS vis
+          FROM d
+        )
+        SELECT 'c' || cks AS id,
+               CASE WHEN del OR sup THEN 'Deleted'
+                    WHEN vis THEN 'Visible' ELSE 'Invisible' END AS type,
+               CASE WHEN del THEN 'DeletedFromSource(Calm)'
+                    WHEN sup THEN 'SuppressedFromSource(Calm)'
+                    WHEN t = 3 THEN 'SourceFieldMissing(Calm:Title)'
+                    WHEN nolevel THEN 'SourceFieldMissing(Calm:Level)'
+                    WHEN gop THEN 'UnableToTransform(Calm:Suppressed level - group of pieces)'
+                    WHEN shelf THEN 'InvalidValueInSourceField(Calm:Level - shelf)'
+                    WHEN noref THEN 'SourceFieldMissing(Calm:RefNo)'
+               END AS reason,
+               CASE WHEN vis THEN
+                 CASE WHEN t = 7 THEN 'A t <i>i</i> & ' || cks
+                      ELSE 'Arch ' || cks END END AS title,
+               CASE WHEN vis THEN
+                 CASE lv WHEN 0 THEN 'Collection' WHEN 1 THEN 'Series'
+                         WHEN 2 THEN 'Section' WHEN 3 THEN 'Standard' END
+               END AS work_type,
+               CASE WHEN vis THEN refno END AS collection_path,
+               CASE WHEN vis AND ck % 3 = 0 THEN 'ALT ' || cks END
+                 AS reference_number,
+               CASE WHEN vis THEN COALESCE(array_to_string(list_filter([
+                      'calm-ref-no:' || refno,
+                      CASE WHEN ck % 3 = 0 THEN 'calm-altref-no:ALT ' || cks END,
+                      CASE WHEN ck % 6 = 0 THEN 'sierra-system-number:b'
+                           || CAST(2000000 + ck AS VARCHAR)
+                           || CAST(ck % 10 AS VARCHAR) END,
+                      CASE WHEN ck % 6 = 3 THEN 'sierra-system-number:junk' END,
+                      CASE WHEN ck % 7 = 0 THEN 'accession-number:ACC' || cks END
+                    ], x -> x IS NOT NULL), '~'), '') ELSE '' END AS ids_csv,
+               CASE WHEN vis THEN
+                 CASE WHEN ck % 9 = 0 THEN 'hdig' ELSE 'h' END END AS format_id,
+               CASE WHEN vis AND ck % 11 = 0 THEN 'Alt ' || cks ELSE '' END AS alt_csv,
+               CASE WHEN vis AND ck % 4 = 0 THEN 'Sub ' || cks ELSE '' END AS subj_csv,
+               CASE WHEN vis AND ck % 12 = 0
+                    THEN 'Desc <b>x</b> ' || cks || ' more' END AS description,
+               CASE WHEN vis AND ck % 8 = 0 THEN
+                 'E' || cks || CASE WHEN ck % 16 = 0 THEN ' U' || cks ELSE '' END
+               END AS physical_description,
+               CASE WHEN vis AND ck % 28 = 0 THEN '1901 1905-1910'
+                    WHEN vis AND ck % 14 = 0 THEN '1901' END AS production_label,
+               CASE WHEN vis THEN COALESCE(array_to_string(list_filter([
+                      CASE WHEN ck % 6 = 0 THEN 'sierra-system-number:b'
+                           || CAST(2000000 + ck AS VARCHAR)
+                           || CAST(ck % 10 AS VARCHAR)
+                           || ':CALM/Sierra harvest work' END,
+                      'calm-ref-no:' || refno || ':Archivematica work'
+                    ], x -> x IS NOT NULL), '~'), '') ELSE '' END AS merge_csv,
+               CASE WHEN vis AND ck % 14 = 0 THEN '1901-01-01' END AS prod_from,
+               CASE WHEN vis AND ck % 28 = 0 THEN '1910-12-31'
+                    WHEN vis AND ck % 14 = 0 THEN '1901-12-31' END AS prod_to
+        FROM e
     """
     sql["q56_schema_evolution"] = """
         SELECT c_custkey AS offset,
