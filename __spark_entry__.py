@@ -2140,6 +2140,100 @@ def _q65_calm_transform(spark, sf_dir):
     )
 
 
+def _q66_miro_transform(spark, sf_dir):
+    """Per-source transformer slice #4 (Miro image JSON → work fields)
+    driver-oracled: records generated from customer exercise the
+    truncated-title dance (6 templates incl. dash titles/descriptions and
+    the academic fallback), award sentences, copyright/metadata
+    suppression, innopac b-number normalization (incl. the uppercase-X
+    silent drop and garbage → Error), sentence-cased subjects/genres and
+    the V-collection created period; the oracle recomputes every field in
+    closed form."""
+    from catalogue_pipeline_spark.plans.miro_transform import (
+        transform_miro,
+        with_created_period,
+    )
+
+    ck = F.col("c_custkey")
+    cks = ck.cast("string")
+    t = ck % 6
+    L = F.lit
+    mid = F.concat(
+        F.when(ck % 3 == 0, L("V")).otherwise(L("M")), F.lpad(cks, 7, "0")
+    )
+    title = (
+        F.when(t == 0, F.concat(L("Cat "), cks))
+        .when(t == 1, F.concat(L("Img "), cks))
+        .when(t == 2, F.concat(L("Pic "), cks))
+        .when(t == 3, L("-"))
+        .when(t == 4, F.concat(L("T"), cks))
+    )
+    desc = (
+        F.when(t == 0, F.concat(L("A study "), cks))
+        .when(t == 1, F.concat(L("Img "), cks, L(" of a dog\nSecond line "), cks))
+        .when(t == 2, F.concat(L("Pic "), cks))
+        .when(t == 3, F.concat(L("Desc "), cks, L("\nrest")))
+        .when(t == 4, L("--"))
+        .otherwise(F.concat(L("Auto "), cks))
+    )
+    digits = F.concat(L("123"), F.lpad(cks, 4, "0"))
+    cd = F.when(ck % 5 == 2, L("x")).when(ck % 25 == 0, L("X")).otherwise(
+        (ck % 10).cast("string")
+    )
+    prefix = (
+        F.when(ck % 4 == 0, L("")).when(ck % 4 == 1, L("b"))
+        .when(ck % 4 == 2, L(".b")).otherwise(L("B"))
+    )
+    innopac = F.when(ck % 29 == 0, L("garbage")).when(
+        ck % 7 == 0, F.concat(prefix, digits, cd)
+    )
+    content = F.to_json(
+        F.struct(
+            F.when(t != 5, title).alias("image_title"),
+            desc.alias("image_image_desc"),
+            F.when(t == 4, F.concat(L("Acad "), cks)).alias("image_image_desc_academic"),
+            F.when(ck % 5 == 0, F.concat(L("Lett "), cks)).alias("image_supp_lettering"),
+            F.when(ck % 10 == 0, L("N")).when(ck % 20 != 3, L("Y")).alias("image_copyright_cleared"),
+            innopac.alias("image_innopac_id"),
+            F.when(ck % 9 == 0, L("etching")).alias("image_phys_format"),
+            F.when(ck % 9 == 0, L("Etching")).when(ck % 9 == 3, L("woodcut")).alias("image_lc_genre"),
+            F.when(ck % 2 == 0, L("1889")).alias("image_artwork_date"),
+            F.when(ck % 4 == 0, F.array(F.concat(L("bones "), cks))).alias("image_keywords"),
+            F.when(ck % 8 == 0, F.array(F.concat(L("teeth "), cks))).alias("image_keywords_unauth"),
+            F.when(ck % 24 == 0, F.array(L("WIA Overall Winner"), L("Wellcome Image Awards")))
+            .when(ck % 12 == 0, F.array(L("Wellcome Image Awards")))
+            .alias("image_award"),
+            F.when(ck % 24 == 0, F.array(L("2016"), L("2016")))
+            .when(ck % 12 == 0, F.array(L("2015")))
+            .alias("image_award_date"),
+        )
+    )
+    miro_records = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .filter((ck > 0) & (ck <= 300))
+        .select(
+            mid.alias("id"),
+            content.alias("content"),
+            (ck % 13 != 0).alias("cleared"),
+        )
+    )
+    out = with_created_period(transform_miro(miro_records))
+    return out.select(
+        "id",
+        "type",
+        "reason",
+        "title",
+        "description",
+        "lettering",
+        "format_id",
+        F.concat_ws("~", "subjects").alias("subj_csv"),
+        F.concat_ws("~", "genres").alias("genre_csv"),
+        F.concat_ws("~", "other_identifiers").alias("ids_csv"),
+        "created_from",
+        "created_to",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_cdc_apply": _q01_cdc_apply,
@@ -2207,6 +2301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_palette": _q63_palette,
         "q64_sierra_items": _q64_sierra_items,
         "q65_calm_transform": _q65_calm_transform,
+        "q66_miro_transform": _q66_miro_transform,
     }
 
 
@@ -3379,6 +3474,75 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN vis AND ck % 14 = 0 THEN '1901-01-01' END AS prod_from,
                CASE WHEN vis AND ck % 28 = 0 THEN '1910-12-31'
                     WHEN vis AND ck % 14 = 0 THEN '1901-12-31' END AS prod_to
+        FROM e
+    """
+    # q66: closed-form Miro expectation (title/description templates,
+    # award sentences, suppression reasons, innopac normalization incl.
+    # the uppercase-X drop, V-collection created period).
+    sql["q66_miro_transform"] = """
+        WITH d AS (
+          SELECT c_custkey AS ck,
+                 CAST(c_custkey AS VARCHAR) AS cks,
+                 c_custkey % 6 AS t,
+                 CASE WHEN c_custkey % 3 = 0 THEN 'V' ELSE 'M' END
+                   || lpad(CAST(c_custkey AS VARCHAR), 7, '0') AS mid,
+                 c_custkey % 13 = 0 AS uncleared,
+                 c_custkey % 10 = 0 AS copy_n,
+                 (c_custkey % 10 <> 0 AND c_custkey % 20 = 3) AS copy_missing,
+                 c_custkey % 29 = 0 AS bad_inn
+          FROM customer WHERE c_custkey > 0 AND c_custkey <= 300
+        ), e AS (
+          SELECT *,
+                 NOT (uncleared OR copy_n OR copy_missing OR bad_inn) AS vis,
+                 CASE t WHEN 0 THEN 'A study ' || cks
+                        WHEN 1 THEN 'Second line ' || cks
+                        WHEN 2 THEN ''
+                        WHEN 3 THEN 'rest'
+                        WHEN 4 THEN 'Acad ' || cks
+                        ELSE '' END AS dbase,
+                 CASE WHEN ck % 24 = 0
+                      THEN ' Wellcome Image Awards Overall Winner 2016.'
+                      WHEN ck % 12 = 0 THEN ' Wellcome Image Awards 2015.'
+                      ELSE '' END AS award,
+                 CASE WHEN ck % 5 = 2 THEN 'x'
+                      WHEN ck % 25 = 0 THEN 'X'
+                      ELSE CAST(ck % 10 AS VARCHAR) END AS cd
+          FROM d
+        )
+        SELECT mid AS id,
+               CASE WHEN uncleared OR copy_n OR copy_missing THEN 'Deleted'
+                    WHEN bad_inn THEN 'Error' ELSE 'Visible' END AS type,
+               CASE WHEN uncleared
+                    THEN 'SuppressedFromSource(Miro: isClearedForCatalogueAPI = false)'
+                    WHEN copy_n
+                    THEN 'SuppressedFromSource(Miro: image_copyright_cleared = N)'
+                    WHEN copy_missing
+                    THEN 'SuppressedFromSource(Miro: image_copyright_cleared = <empty>)'
+                    WHEN bad_inn
+                    THEN 'Error(Expected 8-digit INNOPAC ID or nothing, got garbage)'
+               END AS reason,
+               CASE WHEN vis THEN
+                 CASE t WHEN 0 THEN 'Cat ' || cks
+                        WHEN 1 THEN 'Img ' || cks || ' of a dog'
+                        WHEN 2 THEN 'Pic ' || cks
+                        WHEN 3 THEN 'Desc ' || cks
+                        WHEN 4 THEN 'T' || cks
+                        ELSE 'Auto ' || cks END END AS title,
+               CASE WHEN vis THEN NULLIF(TRIM(dbase || award), '') END AS description,
+               CASE WHEN vis AND ck % 5 = 0 THEN 'Lett ' || cks END AS lettering,
+               CASE WHEN vis THEN 'q' END AS format_id,
+               CASE WHEN vis AND ck % 4 = 0 THEN
+                 'Bones ' || cks
+                 || CASE WHEN ck % 8 = 0 THEN '~Teeth ' || cks ELSE '' END
+               ELSE '' END AS subj_csv,
+               CASE WHEN vis AND ck % 9 = 0 THEN 'Etching'
+                    WHEN vis AND ck % 9 = 3 THEN 'Woodcut'
+                    ELSE '' END AS genre_csv,
+               CASE WHEN vis AND ck % 7 = 0 AND cd <> 'X' THEN
+                 'sierra-system-number:b123' || lpad(cks, 4, '0') || cd
+               ELSE '' END AS ids_csv,
+               CASE WHEN vis AND ck % 6 = 0 THEN '1889-01-01' END AS created_from,
+               CASE WHEN vis AND ck % 6 = 0 THEN '1889-12-31' END AS created_to
         FROM e
     """
     sql["q56_schema_evolution"] = """

@@ -113,7 +113,8 @@ def normalise_text(c: Column, whitelist: str | None = None) -> Column:
     out = F.regexp_replace(c, pat, "")
     out = _unescape(out)
     out = F.regexp_replace(out, r"[ \t]+\n", "\n")
-    return F.trim(out)
+    # Java-style trim (all whitespace incl. newlines), not Spark's space-only
+    return F.regexp_replace(F.regexp_replace(out, r"^\s+", ""), r"\s+$", "")
 
 
 def _get_list(data: Column, key: str) -> Column:
