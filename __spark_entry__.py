@@ -2234,6 +2234,74 @@ def _q66_miro_transform(spark, sf_dir):
     )
 
 
+def _q67_mets_transform(spark, sf_dir):
+    """Per-source transformer slice #5 (METS digitised records → invisible
+    merge-fodder works) driver-oracled: METS/MODS XML generated from
+    customer exercises title dedupe, the licence table with special cases
+    and error rows, the access-status table, Goobi-vs-Archivematica merge
+    candidates and deleted records; closed-form oracle."""
+    from catalogue_pipeline_spark.plans.mets_transform import transform_mets
+
+    ck = F.col("c_custkey")
+    cks = ck.cast("string")
+    d, st = ck % 6, ck % 5
+    L = F.lit
+    rid = F.when(
+        ck % 3 == 0, F.concat(L("00000000-0000-4000-9000-"), F.lpad(cks, 12, "0"))
+    ).otherwise(F.concat(L("B123"), F.lpad(cks, 4, "0"), (ck % 10).cast("string")))
+    t1 = F.concat(L("<mods:titleInfo><mods:title>Scan "), cks, L("</mods:title></mods:titleInfo>"))
+    titles = (
+        F.when(ck % 4 == 0, t1)
+        .when(ck % 4 == 1, F.concat(t1, t1))
+        .when(ck % 4 == 2, F.concat(t1, L("<mods:titleInfo><mods:title>Part 2</mods:title></mods:titleInfo>")))
+        .otherwise(L(""))
+    )
+    dz = (
+        F.when(d == 0, L("CC-BY"))
+        .when(d == 1, L("Copyright not cleared"))
+        .when(d == 2, L("https://creativecommons.org/licenses/by-nc/4.0/"))
+        .when(d == 3, L("In copyright"))
+        .when(d == 5, L("Mystery"))
+    )
+    status = (
+        F.when(st == 0, L("Open"))
+        .when(st == 1, L("Requires registration"))
+        .when(st == 2, L("Clinical images"))
+        .when(st == 4, L("Closed"))
+    )
+    cond = lambda typ, v: F.coalesce(  # noqa: E731
+        F.when(
+            v.isNotNull(),
+            F.concat(L(f'<mods:accessCondition type="{typ}">'), v, L("</mods:accessCondition>")),
+        ),
+        L(""),
+    )
+    content = F.concat(
+        L('<mets:mets><mets:dmdSec ID="DMDLOG_0000"><mets:mdWrap MDTYPE="MODS"><mets:xmlData><mods:mods>'),
+        titles,
+        cond("dz", dz),
+        cond("status", status),
+        cond("usage", F.when(ck % 7 == 0, F.concat(L("Usage "), cks))),
+        L("</mods:mods></mets:xmlData></mets:mdWrap></mets:dmdSec></mets:mets>"),
+    )
+    records = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .filter((ck > 0) & (ck <= 300))
+        .select(rid.alias("id"), content.alias("content"), (ck % 10 == 0).alias("deleted"))
+    )
+    out = transform_mets(records)
+    return out.select(
+        "id",
+        "type",
+        "reason",
+        "title",
+        "licence",
+        "access_status",
+        "access_usage",
+        F.concat_ws("~", "merge_candidates").alias("merge_csv"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_cdc_apply": _q01_cdc_apply,
@@ -2302,6 +2370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_sierra_items": _q64_sierra_items,
         "q65_calm_transform": _q65_calm_transform,
         "q66_miro_transform": _q66_miro_transform,
+        "q67_mets_transform": _q67_mets_transform,
     }
 
 
@@ -3543,6 +3612,48 @@ def oracle_sql() -> dict[str, str]:
                ELSE '' END AS ids_csv,
                CASE WHEN vis AND ck % 6 = 0 THEN '1889-01-01' END AS created_from,
                CASE WHEN vis AND ck % 6 = 0 THEN '1889-12-31' END AS created_to
+        FROM e
+    """
+    # q67: closed-form METS expectation (invisible works, licence/status
+    # tables with error rows, Goobi/Archivematica merge-candidate split).
+    sql["q67_mets_transform"] = """
+        WITH d AS (
+          SELECT c_custkey AS ck,
+                 CAST(c_custkey AS VARCHAR) AS cks,
+                 c_custkey % 6 AS dz, c_custkey % 5 AS st,
+                 c_custkey % 10 = 0 AS del,
+                 c_custkey % 3 = 0 AS uuid,
+                 'b123' || lpad(CAST(c_custkey AS VARCHAR), 4, '0')
+                   || CAST(c_custkey % 10 AS VARCHAR) AS bnum,
+                 '00000000-0000-4000-9000-'
+                   || lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS uid
+          FROM customer WHERE c_custkey > 0 AND c_custkey <= 300
+        ), e AS (
+          SELECT *, NOT del AND dz <> 5 AS live FROM d
+        )
+        SELECT CASE WHEN uuid THEN uid ELSE bnum END AS id,
+               CASE WHEN del THEN 'Deleted'
+                    WHEN dz = 5 THEN 'Error' ELSE 'Invisible' END AS type,
+               CASE WHEN del THEN 'DeletedFromSource(Mets)'
+                    WHEN dz = 5 THEN 'Couldn''t match Mystery to a license'
+                    ELSE 'MetsWorksAreNotVisible' END AS reason,
+               CASE WHEN live THEN
+                 CASE WHEN ck % 4 IN (0, 1) THEN 'Scan ' || cks
+                      WHEN ck % 4 = 2 THEN 'Scan ' || cks || ' Part 2'
+                      ELSE '' END END AS title,
+               CASE WHEN live THEN
+                 CASE dz WHEN 0 THEN 'cc-by' WHEN 1 THEN 'inc'
+                         WHEN 2 THEN 'cc-by-nc' WHEN 3 THEN 'inc' END
+               END AS licence,
+               CASE WHEN live THEN
+                 CASE st WHEN 0 THEN 'Open' WHEN 1 THEN 'OpenWithAdvisory'
+                         WHEN 2 THEN 'Restricted' WHEN 4 THEN 'Closed' END
+               END AS access_status,
+               CASE WHEN live AND ck % 7 = 0 THEN 'Usage ' || cks END AS access_usage,
+               CASE WHEN live THEN
+                 CASE WHEN uuid THEN 'calm-ref-no:' || uid || ':METS work'
+                      ELSE 'sierra-system-number:' || bnum || ':METS work' END
+               ELSE '' END AS merge_csv
         FROM e
     """
     sql["q56_schema_evolution"] = """
