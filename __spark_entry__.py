@@ -2302,6 +2302,71 @@ def _q67_mets_transform(spark, sf_dir):
     )
 
 
+def _q68_tei_transform(spark, sf_dir):
+    """Per-source transformer slice #6 (TEI manuscripts, thin top-level
+    slice) driver-oracled: TEI XML from customer exercises the msID
+    exactly-one rule (missing/empty/multiple errors), the single-sierra
+    b-number rule, summary tag-stripping with <p> preservation and the
+    error precedence chain; closed-form oracle."""
+    from catalogue_pipeline_spark.plans.tei_transform import transform_tei
+
+    ck = F.col("c_custkey")
+    cks = ck.cast("string")
+    m, sr, u = ck % 5, ck % 4, ck % 3
+    L = F.lit
+    msid_node = F.concat(L('<idno type="msID">WMS_'), cks, L("</idno>"))
+    msids = (
+        F.when(m.isin(0, 1), msid_node)
+        .when(m == 2, L(""))
+        .when(m == 3, F.concat(msid_node, L('<idno type="msID">Other</idno>')))
+        .otherwise(L('<idno type="msID"> </idno>'))
+    )
+    bnum_val = F.concat(L("b123"), F.lpad(cks, 4, "0"), (ck % 10).cast("string"))
+    alt = lambda v: F.concat(  # noqa: E731
+        L('<altIdentifier type="Sierra"><idno>'), v, L("</idno></altIdentifier>")
+    )
+    sierra = (
+        F.when(sr == 0, alt(bnum_val))
+        .when(sr == 2, alt(L("1234567")))
+        .when(sr == 3, F.concat(alt(bnum_val), alt(L("b7654321x"))))
+        .otherwise(L(""))
+    )
+    summary = (
+        F.when(u == 0, F.concat(L('<summary rend="x">Sum <locus>f.1</locus> '), cks, L("</summary>")))
+        .when(u == 2, L("<summary>A</summary><summary>B</summary>"))
+        .otherwise(L(""))
+    )
+    content = F.concat(
+        L('<TEI xml:id="m"><teiHeader><fileDesc><publicationStmt><idno>UkLW</idno>'),
+        msids,
+        L("</publicationStmt><sourceDesc><msDesc><msIdentifier>"),
+        sierra,
+        L("</msIdentifier><msContents>"),
+        summary,
+        L("</msContents></msDesc></sourceDesc></fileDesc></teiHeader></TEI>"),
+    )
+    records = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .filter((ck > 0) & (ck <= 300))
+        .select(
+            F.concat(L("manuscript_"), cks).alias("id"),
+            content.alias("content"),
+            (ck % 10 == 0).alias("deleted"),
+        )
+    )
+    out = transform_tei(records)
+    return out.select(
+        "id",
+        "type",
+        "reason",
+        "title",
+        "reference_number",
+        "b_number",
+        "description",
+        F.concat_ws("~", "merge_candidates").alias("merge_csv"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_cdc_apply": _q01_cdc_apply,
@@ -2371,6 +2436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_calm_transform": _q65_calm_transform,
         "q66_miro_transform": _q66_miro_transform,
         "q67_mets_transform": _q67_mets_transform,
+        "q68_tei_transform": _q68_tei_transform,
     }
 
 
@@ -3653,6 +3719,44 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN live THEN
                  CASE WHEN uuid THEN 'calm-ref-no:' || uid || ':METS work'
                       ELSE 'sierra-system-number:' || bnum || ':METS work' END
+               ELSE '' END AS merge_csv
+        FROM e
+    """
+    # q68: closed-form TEI expectation (msID rule errors in precedence
+    # order, b-number rule, <p>-preserving summary strip).
+    sql["q68_tei_transform"] = """
+        WITH d AS (
+          SELECT c_custkey AS ck, CAST(c_custkey AS VARCHAR) AS cks,
+                 c_custkey % 5 AS m, c_custkey % 4 AS sr, c_custkey % 3 AS u,
+                 c_custkey % 10 = 0 AS del,
+                 'b123' || lpad(CAST(c_custkey AS VARCHAR), 4, '0')
+                   || CAST(c_custkey % 10 AS VARCHAR) AS bnum
+          FROM customer WHERE c_custkey > 0 AND c_custkey <= 300
+        ), e AS (
+          SELECT *,
+                 CASE WHEN m = 2 THEN 'No <idno type=''msID''> found!'
+                      WHEN m = 4 THEN 'Empty <idno type=''msID''> found!'
+                      WHEN m = 3 THEN 'Multiple instances of <idno type=''msID''> found!'
+                      WHEN sr = 3 THEN 'More than one sierra bnumber node!'
+                      WHEN u = 2 THEN 'More than one summary node!'
+                 END AS err
+          FROM d
+        )
+        SELECT 'manuscript_' || cks AS id,
+               CASE WHEN del THEN 'Deleted'
+                    WHEN err IS NOT NULL THEN 'Error'
+                    ELSE 'Visible' END AS type,
+               CASE WHEN del THEN 'DeletedFromSource(Deleted by TEI source)'
+                    ELSE err END AS reason,
+               CASE WHEN NOT del AND err IS NULL THEN 'WMS_' || cks END AS title,
+               CASE WHEN NOT del AND err IS NULL THEN 'WMS_' || cks END AS reference_number,
+               CASE WHEN NOT del AND err IS NULL THEN
+                 CASE WHEN sr = 0 THEN bnum WHEN sr = 2 THEN '1234567' END
+               END AS b_number,
+               CASE WHEN NOT del AND err IS NULL AND u = 0
+                    THEN 'Sum f.1 ' || cks END AS description,
+               CASE WHEN NOT del AND err IS NULL AND sr = 0 THEN
+                 'sierra-system-number:' || bnum || ':Bnumber present in TEI file'
                ELSE '' END AS merge_csv
         FROM e
     """
