@@ -2367,6 +2367,115 @@ def _q68_tei_transform(spark, sf_dir):
     )
 
 
+def _q69_transform_cdc_e2e(spark, sf_dir):
+    """Transformer→CDC end-to-end driver-oracled (the full reference chain
+    adapter→transformer→store in one run): 200 Sierra bibs are transformed
+    (from_json + HOF plan), folded into a lake table via the LWW merge;
+    an identical re-transform must be a complete no-op with NO commit
+    (V2/V3); a third batch with 40 changed titles and 20 deletions at a
+    later ts must apply exactly those 60 and no-op the rest. Every probe is
+    a closed-form count."""
+    from catalogue_pipeline_spark.cdc.merge import (
+        merge_into_state,
+        read_state,
+        visible_transcripts,
+    )
+    from catalogue_pipeline_spark.plans.sierra_transform import transform_sierra
+
+    ck = F.col("c_custkey")
+    cks = ck.cast("string")
+    sid = (ck + 1000000).cast("string")
+
+    def bibs(v2: bool):
+        title = F.when(
+            F.lit(v2) & (ck % 4 == 0) & (ck % 10 != 0),
+            F.concat(F.lit("Work "), cks, F.lit(" v2")),
+        ).otherwise(F.concat(F.lit("Work "), cks))
+        doc = F.struct(
+            sid.alias("id"),
+            (F.lit(v2) & (ck % 10 == 0)).alias("deleted"),
+            F.lit(False).alias("suppressed"),
+            F.array(
+                F.struct(
+                    F.lit("a").alias("fieldTag"),
+                    F.lit("245").alias("marcTag"),
+                    F.lit(" ").alias("ind1"),
+                    F.lit(" ").alias("ind2"),
+                    F.lit(None).cast("string").alias("content"),
+                    F.array(
+                        F.struct(F.lit("a").alias("tag"), title.alias("content"))
+                    ).alias("subfields"),
+                )
+            ).alias("varFields"),
+        )
+        return (
+            spark.read.parquet(_t(sf_dir, "customer"))
+            .filter((ck > 0) & (ck <= 200))
+            .select(sid.alias("id"), F.to_json(doc).alias("content"))
+        )
+
+    def as_state(works, ts_col):
+        # a real incremental harvest only bumps modified-times on touched
+        # records, so ts is per-row: untouched rows re-present IDENTICAL
+        # state and must classify as no-ops
+        return works.select(
+            F.col("sierra_id").alias("conv_id"),
+            F.lit(0).cast("long").alias("turn_idx"),
+            F.lit("work").alias("role"),
+            F.coalesce(F.col("title"), F.lit("")).alias("text"),
+            F.col("id").alias("tool"),
+            ts_col.alias("ts"),
+            F.when(F.col("type") == "Deleted", 1).otherwise(0).alias("op_pri"),
+            F.lit(1).cast("long").alias("offset"),
+            F.when(F.col("type") != "Deleted", ts_col).alias("nd_ts"),
+            F.when(F.col("type") != "Deleted", F.lit(1).cast("long")).alias("nd_offset"),
+            F.when(F.col("type") == "Deleted", "true").otherwise("false").alias("deleted"),
+            F.lit(1).cast("long").alias("n_events"),
+        )
+
+    import datetime as dt
+
+    t1, t2 = dt.datetime(2024, 5, 1, 12, 0, 0), dt.datetime(2024, 5, 2, 12, 0, 0)
+    ckb = F.col("sierra_id").cast("long") - 1000000
+    touched = ((ckb % 4 == 0) | (ckb % 10 == 0))
+    ts1 = F.lit(t1).cast("timestamp")
+    ts3 = F.when(touched, F.lit(t2).cast("timestamp")).otherwise(ts1)
+    work = tempfile.mkdtemp(prefix="cps-q69-")
+    try:
+        table = LakeTable.create(
+            os.path.join(work, "t"), STATE_SCHEMA, bucket_key="conv_id", num_buckets=8
+        )
+        s1, m1 = merge_into_state(
+            spark, table, as_state(transform_sierra(bibs(False)), ts1), changeset_id="b1"
+        )
+        s2, m2 = merge_into_state(
+            spark, table, as_state(transform_sierra(bibs(False)), ts1), changeset_id="b2"
+        )
+        s3, m3 = merge_into_state(
+            spark, table, as_state(transform_sierra(bibs(True)), ts3), changeset_id="b3"
+        )
+        state = read_state(spark, table)
+        probes = [
+            ("first_committed", 1 if s1 is not None else 0),
+            ("first_keys", int(m1.keys_in)),
+            ("second_committed", 1 if s2 is not None else 0),
+            ("second_noops", int(m2.noop_updates)),
+            ("second_applied", int(m2.events_applied)),
+            ("third_committed", 1 if s3 is not None else 0),
+            ("third_applied", int(m3.events_applied)),
+            ("third_noops", int(m3.noop_updates)),
+            ("final_rows", state.count()),
+            ("final_visible", visible_transcripts(state).count()),
+            (
+                "final_v2_titles",
+                visible_transcripts(state).filter(F.col("text").endswith("v2")).count(),
+            ),
+        ]
+        return spark.createDataFrame(probes, "probe string, value long")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_cdc_apply": _q01_cdc_apply,
@@ -2437,6 +2546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_miro_transform": _q66_miro_transform,
         "q67_mets_transform": _q67_mets_transform,
         "q68_tei_transform": _q68_tei_transform,
+        "q69_transform_cdc_e2e": _q69_transform_cdc_e2e,
     }
 
 
@@ -3759,6 +3869,22 @@ def oracle_sql() -> dict[str, str]:
                  'sierra-system-number:' || bnum || ':Bnumber present in TEI file'
                ELSE '' END AS merge_csv
         FROM e
+    """
+    # q69: closed-form chain probes — 200 keys; batch 3 changes titles on
+    # ck%4==0 except deletions ck%10==0 (overlap ck%20==0): 50-10=40
+    # changes + 20 deletes = 60 applied, 140 no-ops; 180 visible.
+    sql["q69_transform_cdc_e2e"] = """
+        SELECT 'first_committed' AS probe, CAST(1 AS BIGINT) AS value
+        UNION ALL SELECT 'first_keys', 200
+        UNION ALL SELECT 'second_committed', 0
+        UNION ALL SELECT 'second_noops', 200
+        UNION ALL SELECT 'second_applied', 0
+        UNION ALL SELECT 'third_committed', 1
+        UNION ALL SELECT 'third_applied', 60
+        UNION ALL SELECT 'third_noops', 140
+        UNION ALL SELECT 'final_rows', 200
+        UNION ALL SELECT 'final_visible', 180
+        UNION ALL SELECT 'final_v2_titles', 40
     """
     sql["q56_schema_evolution"] = """
         SELECT c_custkey AS offset,
