@@ -77,3 +77,99 @@ def test_matcher_feeds_merger(spark, tmp_path):
     assert merged["lonely"]["type"] == "Visible" and merged["lonely"]["items"] == ["item-l"]
     # G5: everything stamped with the batch time
     assert merged["sierra1"]["batch_ts"] == BATCH_TS
+
+
+def test_all_transformer_slices_feed_matcher(spark, tmp_path):
+    """Cross-source chain: Sierra, METS, CALM and Miro records go through
+    their OWN transformer slices; the emitted merge candidates become
+    matcher edges; the matcher must put all four works in one component
+    (the reference's physical/digitised/archive/image cluster)."""
+    import json
+
+    from catalogue_pipeline_spark.plans.calm_transform import transform_calm
+    from catalogue_pipeline_spark.plans.mets_transform import transform_mets
+    from catalogue_pipeline_spark.plans.miro_transform import transform_miro
+    from catalogue_pipeline_spark.plans.sierra_transform import transform_sierra
+
+    # Sierra bib b1000001x with a Miro 089 link
+    sierra = transform_sierra(
+        spark.createDataFrame(
+            [("1000001", json.dumps({
+                "id": "1000001", "deleted": False,
+                "varFields": [
+                    {"fieldTag": "a", "marcTag": "245", "ind1": " ", "ind2": " ",
+                     "subfields": [{"tag": "a", "content": "Physical work"}]},
+                    {"fieldTag": "a", "marcTag": "089", "ind1": " ", "ind2": " ",
+                     "subfields": [{"tag": "a", "content": "V 123"}]},
+                ]}))],
+            "id string, content string",
+        )
+    )
+    # Goobi METS for the digitised copy of the same bib
+    mets = transform_mets(
+        spark.createDataFrame(
+            [("B1000001x", "<mets:mets></mets:mets>", False)],
+            "id string, content string, deleted boolean",
+        )
+    )
+    # CALM record harvested into Sierra (BNumber back-link)
+    calm = transform_calm(
+        spark.createDataFrame(
+            [("calm-uuid-1", {"Title": ["Archive"], "Level": ["Collection"],
+                              "RefNo": ["WA/X"], "CatalogueStatus": ["Catalogued"],
+                              "BNumber": ["b1000001x"]}, False)],
+            "id string, data map<string,array<string>>, deleted boolean",
+        )
+    )
+    # Miro image V0000123 pointing at the same bib via innopac
+    miro = transform_miro(
+        spark.createDataFrame(
+            [("V0000123", json.dumps({
+                "image_title": "An image", "image_copyright_cleared": "Y",
+                "image_innopac_id": "1000001x"}), True)],
+            "id string, content string, cleared boolean",
+        )
+    )
+
+    def scheme_id(typ, value):
+        return F.concat(F.lit(typ + "/"), value)
+
+    def to_update(works, self_type, self_value_col):
+        # candidate strings are 'scheme:value:reason' -> target work id
+        cands = F.transform(
+            F.col("merge_candidates"),
+            lambda c: F.concat_ws("/", F.slice(F.split(c, ":"), 1, 2)),
+        )
+        return works.select(
+            scheme_id(self_type, F.col(self_value_col)).alias("work_id"),
+            F.lit(1).alias("version"),
+            cands.alias("candidates"),
+            F.lit(False).alias("suppressed"),
+        )
+
+    # Miro has no merge_candidates of its own (the reference merges
+    # Miro↔Sierra from the Sierra side's 089/962), so it joins the graph
+    # as a bare node; the Sierra work's candidate provides the edge.
+    miro_node = miro.select(
+        scheme_id("miro-image-number", F.col("id")).alias("work_id"),
+        F.lit(1).alias("version"),
+        F.array().cast("array<string>").alias("candidates"),
+        F.lit(False).alias("suppressed"),
+    )
+    updates = (
+        to_update(sierra, "sierra-system-number", "id")
+        .unionByName(to_update(mets, "mets", "id"))
+        .unionByName(to_update(calm, "calm-record-id", "id"))
+        .unionByName(miro_node)
+    )
+    table = create_matcher_table(str(tmp_path / "xsrc"), num_buckets=4)
+    _, result = update_graph(spark, table, updates, batch_seq=1, changeset_id="x1")
+    comps = {
+        tuple(sorted(w["work_id"] for w in r["works"])) for r in result.collect()
+    }
+    assert (
+        "calm-record-id/calm-uuid-1",
+        "mets/b1000001x",
+        "miro-image-number/V0000123",
+        "sierra-system-number/b1000001x",
+    ) in comps
