@@ -2476,6 +2476,64 @@ def _q69_transform_cdc_e2e(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _q70_holdings_enumeration(spark, sf_dir):
+    """Sierra holdings 853/863 caption pairing driver-oracled: varFields
+    JSON generated from customer exercises ranges, month naming, multiple
+    sequences, human-written h fields and sorting; the Arrow-batched UDF's
+    output is checked against a closed-form oracle of the rendering rules."""
+    from catalogue_pipeline_spark.functions.holdings import holdings_enumeration_udf
+
+    ck = F.col("c_custkey")
+    cks = ck.cast("string")
+    k1 = (ck % 50).cast("string")
+    k2 = (ck % 50 + 10).cast("string")
+    b = (ck % 5).cast("string")
+    m = F.lpad((1 + ck % 12).cast("string"), 2, "0")
+    L = F.lit
+
+    def sub(tag, v):
+        return F.concat(L('{"tag":"' + tag + '","content":"'), v, L('"}'))
+
+    f853 = F.concat(
+        L('{"marcTag":"853","subfields":['),
+        sub("8", L("1")), L(","), sub("a", L("v.")), L(","), sub("b", L("no.")),
+        L(","), sub("i", L("(year)")),
+        F.when(ck % 3 == 0, F.concat(L(","), sub("j", L("(month)")))).otherwise(L("")),
+        L("]}"),
+    )
+    a1 = F.when(ck % 2 == 0, F.concat(k1, L("-"), k2)).otherwise(k1)
+    i1 = F.when(ck % 2 == 0, L("1990-2000")).otherwise(L("1995"))
+    f863 = F.concat(
+        L('{"marcTag":"863","subfields":['),
+        sub("8", L("1.1")), L(","), sub("a", a1), L(","), sub("b", b),
+        L(","), sub("i", i1),
+        F.when(ck % 3 == 0, F.concat(L(","), sub("j", m))).otherwise(L("")),
+        L("]}"),
+    )
+    f863b = F.when(
+        ck % 4 == 0,
+        F.concat(
+            L(',{"marcTag":"863","subfields":['),
+            sub("8", L("1.2")), L(","), sub("a", L("9")), L(","), sub("b", L("9")),
+            L(","), sub("i", L("2001")), L("]}"),
+        ),
+    ).otherwise(L(""))
+    human = F.when(
+        ck % 7 == 0,
+        F.concat(L('{"fieldTag":"h","content":"Desc '), cks, L('"},')),
+    ).otherwise(L(""))
+    varfields = F.concat(L("["), human, f853, L(","), f863, f863b, L("]"))
+    records = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .filter((ck > 0) & (ck <= 300))
+        .select(F.concat(L("h"), cks).alias("id"), varfields.alias("varfields"))
+    )
+    out = records.select(
+        "id", holdings_enumeration_udf()(F.col("varfields")).alias("e")
+    )
+    return out.select("id", F.concat_ws("~", "e").alias("enum_csv"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_cdc_apply": _q01_cdc_apply,
@@ -2547,6 +2605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_mets_transform": _q67_mets_transform,
         "q68_tei_transform": _q68_tei_transform,
         "q69_transform_cdc_e2e": _q69_transform_cdc_e2e,
+        "q70_holdings_enumeration": _q70_holdings_enumeration,
     }
 
 
@@ -3885,6 +3944,47 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 'final_rows', 200
         UNION ALL SELECT 'final_visible', 180
         UNION ALL SELECT 'final_v2_titles', 40
+    """
+    # q70: closed-form caption rendering — ranges split once, month table,
+    # ':'-join of v./no., '(date)' wrapping, human-written h first.
+    sql["q70_holdings_enumeration"] = """
+        WITH d AS (
+          SELECT c_custkey AS ck,
+                 CAST(c_custkey AS VARCHAR) AS cks,
+                 CAST(c_custkey % 50 AS VARCHAR) AS k1,
+                 CAST(c_custkey % 50 + 10 AS VARCHAR) AS k2,
+                 CAST(c_custkey % 5 AS VARCHAR) AS b,
+                 CASE 1 + c_custkey % 12
+                   WHEN 1 THEN 'Jan.' WHEN 2 THEN 'Feb.' WHEN 3 THEN 'Mar.'
+                   WHEN 4 THEN 'Apr.' WHEN 5 THEN 'May' WHEN 6 THEN 'June'
+                   WHEN 7 THEN 'July' WHEN 8 THEN 'Aug.' WHEN 9 THEN 'Sept.'
+                   WHEN 10 THEN 'Oct.' WHEN 11 THEN 'Nov.' WHEN 12 THEN 'Dec.'
+                 END AS mn,
+                 c_custkey % 2 = 0 AS rng,
+                 c_custkey % 3 = 0 AS has_m,
+                 c_custkey % 4 = 0 AS second,
+                 c_custkey % 7 = 0 AS human
+          FROM customer WHERE c_custkey > 0 AND c_custkey <= 300
+        ), e AS (
+          SELECT *,
+                 CASE WHEN rng THEN
+                   'v.' || k1 || ':no.' || b || ' ('
+                     || CASE WHEN has_m THEN mn || ' ' ELSE '' END || '1990)'
+                     || ' - '
+                     || 'v.' || k2 || ':no.' || b || ' ('
+                     || CASE WHEN has_m THEN mn || ' ' ELSE '' END || '2000)'
+                 ELSE
+                   'v.' || k1 || ':no.' || b || ' ('
+                     || CASE WHEN has_m THEN mn || ' ' ELSE '' END || '1995)'
+                 END AS cap1
+          FROM d
+        )
+        SELECT 'h' || cks AS id,
+               CASE WHEN human THEN 'Desc ' || cks || '~' ELSE '' END
+               || cap1
+               || CASE WHEN second THEN '~v.9:no.9 (2001)' ELSE '' END
+               AS enum_csv
+        FROM e
     """
     sql["q56_schema_evolution"] = """
         SELECT c_custkey AS offset,
