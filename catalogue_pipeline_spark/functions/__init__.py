@@ -8,8 +8,87 @@ mint identical ids with no coordination).
 
 from __future__ import annotations
 
+import unicodedata
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+# ------------------------------------------------- text normalisation
+# TextNormalisation.scala (transformer_common) as Column expressions.
+
+
+def trim_trailing(c: Column, char: str) -> Column:
+    """Remove the given trailing character and surrounding whitespace
+    (TextNormalisation.trimTrailing)."""
+    import re as _re
+
+    return F.regexp_replace(c, r"\s*[" + _re.escape(char) + r"]\s*$", "")
+
+
+def trim_trailing_period(c: Column) -> Column:
+    """Remove a single trailing period, but never an ellipsis
+    (TextNormalisation.trimTrailingPeriod)."""
+    return F.regexp_replace(
+        F.regexp_replace(c, r"([^.])\.\s*$", r"$1"), r"\s*$", ""
+    )
+
+
+def _build_fold_tables():
+    """Precompute (at plan-build time, pure driver-side) the NFKD→ASCII
+    fold the reference applies in LabelDerivedIdentifiers.scala:28-44
+    (Normalizer.NFKD + strip non-ASCII).  Single-char decompositions become
+    one JVM ``translate``; multi-char ones (ligatures, vulgar fractions in
+    the Latin ranges) a short ``replace`` chain.  Characters outside these
+    ranges with multi-char ASCII decompositions (e.g. fullwidth digits,
+    circled numbers) are stripped instead of expanded — a documented
+    deviation for exotic codepoints that never appear in catalogue labels."""
+    one_src, one_dst, multi = [], [], []
+    single_ranges = (
+        list(range(0x80, 0x400))
+        + list(range(0x1E00, 0x2000))
+        + list(range(0x2000, 0x2C00))
+        + list(range(0xFB00, 0xFB50))
+        + list(range(0xFF00, 0xFFF0))
+    )
+    multi_ranges = set(range(0x80, 0x300)) | set(range(0xFB00, 0xFB07))
+    for cp in single_ranges:
+        ch = chr(cp)
+        dec = unicodedata.normalize("NFKD", ch)
+        ascii_part = "".join(c for c in dec if ord(c) < 128)
+        if not ascii_part:
+            continue
+        if len(ascii_part) == 1:
+            one_src.append(ch)
+            one_dst.append(ascii_part)
+        elif cp in multi_ranges:
+            multi.append((ch, ascii_part))
+    return "".join(one_src), "".join(one_dst), multi
+
+
+_FOLD_SRC, _FOLD_DST, _FOLD_MULTI = _build_fold_tables()
+
+
+def ascii_fold(c: Column) -> Column:
+    """NFKD-decompose-then-strip-non-ASCII, JVM-side: accented Latin folds
+    to its base letter (ü→u, é→e), everything non-decomposable is dropped —
+    exactly the reference's ``Normalizer.normalize(_, NFKD).replaceAll
+    ("[^\\p{ASCII}]", "")`` for the Latin ranges (see _build_fold_tables
+    for the documented exotic-codepoint deviation)."""
+    out = F.translate(c, _FOLD_SRC, _FOLD_DST)
+    for src, dst in _FOLD_MULTI:
+        out = F.replace(out, F.lit(src), F.lit(dst))
+    return F.regexp_replace(out, r"[^\x00-\x7F]", "")
+
+
+def label_derived_value(label: Column) -> Column:
+    """The reference's label-derived identifier value
+    (LabelDerivedIdentifiers.identifierFromText): trimTrailingPeriod → trim
+    → lowercase → NFKD ASCII fold → trim → truncate 255 → trim.  NULL label
+    → NULL (the caller maps that to Unidentifiable)."""
+    v = F.lower(F.trim(trim_trailing_period(label)))
+    v = F.trim(ascii_fold(v))
+    return F.trim(F.substring(v, 1, 255))
+
 
 # canonical-id alphabet: lowercase+digits minus 0 o i l 1 (identifiers.py:1-39)
 CANONICAL_ALPHABET = "23456789abcdefghjkmnpqrstuvwxyz"  # 31 chars
