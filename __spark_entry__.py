@@ -2534,6 +2534,264 @@ def _q70_holdings_enumeration(spark, sf_dir):
     return out.select("id", F.concat_ws("~", "e").alias("enum_csv"))
 
 
+def _q71_sierra_concepts(spark, sf_dir):
+    """Sierra subjects/contributors extraction driver-oracled: bib JSON
+    generated from customer exercises every family — Person/Organisation/
+    Meeting/Agent contributors ($t demotion, $e/$j roles, single/multiple
+    $0, primary-duplicate removal, Person↔Agent harmonisation on shared
+    lc-names ids), subject transformers (650 with/without subdivisions and
+    $0, 600 person with $x, ind2=7 drop, 611 meeting, 652 brand, 651
+    place), and the cross-list retype (Organisation contributor sharing a
+    Place subject's identifier becomes Place).  The oracle recomputes both
+    serialized lists in closed form."""
+    from catalogue_pipeline_spark.plans.sierra_concepts import (
+        transform_sierra_concepts,
+    )
+
+    ck = F.col("c_custkey")
+    cks = ck.cast("string")
+    sid = (ck + 3000000).cast("string")
+    L = F.lit
+
+    def vfs(marcTag, subs, ind2=" "):
+        return F.struct(
+            L("a").alias("fieldTag"),
+            L(marcTag).alias("marcTag"),
+            L(" ").alias("ind1"),
+            L(ind2).alias("ind2"),
+            F.lit(None).cast("string").alias("content"),
+            F.array(
+                *[F.struct(L(c).alias("tag"), v.alias("content")) for c, v in subs]
+            ).alias("subfields"),
+        )
+
+    person = F.concat(L("Person "), cks)
+    f100_subs = [("a", person)]
+    # roles / identifiers attach conditionally — build the three variants
+    f100 = (
+        F.when(
+            (ck % 4 == 0) & (ck % 25 == 0),
+            vfs("100", f100_subs + [("e", L("author.")), ("0", F.concat(L("n"), cks)), ("0", F.concat(L("n"), (ck + 1).cast("string")))]),
+        )
+        .when(
+            (ck % 4 == 0) & (ck % 5 == 0),
+            vfs("100", f100_subs + [("e", L("author.")), ("0", F.concat(L("n"), cks))]),
+        )
+        .when(ck % 4 == 0, vfs("100", f100_subs + [("e", L("author."))]))
+        .when(
+            ck % 25 == 0,
+            vfs("100", f100_subs + [("0", F.concat(L("n"), cks)), ("0", F.concat(L("n"), (ck + 1).cast("string")))]),
+        )
+        .when(ck % 5 == 0, vfs("100", f100_subs + [("0", F.concat(L("n"), cks))]))
+        .otherwise(vfs("100", f100_subs))
+    )
+    f111 = vfs("111", [("a", F.concat(L("Meeting "), cks)), ("j", L("chair."))])
+    f700t_subs = [("a", F.concat(L("Person "), cks, L(","))), ("t", L("Title."))]
+    f700t = F.when(
+        ck % 35 == 0, vfs("700", f700t_subs + [("0", F.concat(L("n"), cks))])
+    ).otherwise(vfs("700", f700t_subs))
+    # the duplicate 700 mirrors f100 exactly (→ removed by filterDuplicates)
+    f700dup = (
+        F.when(
+            (ck % 4 == 0) & (ck % 25 == 0),
+            vfs("700", f100_subs + [("e", L("author.")), ("0", F.concat(L("n"), cks)), ("0", F.concat(L("n"), (ck + 1).cast("string")))]),
+        )
+        .when(
+            (ck % 4 == 0) & (ck % 5 == 0),
+            vfs("700", f100_subs + [("e", L("author.")), ("0", F.concat(L("n"), cks))]),
+        )
+        .when(ck % 4 == 0, vfs("700", f100_subs + [("e", L("author."))]))
+        .when(
+            ck % 25 == 0,
+            vfs("700", f100_subs + [("0", F.concat(L("n"), cks)), ("0", F.concat(L("n"), (ck + 1).cast("string")))]),
+        )
+        .when(ck % 5 == 0, vfs("700", f100_subs + [("0", F.concat(L("n"), cks))]))
+        .otherwise(vfs("700", f100_subs))
+    )
+    f710 = vfs("710", [("a", F.concat(L("Org "), cks, L(",")))])
+    f710place = vfs(
+        "710",
+        [("a", F.concat(L("PlaceOrg "), cks)), ("0", F.concat(L("sh9000"), cks))],
+    )
+    f650 = (
+        F.when(
+            (ck % 6 == 0) & (ck % 10 == 0),
+            vfs("650", [("a", F.concat(L("Subj "), cks)), ("v", F.concat(L("Form "), cks, L("."))), ("0", F.concat(L("sh8"), cks))], ind2="0"),
+        )
+        .when(
+            ck % 6 == 0,
+            vfs("650", [("a", F.concat(L("Subj "), cks)), ("v", F.concat(L("Form "), cks, L(".")))], ind2="0"),
+        )
+        .when(
+            ck % 10 == 0,
+            vfs("650", [("a", F.concat(L("Subj "), cks)), ("0", F.concat(L("sh8"), cks))], ind2="0"),
+        )
+        .otherwise(vfs("650", [("a", F.concat(L("Subj "), cks))], ind2="0"))
+    )
+    f600 = vfs(
+        "600",
+        [("a", F.concat(L("PersonSubj "), cks, L(","))), ("x", F.concat(L("Character "), cks))],
+    )
+    f651drop = vfs("651", [("a", F.concat(L("Dropped "), cks))], ind2="7")
+    f611 = vfs("611", [("a", F.concat(L("Conf "), cks))])
+    f652 = vfs("652", [("a", F.concat(L("Brand "), cks))])
+    f651p = vfs(
+        "651",
+        [("a", F.concat(L("Place "), cks)), ("0", F.concat(L("sh9000"), cks))],
+        ind2="0",
+    )
+    maybe = lambda cond, field: F.when(cond, field)  # noqa: E731
+    fields = F.filter(
+        F.array(
+            f100,
+            maybe(ck % 11 == 0, f111),
+            maybe(ck % 7 == 0, f700t),
+            maybe(ck % 13 == 0, f700dup),
+            maybe(ck % 3 == 0, f710),
+            maybe(ck % 21 == 0, f710place),
+            maybe(ck % 2 == 0, f650),
+            maybe(ck % 9 == 0, f600),
+            maybe(ck % 8 == 0, f651drop),
+            maybe(ck % 12 == 0, f611),
+            maybe(ck % 15 == 0, f652),
+            maybe(ck % 21 == 0, f651p),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    doc = F.struct(
+        sid.alias("id"),
+        L(False).alias("deleted"),
+        L(False).alias("suppressed"),
+        fields.alias("varFields"),
+    )
+    bibs = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .filter((ck > 0) & (ck <= 300))
+        .select(sid.alias("id"), F.to_json(doc).alias("content"))
+    )
+    out = transform_sierra_concepts(bibs)
+    return out.select(
+        F.col("sierra_id"),
+        F.array_join("contributors_ser", "&&").alias("contribs_csv"),
+        F.array_join("subjects_ser", "&&").alias("subjects_csv"),
+    )
+
+
+def _q72_sierra_fields(spark, sf_dir):
+    """Sierra genres/notes/languages/production/duration driver-oracled:
+    bib JSON generated from customer exercises 655 genres (subdivisions,
+    $0 identifiers, trailing-period normalisation), the notes tag map (535
+    indicator typing, 561 privacy gate, 591 $9 suppression, 787 UkLW
+    search links, 514 Pictures suppression), languages (primary lang field
+    with name fallback, 041 trim/lower/unknown-drop, mul suppression),
+    260/264/008 production (264 preference, copyright drop, 008
+    substitution for unparseable dates, bare-008 events) and 306 duration.
+    The oracle recomputes every serialized list in closed form."""
+    from catalogue_pipeline_spark.plans.sierra_fields import (
+        transform_sierra_fields,
+    )
+
+    ck = F.col("c_custkey")
+    cks = ck.cast("string")
+    sid = (ck + 4000000).cast("string")
+    L = F.lit
+
+    def vfs(marcTag, subs=None, ind1=" ", ind2=" ", content=None):
+        return F.struct(
+            L("a").alias("fieldTag"),
+            L(marcTag).alias("marcTag"),
+            L(ind1).alias("ind1"),
+            L(ind2).alias("ind2"),
+            (content if content is not None else F.lit(None).cast("string")).alias("content"),
+            (
+                F.array(
+                    *[F.struct(L(c).alias("tag"), v.alias("content")) for c, v in subs]
+                )
+                if subs
+                else F.lit(None).cast("array<struct<tag:string,content:string>>")
+            ).alias("subfields"),
+        )
+
+    f008 = vfs("008", content=L("790922s1957    enk||||      o00||||eng ccam   "))
+    f655 = (
+        F.when(
+            (ck % 6 == 0) & (ck % 10 == 0),
+            vfs("655", [("a", F.concat(L("Genre "), cks, L("."))), ("y", L("19th century")), ("0", F.concat(L("sh7"), cks))], ind2="0"),
+        )
+        .when(
+            ck % 6 == 0,
+            vfs("655", [("a", F.concat(L("Genre "), cks, L("."))), ("y", L("19th century"))]),
+        )
+        .when(
+            ck % 10 == 0,
+            vfs("655", [("a", F.concat(L("Genre "), cks, L("."))), ("0", F.concat(L("sh7"), cks))], ind2="0"),
+        )
+        .otherwise(vfs("655", [("a", F.concat(L("Genre "), cks, L(".")))]))
+    )
+    prod_260 = vfs("260", [
+        ("a", F.concat(L("Place "), cks, L(" :"))),
+        ("b", F.concat(L("Pub "), cks, L(","))),
+        ("c", L("2001")),
+    ])
+    prod_264_c = F.when(ck % 9 == 0, L("circa nope")).otherwise(L("1984"))
+    prod_264 = vfs("264", [("a", F.concat(L("City "), cks)), ("c", prod_264_c)], ind2="1")
+    prod_264_copy = vfs("264", [("c", L("©2001"))], ind2="4")
+    lang_code = (
+        F.when(ck % 3 == 0, L("ger")).when(ck % 3 == 1, L("eng")).otherwise(L("xx9"))
+    )
+    lang_name = F.when(ck % 3 == 2, F.concat(L("Custom "), cks)).otherwise(L("X"))
+    dur_good = vfs("306", [("a", F.concat(F.lpad((ck % 24).cast("string"), 2, "0"), L("3015")))])
+    dur_bad = vfs("306", [("a", L("bad99"))])
+    maybe = lambda cond, field: F.when(cond, field)  # noqa: E731
+    is_odd = ck % 2 == 1
+    fields = F.filter(
+        F.array(
+            maybe(ck % 2 == 0, f655),
+            vfs("500", [("a", F.concat(L("Note "), cks, L(".")))]),
+            maybe(ck % 3 == 0, vfs("535", [("a", F.concat(L("Dup "), cks))], ind1="2")),
+            maybe(ck % 4 == 0, vfs("561", [("a", F.concat(L("Owned "), cks))], ind1="1")),
+            maybe(ck % 4 == 2, vfs("561", [("a", F.concat(L("Hidden "), cks))], ind1="0")),
+            maybe(ck % 5 == 0, vfs("591", [("z", F.concat(L("Copy "), cks)), ("9", F.concat(L("X"), cks))])),
+            maybe(ck % 7 == 0, vfs("787", [("i", L("See:")), ("w", F.concat(L("(UkLW)b"), cks))])),
+            maybe(ck % 8 == 0, vfs("514", [("a", F.concat(L("Letter "), cks))])),
+            maybe(ck % 4 == 0, vfs("041", [("a", L("Lat ")), ("a", L("qqq"))])),
+            maybe(ck % 5 == 0, vfs("041", [("a", L("mul"))])),
+            maybe((ck % 13 != 0) & is_odd, prod_264),
+            maybe((ck % 13 != 0) & ~is_odd, prod_260),
+            maybe((ck % 13 != 0) & ~is_odd & (ck % 10 == 0), prod_264_copy),
+            maybe((ck % 13 == 0) | (ck % 9 == 0), f008),
+            maybe(ck % 3 == 0, dur_good),
+            maybe(ck % 17 == 0, dur_bad),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    doc = F.struct(
+        sid.alias("id"),
+        L(False).alias("deleted"),
+        L(False).alias("suppressed"),
+        F.when(
+            ck % 16 == 0,
+            F.struct(L("k").alias("code"), L("Pictures").alias("value")),
+        ).alias("materialType"),
+        F.struct(lang_code.alias("code"), lang_name.alias("name")).alias("lang"),
+        fields.alias("varFields"),
+    )
+    bibs = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .filter((ck > 0) & (ck <= 300))
+        .select(sid.alias("id"), F.to_json(doc).alias("content"))
+    )
+    out = transform_sierra_fields(bibs)
+    return out.select(
+        "sierra_id",
+        F.array_join("genres_ser", "&&").alias("genres_csv"),
+        F.array_join("notes_ser", "&&").alias("notes_csv"),
+        F.array_join("languages_ser", "&&").alias("langs_csv"),
+        F.array_join("production_ser", "&&").alias("prod_csv"),
+        "duration_seconds",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_cdc_apply": _q01_cdc_apply,
@@ -2606,6 +2864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_tei_transform": _q68_tei_transform,
         "q69_transform_cdc_e2e": _q69_transform_cdc_e2e,
         "q70_holdings_enumeration": _q70_holdings_enumeration,
+        "q71_sierra_concepts": _q71_sierra_concepts,
+        "q72_sierra_fields": _q72_sierra_fields,
     }
 
 
@@ -4047,4 +4307,124 @@ def oracle_sql() -> dict[str, str]:
     # 1.0 on the test corpus — the retrieved set then equals the exact top-k,
     # so the brute-force SQL (same as q26) is a true oracle for the scale path.
     sql["q35_lsh_topk"] = sql["q26_cosine_topk"]
+    # q71: closed-form expectation of the Sierra subjects/contributors
+    # extraction — the oracle recomputes both serialized lists (types,
+    # labels, roles, identifiers incl. label-derived values, harmonisation
+    # retypes, duplicate removal) arithmetically from the generator rules.
+    sql["q71_sierra_concepts"] = """
+        WITH b AS (
+          SELECT c_custkey AS ck, CAST(c_custkey AS VARCHAR) AS cks,
+                 CAST(3000000 + c_custkey AS VARCHAR) AS sid
+          FROM customer WHERE c_custkey > 0 AND c_custkey <= 300
+        )
+        SELECT sid AS sierra_id,
+          COALESCE(concat_ws('&&',
+            'Person|Person ' || cks || '|' ||
+              CASE WHEN ck % 4 = 0 THEN 'author' ELSE '' END || '|' ||
+              CASE WHEN ck % 25 = 0 THEN 'label-derived=person ' || cks
+                   WHEN ck % 5 = 0 THEN 'lc-names=n' || cks
+                   ELSE 'label-derived=person ' || cks END || '|P',
+            CASE WHEN ck % 11 = 0 THEN
+              'Meeting|Meeting ' || cks || '|chair|label-derived=meeting '
+              || cks || '|P' END,
+            CASE WHEN ck % 7 = 0 THEN
+              CASE WHEN ck % 35 = 0 AND ck % 25 <> 0 THEN 'Person'
+                   ELSE 'Agent' END
+              || '|Person ' || cks || ', Title.||' ||
+              CASE WHEN ck % 35 = 0 THEN 'lc-names=n' || cks
+                   ELSE 'label-derived=person ' || cks || ', title' END
+              || '|S' END,
+            CASE WHEN ck % 3 = 0 THEN
+              'Organisation|Org ' || cks || '||label-derived=org ' || cks
+              || ',|S' END,
+            CASE WHEN ck % 21 = 0 THEN
+              'Place|PlaceOrg ' || cks || '||lc-subjects=sh9000' || cks
+              || '|S' END
+          ), '') AS contribs_csv,
+          COALESCE(concat_ws('&&',
+            CASE WHEN ck % 2 = 0 THEN
+              CASE WHEN ck % 6 = 0 THEN
+                'Concept|Subj ' || cks || ' - Form ' || cks || '|' ||
+                CASE WHEN ck % 10 = 0 THEN 'lc-subjects=sh8' || cks
+                     ELSE 'label-derived=subj ' || cks || ' - form ' || cks END
+                || '|Concept~Subj ' || cks || '~label-derived=subj ' || cks
+                || ';Concept~Form ' || cks || '~label-derived=form ' || cks
+              ELSE
+                'Concept|Subj ' || cks || '|' ||
+                CASE WHEN ck % 10 = 0 THEN 'lc-subjects=sh8' || cks
+                     ELSE 'label-derived=subj ' || cks END
+                || '|Concept~Subj ' || cks || '~' ||
+                CASE WHEN ck % 10 = 0 THEN 'lc-subjects=sh8' || cks
+                     ELSE 'label-derived=subj ' || cks END
+              END END,
+            CASE WHEN ck % 21 = 0 THEN
+              'Place|Place ' || cks || '|lc-subjects=sh9000' || cks
+              || '|Place~Place ' || cks || '~lc-subjects=sh9000' || cks END,
+            CASE WHEN ck % 9 = 0 THEN
+              'Person|PersonSubj ' || cks || ', Character ' || cks
+              || '|label-derived=personsubj ' || cks || ', character ' || cks
+              || '|Person~PersonSubj ' || cks
+              || ',~label-derived=personsubj ' || cks
+              || ',;Concept~Character ' || cks || '~-' END,
+            CASE WHEN ck % 12 = 0 THEN
+              'Meeting|Conf ' || cks || '|label-derived=conf ' || cks
+              || '|Meeting~Conf ' || cks || '~label-derived=conf ' || cks END,
+            CASE WHEN ck % 15 = 0 THEN
+              'Concept|Brand ' || cks || '|label-derived=brand ' || cks
+              || '|Concept~Brand ' || cks || '~label-derived=brand ' || cks END
+          ), '') AS subjects_csv
+        FROM b
+    """
+    # q72: closed-form expectation of the Sierra genres/notes/languages/
+    # production/duration families.
+    sql["q72_sierra_fields"] = """
+        WITH b AS (
+          SELECT c_custkey AS ck, CAST(c_custkey AS VARCHAR) AS cks,
+                 CAST(4000000 + c_custkey AS VARCHAR) AS sid
+          FROM customer WHERE c_custkey > 0 AND c_custkey <= 300
+        ), g AS (
+          SELECT *,
+                 CASE WHEN ck % 10 = 0 THEN 'lc-subjects=sh7' || cks
+                      ELSE 'label-derived=genre ' || cks END AS gid
+          FROM b
+        )
+        SELECT sid AS sierra_id,
+          CASE WHEN ck % 2 <> 0 THEN ''
+               WHEN ck % 6 = 0 THEN
+                 'Genre ' || cks || '. - 19th century|Genre~Genre ' || cks
+                 || '~' || gid
+                 || ';Period~19th century~label-derived=19th century'
+               ELSE 'Genre ' || cks || '|Genre~Genre ' || cks || '~' || gid
+          END AS genres_csv,
+          COALESCE(concat_ws('&&',
+            'GeneralNote|Note ' || cks || '.',
+            CASE WHEN ck % 3 = 0 THEN 'LocationOfDuplicatesNote|Dup ' || cks END,
+            CASE WHEN ck % 4 = 0 THEN 'OwnershipNote|Owned ' || cks END,
+            CASE WHEN ck % 5 = 0 THEN 'GeneralNote|Copy ' || cks END,
+            CASE WHEN ck % 7 = 0 THEN
+              'RelatedMaterial|See: (<a href="https://wellcomecollection.org/search/works?query=b'
+              || cks || '">b' || cks || '</a>)' END,
+            CASE WHEN ck % 8 = 0 AND ck % 16 <> 0 THEN
+              'LetteringNote|Letter ' || cks END
+          ), '') AS notes_csv,
+          COALESCE(concat_ws('&&',
+            CASE WHEN ck % 3 = 0 THEN 'ger~German'
+                 WHEN ck % 3 = 1 THEN 'eng~English'
+                 ELSE 'xx9~Custom ' || cks END,
+            CASE WHEN ck % 4 = 0 THEN 'lat~Latin' END
+          ), '') AS langs_csv,
+          CASE WHEN ck % 13 = 0 THEN '|1957|England||1957'
+               WHEN ck % 2 = 1 AND ck % 9 = 0 THEN
+                 'Publication|City ' || cks || ' circa nope|City ' || cks
+                 || '||circa nope|1957'
+               WHEN ck % 2 = 1 THEN
+                 'Publication|City ' || cks || ' 1984|City ' || cks || '||1984'
+               ELSE
+                 '|Place ' || cks || ' : Pub ' || cks || ', 2001|Place ' || cks
+                 || '|Pub ' || cks || '|2001'
+          END AS prod_csv,
+          CASE WHEN ck % 3 = 0
+               THEN CAST((ck % 24) * 3600 + 1815 AS INTEGER) END AS duration_seconds
+        FROM g
+    """
     return sql

@@ -190,7 +190,7 @@ def _id_state(
     """
     ids = _id_values(vf)
     ind2 = _ind2(vf, default_ind2)
-    single = F.element_at(ids, 1)
+    single = F.try_element_at(ids, F.lit(1))
     stype = _identifier_type(ind2, single)
     one = F.when(
         stype.isNotNull(),
@@ -509,7 +509,7 @@ def _best_type(keys: Column, cid: Column) -> Column:
         matches, lambda k: ~k.getField("o").isin("Agent", "Concept")
     )
     return F.when(F.size(matches) == 0, F.lit(None).cast("string")).otherwise(
-        F.when(F.size(specific) > 0, F.element_at(specific, 1).getField("o"))
+        F.when(F.size(specific) > 0, F.try_element_at(specific, F.lit(1)).getField("o"))
         .when(F.exists(matches, lambda k: k.getField("o") == "Agent"), F.lit("Agent"))
         .otherwise(F.lit("Concept"))
     )
@@ -551,7 +551,7 @@ def harmonise_subjects(subjects: Column) -> Column:
         retype = sid.isNotNull() & best.isNotNull()
         new_type = F.when(retype, best).otherwise(s.getField("stype"))
         concepts = s.getField("concepts")
-        sole = F.element_at(concepts, 1)
+        sole = F.try_element_at(concepts, F.lit(1))
         # only an IDENTIFIED sole concept is rewritten — the reference's
         # copyWithNewType would throw on an Unidentifiable concept id
         # (OntologyTypeOps.scala:88-99 asInstanceOf/copy); keeping the
