@@ -18,6 +18,7 @@ DECIMAL accumulation or rounded so both engines produce identical values.
 
 from __future__ import annotations
 
+import datetime as dt
 import os
 import shutil
 import tempfile
@@ -2010,11 +2011,41 @@ def _q64_sierra_items(spark, sf_dir):
             )
         ),
     )
+    # access-condition scenario per item (rules engine inputs): fixed
+    # fields 88/108/79 by am = ck%6, holds via %17, due dates via %19
+    am = ck % 6
+    ff88 = (
+        F.when(am == 1, F.lit("m")).when(am == 3, F.lit("h"))
+        .when(am == 5, F.lit("y")).otherwise(F.lit("-"))
+    )
+    ff108 = (
+        F.when(am == 0, F.lit("f")).when(am == 2, F.lit("c"))
+        .when(am == 3, F.lit("u")).when(am == 4, F.lit("n"))
+        .when(am == 5, F.lit("q"))
+    )
+    ff79 = F.when(am == 5, F.lit("sepep"))
+    ff65 = F.when(ck % 19 == 0, F.lit("2020-01-01"))
+
+    def ffent(v):
+        return F.struct(
+            F.lit("L").alias("label"), v.alias("value"),
+            F.lit(None).cast("string").alias("display"),
+        )
+
+    fixed = F.map_filter(
+        F.create_map(
+            F.lit("88"), ffent(ff88), F.lit("108"), ffent(ff108),
+            F.lit("79"), ffent(ff79), F.lit("65"), ffent(ff65),
+        ),
+        lambda k, v: v.getField("value").isNotNull(),
+    )
     doc = F.struct(
         sid.alias("id"),
         (ck % 11 == 0).alias("deleted"),
         (ck % 13 == 0).alias("suppressed"),
         F.when(ck % 2 == 0, (ck % 9).cast("long")).alias("copyNo"),
+        F.when(ck % 17 == 0, F.lit(2)).otherwise(F.lit(0)).cast("long").alias("holdCount"),
+        fixed.alias("fixedFields"),
         F.when(
             loc_name.isNotNull(),
             F.struct(F.lit("c").alias("code"), loc_name.alias("name")),
@@ -2792,70 +2823,255 @@ def _q72_sierra_fields(spark, sf_dir):
     )
 
 
+def _q73_pipeline_e2e(spark, sf_dir):
+    """The full SURVEY §3.1 chain as ONE driver row: four per-source
+    transformer slices (Sierra bib JSON with an 089 Miro link, METS,
+    CALM with a BNumber back-link, Miro) → merge-candidate updates →
+    persistent matcher graph (update_graph on a lake table) → merger fold
+    (precedence, ItemsRule, ThumbnailRule, OtherIdentifiersRule) →
+    deterministic canonical-id minting with the collision audit.  The
+    oracle recomputes every output (including the mod-11 b-numbers and the
+    sha256 component digests) in closed form."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from catalogue_pipeline_spark.functions import mint_canonical_ids
+    from catalogue_pipeline_spark.plans.calm_transform import transform_calm
+    from catalogue_pipeline_spark.plans.matcher import create_matcher_table, update_graph
+    from catalogue_pipeline_spark.plans.merger import match_and_merge
+    from catalogue_pipeline_spark.plans.mets_transform import transform_mets
+    from catalogue_pipeline_spark.plans.miro_transform import transform_miro
+    from catalogue_pipeline_spark.plans.sierra_transform import (
+        sierra_system_number,
+        transform_sierra,
+    )
+
+    ck = F.col("c_custkey")
+    cks = ck.cast("string")
+    sid = (ck + 1000000).cast("string")
+    L = F.lit
+    base = spark.read.parquet(_t(sf_dir, "customer")).filter((ck > 0) & (ck <= 200))
+    bnum = sierra_system_number(sid)
+
+    # ---- transform: each source through its own slice -------------------
+    vf245 = (
+        '{"fieldTag":"a","marcTag":"245","ind1":" ","ind2":" ",'
+        '"subfields":[{"tag":"a","content":"Work %s"}]}'
+    )
+    vf089 = (
+        '{"fieldTag":"a","marcTag":"089","ind1":" ","ind2":" ",'
+        '"subfields":[{"tag":"a","content":"V %s"}]}'
+    )
+    sierra_json = F.concat(
+        L('{"id":"'), sid, L('","deleted":false,"suppressed":false,"varFields":['),
+        F.format_string(vf245, cks),
+        F.when(ck % 3 == 0, F.concat(L(","), F.format_string(vf089, cks))).otherwise(L("")),
+        L("]}"),
+    )
+    sierra = transform_sierra(base.select(sid.alias("id"), sierra_json.alias("content")))
+    mets = transform_mets(
+        base.filter(ck % 4 == 0).select(
+            bnum.alias("id"), L("<mets:mets></mets:mets>").alias("content"),
+            L(False).alias("deleted"),
+        )
+    )
+    calm = transform_calm(
+        base.filter(ck % 5 == 0).select(
+            F.concat(L("uuid"), cks).alias("id"),
+            F.create_map(
+                L("Title"), F.array(F.concat(L("Archive "), cks)),
+                L("Level"), F.array(L("Collection")),
+                L("RefNo"), F.array(F.concat(L("WA/"), cks)),
+                L("CatalogueStatus"), F.array(L("Catalogued")),
+                L("BNumber"), F.array(bnum),
+            ).alias("data"),
+            L(False).alias("deleted"),
+        )
+    )
+    miro = transform_miro(
+        base.filter(ck % 3 == 0).select(
+            F.concat(L("V"), F.lpad(cks, 7, "0")).alias("id"),
+            F.to_json(
+                F.struct(
+                    F.concat(L("Img "), cks).alias("image_title"),
+                    L("Y").alias("image_copyright_cleared"),
+                )
+            ).alias("content"),
+            L(True).alias("cleared"),
+        )
+    )
+
+    # ---- match: candidates → persistent graph ---------------------------
+    def scheme_id(typ, value):
+        return F.concat(L(typ + "/"), value)
+
+    def to_update(works, self_type, self_value_col):
+        cands = F.transform(
+            F.col("merge_candidates"),
+            lambda c: F.concat_ws("/", F.slice(F.split(c, ":"), 1, 2)),
+        )
+        return works.select(
+            scheme_id(self_type, F.col(self_value_col)).alias("work_id"),
+            L(1).alias("version"),
+            cands.alias("candidates"),
+            L(False).alias("suppressed"),
+        )
+
+    miro_node = miro.select(
+        scheme_id("miro-image-number", F.col("id")).alias("work_id"),
+        L(1).alias("version"),
+        F.array().cast("array<string>").alias("candidates"),
+        L(False).alias("suppressed"),
+    )
+    updates = (
+        to_update(sierra, "sierra-system-number", "id")
+        .unionByName(to_update(mets, "mets", "id"))
+        .unionByName(to_update(calm, "calm-record-id", "id"))
+        .unionByName(miro_node)
+    )
+    work = tempfile.mkdtemp(prefix="cps-q73-")
+    try:
+        table = create_matcher_table(f"{work}/graph", num_buckets=8)
+        update_graph(spark, table, updates, batch_seq=1, changeset_id="e2e1")
+        state = table.read(spark).filter(F.col("version") >= 0)
+
+        # ---- merge: per-work payloads through the rule fold -------------
+        src = F.split(F.col("work_id"), "/")[0]
+        stype = (
+            F.when(src == "sierra-system-number", L("sierra"))
+            .when(src == "mets", L("mets"))
+            .when(src == "miro-image-number", L("miro"))
+            .otherwise(L("calm"))
+        )
+        works = state.select(
+            "work_id",
+            stype.alias("source_type"),
+            F.array(F.concat(L("item-"), F.col("work_id"))).alias("items"),
+            F.array(F.concat(L("id-"), F.col("work_id"))).alias("identifiers"),
+            F.when(
+                stype == "mets", F.concat(L("mthumb-"), F.col("work_id"))
+            ).when(
+                stype == "miro", F.concat(L("vthumb-"), F.col("work_id"))
+            ).alias("thumbnail"),
+            F.col("candidates").alias("merge_candidate_ids"),
+            (F.col("suppressed") == "true").alias("suppressed"),
+        )
+        merged = match_and_merge(
+            works,
+            dt.datetime(2024, 7, 1, 9, 0, 0),
+            precedence=["sierra", "mets", "miro", "calm"],
+        )
+
+        # ---- mint: deterministic canonical ids + collision audit --------
+        minted = mint_canonical_ids(merged, "work_id")
+        out = minted.select(
+            "work_id",
+            "type",
+            "redirect_target",
+            "subgraph_id",
+            F.array_join("items", ";").alias("items_csv"),
+            F.array_join("identifiers", ";").alias("ids_csv"),
+            "thumbnail",
+            F.col("canonical_id").rlike("^[a-z][2-9a-z]{7}$").alias("minted_ok"),
+        )
+        return _materialize(out, "q73")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _q74_composite_probes(spark, sf_dir):
+    """Seven single-aggregate probes folded into ONE driver row so the
+    driver's 50-query correctness window spends its slots on whole operator
+    families (round-3 verdict ask #2).  Each probe keeps its own oracle —
+    moved into this query's UNION ALL — so no coverage is lost: A1 max-ts
+    (z04), A6 state counts (z05), J5 content preservation (z10), S8 derived
+    bound (z13), O5 chunking (z16), X7 trace ids (z19), V6 conflict
+    detection (z36).  Output normalized to (probe, k, v) strings."""
+    def rows(probe, df, k, v):
+        return df.select(
+            F.lit(probe).alias("probe"),
+            k.cast("string").alias("k"),
+            v.cast("string").alias("v"),
+        )
+
+    ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    q04 = _q04_max_ts_per_user(spark, sf_dir)
+    q05 = _q05_counts_by_type(spark, sf_dir)
+    q10 = _q10_content_preserve(spark, sf_dir)
+    q13 = _q13_derived_bound(spark, sf_dir)
+    q16 = _q16_chunking(spark, sf_dir)
+    q19 = _q19_trace_ids(spark, sf_dir)
+    q36 = _q36_conflict_detection(spark, sf_dir)
+    parts = [
+        rows("q04", q04, F.col("user_id"),
+             F.concat_ws(":", F.date_format("max_ts", ts_fmt), F.col("n_events"))),
+        rows("q05", q05, F.col("event_type"), F.col("n")),
+        rows("q10", q10, F.col("user_id"),
+             F.concat_ws("#", F.col("last_event_type"),
+                         F.coalesce(F.col("effective_props"), F.lit("<null>")))),
+        rows("q13", q13, F.lit("bound"), F.col("n_after_bound")),
+        rows("q16", q16, F.col("chunk_id"), F.col("n_users")),
+        rows("q19", q19, F.col("user_id"), F.col("trace_id")),
+        rows("q36", q36, F.concat_ws("|", "user_id", "event_type"),
+             F.concat_ws("#", F.date_format("day", "yyyy-MM-dd"),
+                         F.col("n_variants"))),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver registry.  The FIRST 50 entries (also the 50 first names in
+    sorted order — every windowed name is q-prefixed, every demoted probe is
+    z-prefixed) are the driver-checked correctness window: they cover every
+    operator family and every per-source transformer slice.  The z-entries
+    keep their oracles and stay locally sweepable (tools/check_correctness);
+    seven single-aggregate probes are additionally folded into
+    q74_composite_probes so their coverage stays inside the window."""
     return {
         "q01_cdc_apply": _q01_cdc_apply,
         "q02_cdc_replay_e2e": _q02_cdc_replay_e2e,
-        "q03_lww_latest_event": _q03_lww_latest_event,
-        "q04_max_ts_per_user": _q04_max_ts_per_user,
-        "q05_counts_by_type": _q05_counts_by_type,
+        "q74_composite_probes": _q74_composite_probes,
         "q06_insert_detection": _q06_insert_detection,
         "q07_delete_detection": _q07_delete_detection,
         "q08_update_detection": _q08_update_detection,
         "q09_ts_gate": _q09_ts_gate,
-        "q10_content_preserve": _q10_content_preserve,
         "q11_gap_detection": _q11_gap_detection,
         "q12_session_merge": _q12_session_merge,
-        "q13_derived_bound": _q13_derived_bound,
-        "q14_component_digest": _q14_component_digest,
-        "q15_precedence": _q15_precedence,
-        "q16_chunking": _q16_chunking,
-        "q17_set_difference": _q17_set_difference,
-        "q18_json_extract": _q18_json_extract,
-        "q19_trace_ids": _q19_trace_ids,
-        "q20_fingerprint": _q20_fingerprint,
-        "q21_exact_dups": _q21_exact_dups,
-        "q22_ngram_jaccard": _q22_ngram_jaccard,
-        "q23_token_stats": _q23_token_stats,
-        "q24_text_quality": _q24_text_quality,
-        "q25_lang_detect": _q25_lang_detect,
-        "q26_cosine_topk": _q26_cosine_topk,
-        "q27_embedding_near_dup": _q27_embedding_near_dup,
-        "q28_pricing_summary": _q28_pricing_summary,
-        "q29_top_orders": _q29_top_orders,
-        "q30_nation_volume": _q30_nation_volume,
-        "q31_topn_parts_per_brand": _q31_topn_parts_per_brand,
-        "q32_priority_semijoin": _q32_priority_semijoin,
-        "q33_minhash_signatures": _q33_minhash_signatures,
-        "q34_simhash": _q34_simhash,
-        "q35_lsh_topk": _q35_lsh_topk,
-        "q36_conflict_detection": _q36_conflict_detection,
         "q37_salted_lww": _q37_salted_lww,
-        "q38_snapshot_sync": _q38_snapshot_sync,
-        "q39_connected_components": _q39_connected_components,
-        "q40_media_features": _q40_media_features,
-        "q41_conversation_docs": _q41_conversation_docs,
-        "q42_lsh_near_dup": _q42_lsh_near_dup,
-        "q43_merger_field_rules": _q43_merger_field_rules,
-        "q44_matcher_incremental": _q44_matcher_incremental,
-        "q45_period_parse": _q45_period_parse,
         "q46_snapshot_probes": _q46_snapshot_probes,
         "q47_apply_metrics": _q47_apply_metrics,
-        "q48_hierarchy_traversal": _q48_hierarchy_traversal,
         "q49_safety_gate": _q49_safety_gate,
         "q50_idempotent_reapply": _q50_idempotent_reapply,
-        "q51_work_ancestors": _q51_work_ancestors,
-        "q52_ivf_topk": _q52_ivf_topk,
-        "q53_marc_transform": _q53_marc_transform,
         "q54_crash_fencing": _q54_crash_fencing,
-        "q55_id_minter": _q55_id_minter,
-        "q56_schema_evolution": _q56_schema_evolution,
         "q57_optimistic_lock": _q57_optimistic_lock,
+        "q56_schema_evolution": _q56_schema_evolution,
+        "q14_component_digest": _q14_component_digest,
+        "q15_precedence": _q15_precedence,
+        "q17_set_difference": _q17_set_difference,
+        "q39_connected_components": _q39_connected_components,
+        "q43_merger_field_rules": _q43_merger_field_rules,
+        "q44_matcher_incremental": _q44_matcher_incremental,
+        "q48_hierarchy_traversal": _q48_hierarchy_traversal,
+        "q51_work_ancestors": _q51_work_ancestors,
         "q58_concepts_remover": _q58_concepts_remover,
+        "q62_related_concepts": _q62_related_concepts,
+        "q73_pipeline_e2e": _q73_pipeline_e2e,
+        "q42_lsh_near_dup": _q42_lsh_near_dup,
+        "q26_cosine_topk": _q26_cosine_topk,
+        "q35_lsh_topk": _q35_lsh_topk,
+        "q52_ivf_topk": _q52_ivf_topk,
+        "q40_media_features": _q40_media_features,
+        "q38_snapshot_sync": _q38_snapshot_sync,
+        "q45_period_parse": _q45_period_parse,
+        "q53_marc_transform": _q53_marc_transform,
+        "q55_id_minter": _q55_id_minter,
         "q59_sierra_transform": _q59_sierra_transform,
         "q60_sierra_linker": _q60_sierra_linker,
         "q61_stream_sessionize": _q61_stream_sessionize,
-        "q62_related_concepts": _q62_related_concepts,
         "q63_palette": _q63_palette,
         "q64_sierra_items": _q64_sierra_items,
         "q65_calm_transform": _q65_calm_transform,
@@ -2866,6 +3082,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_holdings_enumeration": _q70_holdings_enumeration,
         "q71_sierra_concepts": _q71_sierra_concepts,
         "q72_sierra_fields": _q72_sierra_fields,
+        # ---- end of the 50-query driver window; demoted probes below ----
+        "z03_lww_latest_event": _q03_lww_latest_event,
+        "z04_max_ts_per_user": _q04_max_ts_per_user,
+        "z05_counts_by_type": _q05_counts_by_type,
+        "z10_content_preserve": _q10_content_preserve,
+        "z13_derived_bound": _q13_derived_bound,
+        "z16_chunking": _q16_chunking,
+        "z18_json_extract": _q18_json_extract,
+        "z19_trace_ids": _q19_trace_ids,
+        "z20_fingerprint": _q20_fingerprint,
+        "z21_exact_dups": _q21_exact_dups,
+        "z22_ngram_jaccard": _q22_ngram_jaccard,
+        "z23_token_stats": _q23_token_stats,
+        "z24_text_quality": _q24_text_quality,
+        "z25_lang_detect": _q25_lang_detect,
+        "z27_embedding_near_dup": _q27_embedding_near_dup,
+        "z28_pricing_summary": _q28_pricing_summary,
+        "z29_top_orders": _q29_top_orders,
+        "z30_nation_volume": _q30_nation_volume,
+        "z31_topn_parts_per_brand": _q31_topn_parts_per_brand,
+        "z32_priority_semijoin": _q32_priority_semijoin,
+        "z33_minhash_signatures": _q33_minhash_signatures,
+        "z34_simhash": _q34_simhash,
+        "z36_conflict_detection": _q36_conflict_detection,
+        "z41_conversation_docs": _q41_conversation_docs,
     }
 
 
@@ -2879,15 +3120,15 @@ def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
     sql["q01_cdc_apply"] = _SQL_CDC_VISIBLE
     sql["q02_cdc_replay_e2e"] = _SQL_CDC_VISIBLE
-    sql["q03_lww_latest_event"] = """
+    sql["z03_lww_latest_event"] = """
         SELECT user_id, event_id, event_type, value, ts FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
           FROM events) WHERE rn = 1
     """
-    sql["q04_max_ts_per_user"] = """
+    sql["z04_max_ts_per_user"] = """
         SELECT user_id, max(ts) AS max_ts, count(*) AS n_events FROM events GROUP BY user_id
     """
-    sql["q05_counts_by_type"] = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+    sql["z05_counts_by_type"] = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
     sql["q06_insert_detection"] = """
         SELECT DISTINCT user_id FROM events e
         WHERE NOT EXISTS (
@@ -2914,7 +3155,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT e.user_id, e.event_id, e.ts FROM events e JOIN base b USING (user_id)
         WHERE e.ts >= b.base_ts
     """
-    sql["q10_content_preserve"] = """
+    sql["z10_content_preserve"] = """
         WITH w AS (
           SELECT user_id, event_type AS last_event_type,
                  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
@@ -2943,7 +3184,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, CAST(sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         FROM m GROUP BY user_id
     """
-    sql["q13_derived_bound"] = """
+    sql["z13_derived_bound"] = """
         SELECT count(*) AS n_after_bound FROM events
         WHERE ts >= (SELECT min(ts) FROM events WHERE event_type = 'signup' AND user_id = 0)
     """
@@ -2962,7 +3203,7 @@ def oracle_sql() -> dict[str, str]:
                    ts DESC, event_id DESC) rn
           FROM events) WHERE rn = 1
     """
-    sql["q16_chunking"] = """
+    sql["z16_chunking"] = """
         SELECT chunk_id, count(*) AS n_users FROM (
           SELECT CAST(floor((ROW_NUMBER() OVER (ORDER BY user_id) - 1) / 25) AS BIGINT) AS chunk_id
           FROM (SELECT DISTINCT user_id FROM events))
@@ -2975,24 +3216,24 @@ def oracle_sql() -> dict[str, str]:
           SELECT 1 FROM events a
           WHERE a.ts >= TIMESTAMP '2024-01-29' AND a.user_id = b.user_id AND a.event_type = b.event_type)
     """
-    sql["q18_json_extract"] = """
+    sql["z18_json_extract"] = """
         SELECT user_id, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         FROM events GROUP BY user_id
     """
-    sql["q19_trace_ids"] = """
+    sql["z19_trace_ids"] = """
         SELECT user_id,
                md5(CAST(user_id AS VARCHAR) || '|' || CAST(count(*) AS VARCHAR) || '|' || CAST(max(event_id) AS VARCHAR)) AS trace_id
         FROM events GROUP BY user_id
     """
-    sql["q20_fingerprint"] = f"""
+    sql["z20_fingerprint"] = f"""
         SELECT doc_id, {phash(norm)} AS fingerprint FROM documents
     """
-    sql["q21_exact_dups"] = f"""
+    sql["z21_exact_dups"] = f"""
         SELECT md5(array_to_string(list_sort(list_distinct({words})), ' ')) AS content_hash,
                count(*) AS n_docs, min(doc_id) AS keep_id
         FROM documents GROUP BY 1 HAVING count(*) > 1
     """
-    sql["q22_ngram_jaccard"] = f"""
+    sql["z22_ngram_jaccard"] = f"""
         WITH sh AS (
           SELECT doc_id AS id, unnest(list_distinct(
             CASE WHEN len({words}) >= 3 THEN
@@ -3008,7 +3249,7 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
         WHERE inter / (sa.sz + sb.sz - inter) >= 0.2
     """
-    sql["q23_token_stats"] = """
+    sql["z23_token_stats"] = """
         SELECT doc_id, length(text) AS n_chars,
                CASE WHEN length(trim(text)) = 0 THEN 0
                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
@@ -3016,7 +3257,7 @@ def oracle_sql() -> dict[str, str]:
                len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+')) AS n_bpe_tokens
         FROM documents
     """
-    sql["q24_text_quality"] = f"""
+    sql["z24_text_quality"] = f"""
         WITH f AS (
           SELECT doc_id,
                  length(text) AS n_chars,
@@ -3057,7 +3298,7 @@ def oracle_sql() -> dict[str, str]:
         )
         + " END"
     )
-    sql["q25_lang_detect"] = f"""
+    sql["z25_lang_detect"] = f"""
         WITH h AS (
           SELECT doc_id, text, {hits},
                  CASE WHEN length(trim(text)) = 0 THEN 0
@@ -3084,14 +3325,14 @@ def oracle_sql() -> dict[str, str]:
           FROM scored)
         WHERE rank <= 5
     """
-    sql["q27_embedding_near_dup"] = f"""
+    sql["z27_embedding_near_dup"] = f"""
         SELECT q.vec_id AS id_a, c.vec_id AS id_b,
                round({dot} / ({qn} * {cn}), 4) AS cosine
         FROM embeddings q, embeddings c
         WHERE q.vec_id < 100 AND c.vec_id < 100 AND q.vec_id < c.vec_id
           AND {dot} / ({qn} * {cn}) >= 0.35
     """
-    sql["q28_pricing_summary"] = """
+    sql["z28_pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
@@ -3100,7 +3341,7 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-09-01'
         GROUP BY l_returnflag, l_linestatus
     """
-    sql["q29_top_orders"] = """
+    sql["z29_top_orders"] = """
         SELECT o_orderkey, o_orderdate,
                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -3109,7 +3350,7 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY o_orderkey, o_orderdate
         ORDER BY revenue DESC, o_orderkey LIMIT 10
     """
-    sql["q30_nation_volume"] = """
+    sql["z30_nation_volume"] = """
         SELECT r_name, n_name,
                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -3118,18 +3359,18 @@ def oracle_sql() -> dict[str, str]:
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name, n_name
     """
-    sql["q31_topn_parts_per_brand"] = """
+    sql["z31_topn_parts_per_brand"] = """
         SELECT p_brand, p_partkey, p_retailprice, rn FROM (
           SELECT p_brand, p_partkey, p_retailprice,
                  ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
           FROM part) WHERE rn <= 3
     """
-    sql["q32_priority_semijoin"] = """
+    sql["z32_priority_semijoin"] = """
         SELECT o_orderpriority, count(*) AS n_orders FROM orders
         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
         GROUP BY o_orderpriority
     """
-    sql["q36_conflict_detection"] = """
+    sql["z36_conflict_detection"] = """
         WITH d AS (SELECT user_id, event_type, props, CAST(ts AS DATE) AS day FROM events),
         mx AS (SELECT user_id, event_type, max(day) AS day FROM d GROUP BY user_id, event_type)
         SELECT user_id, event_type, day, count(DISTINCT props) AS n_variants
@@ -3167,7 +3408,7 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(('0x' || substr(md5(text), 17, 8)) AS BIGINT) / 4294967296.0, 6) AS feature_2
         FROM documents
     """
-    sql["q41_conversation_docs"] = f"""
+    sql["z41_conversation_docs"] = f"""
         WITH visible AS ({_SQL_CDC_VISIBLE})
         SELECT conv_id,
                count(*) AS n_turns,
@@ -3940,22 +4181,49 @@ def oracle_sql() -> dict[str, str]:
                  bool_and(vtitle IS NULL AND ctitle IS NOT NULL)
                    AND COUNT(DISTINCT COALESCE(vtitle, ctitle)) = 1 AS strip
           FROM live GROUP BY bib
+        ), acc AS (
+          SELECT l.*, f.np, f.p1,
+                 CASE WHEN l.lc = 4 AND f.np = 1
+                      THEN str_split(f.p1, '#')[1] ELSE l.otype END AS rt,
+                 CASE WHEN l.lc = 4 AND f.np = 1
+                      THEN str_split(f.p1, '#')[2] ELSE l.olabel END AS rl,
+                 l.ck % 6 AS am, l.ck % 17 = 0 AS held, l.ck % 19 = 0 AS due
+          FROM live l LEFT JOIN fb f USING (bib)
+        ), acc2 AS (
+          -- SierraItemAccess chain in rule order: Missing > Closed >
+          -- holds-in-closed-stores > the requestable/manual branches >
+          -- open-shelves due dates > generic due dates > fallback
+          SELECT *,
+            CASE
+              WHEN am = 1 THEN 'NotRequestable|Unavailable|This item is missing.'
+              WHEN am = 3 AND (rt IS NULL OR rt = 'ClosedStores')
+                THEN 'NotRequestable|Closed|'
+              WHEN rt = 'ClosedStores' AND held THEN
+                'NotRequestable|TemporarilyUnavailable|Item is in use by another reader. Please ask at Library Enquiry Desk.'
+              WHEN rt = 'ClosedStores' AND am = 0 THEN 'OnlineRequest|Open|'
+              WHEN rt = 'ClosedStores' AND am = 2 THEN 'OnlineRequest|Restricted|'
+              WHEN rt = 'ClosedStores' AND am = 4 THEN
+                'ManualRequest||This item needs to be ordered manually. Please ask a member of staff, or email <a href="mailto:library@wellcomecollection.org">library@wellcomecollection.org</a>.'
+              WHEN rt = 'ClosedStores' AND am = 5 THEN 'ManualRequest|PermissionRequired|'
+              WHEN rt = 'OpenShelves' AND due THEN
+                'OpenShelves|TemporarilyUnavailable|Item is in use by another reader. Please ask at Library Enquiry Desk.'
+              WHEN due THEN
+                'NotRequestable|TemporarilyUnavailable|Item is in use by another reader. Please ask at Library Enquiry Desk.'
+              ELSE 'NotRequestable||This item cannot be requested online. Please contact <a href="mailto:library@wellcomecollection.org">library@wellcomecollection.org</a> for more information.'
+            END AS access_str
+          FROM acc
         ), fin AS (
           SELECT l.bib,
                  l.sid || '|i' || l.sid
                    || CASE WHEN l.rem = 10 THEN 'x' ELSE CAST(l.rem AS VARCHAR) END
                    || '|' || CASE WHEN t.strip THEN ''
                                   ELSE COALESCE(l.vtitle, l.ctitle, '') END
-                   || '|' || COALESCE(
-                        CASE WHEN l.lc = 4 AND f.np = 1
-                             THEN str_split(f.p1, '#')[1] ELSE l.otype END, '')
-                   || '|' || COALESCE(
-                        CASE WHEN l.lc = 4 AND f.np = 1
-                             THEN str_split(f.p1, '#')[2] ELSE l.olabel END, '')
+                   || '|' || COALESCE(l.rt, '')
+                   || '|' || COALESCE(l.rl, '')
+                   || '|' || l.access_str || '|'
                  AS item_str
-          FROM live l
-          LEFT JOIN fb f USING (bib)
-          JOIN tidy t USING (bib)
+          FROM acc2 l
+          JOIN tidy t ON t.bib = l.bib
         )
         SELECT bib AS bib_id,
                array_to_string(list_sort(list(item_str)), '~') AS items_csv
@@ -4270,7 +4538,7 @@ def oracle_sql() -> dict[str, str]:
         for i, (a, b) in enumerate(coeffs)
     )
     sig_cat = " || ',' || ".join(f"CAST(m{i} AS VARCHAR)" for i in range(16))
-    sql["q33_minhash_signatures"] = f"""
+    sql["z33_minhash_signatures"] = f"""
         WITH sh AS (
           SELECT doc_id AS id, unnest(list_distinct(
             CASE WHEN len({words}) >= 3 THEN
@@ -4293,7 +4561,7 @@ def oracle_sql() -> dict[str, str]:
         f"CASE WHEN b{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END"
         for b in range(64)
     )
-    sql["q34_simhash"] = f"""
+    sql["z34_simhash"] = f"""
         WITH tok AS (
           SELECT doc_id AS id, unnest(regexp_split_to_array({norm}, ' ')) AS t
           FROM documents),
@@ -4426,5 +4694,88 @@ def oracle_sql() -> dict[str, str]:
           CASE WHEN ck % 3 = 0
                THEN CAST((ck % 24) * 3600 + 1815 AS INTEGER) END AS duration_seconds
         FROM g
+    """
+    # q73: the full transform→match→merge→mint chain in closed form — the
+    # oracle recomputes b-numbers (mod-11), component membership and sha256
+    # digests, precedence targets, redirects, ItemsRule/ThumbnailRule/
+    # OtherIdentifiersRule outcomes and the minted-id invariant.
+    sql["q73_pipeline_e2e"] = """
+        WITH b AS (
+          SELECT c_custkey AS ck, CAST(c_custkey AS VARCHAR) AS cks,
+                 CAST(1000000 + c_custkey AS VARCHAR) AS sids,
+                 (8 + (c_custkey // 100) * 4 + ((c_custkey // 10) % 10) * 3
+                  + (c_custkey % 10) * 2) % 11 AS rem
+          FROM customer WHERE c_custkey > 0 AND c_custkey <= 200
+        ), d AS (
+          SELECT *,
+                 'b' || sids || CASE WHEN rem = 10 THEN 'x'
+                                     ELSE CAST(rem AS VARCHAR) END AS bnum,
+                 ck % 3 = 0 AS has_miro, ck % 4 = 0 AS has_mets,
+                 ck % 5 = 0 AS has_calm
+          FROM b
+        ), e AS (
+          SELECT *,
+                 'sierra-system-number/' || bnum AS s_id,
+                 'mets/' || bnum AS d_id,
+                 'miro-image-number/V' || lpad(cks, 7, '0') AS m_id,
+                 'calm-record-id/uuid' || cks AS c_id
+          FROM d
+        ), f AS (
+          SELECT *, sha256(concat_ws('+',
+              CASE WHEN has_calm THEN c_id END,
+              CASE WHEN has_mets THEN d_id END,
+              CASE WHEN has_miro THEN m_id END,
+              s_id)) AS digest
+          FROM e
+        )
+        SELECT s_id AS work_id, 'Visible' AS type,
+               CAST(NULL AS VARCHAR) AS redirect_target,
+               digest AS subgraph_id,
+               'item-' || s_id AS items_csv,
+               concat_ws(';', 'id-' || s_id,
+                 CASE WHEN has_mets THEN 'id-' || d_id END,
+                 CASE WHEN has_miro THEN 'id-' || m_id END) AS ids_csv,
+               CASE WHEN has_mets THEN 'mthumb-' || d_id
+                    WHEN has_miro THEN 'vthumb-' || m_id END AS thumbnail,
+               TRUE AS minted_ok
+        FROM f
+        UNION ALL
+        SELECT d_id, 'Redirected', s_id, digest, '', '', NULL, TRUE
+        FROM f WHERE has_mets
+        UNION ALL
+        SELECT m_id, 'Redirected', s_id, digest, '', '', NULL, TRUE
+        FROM f WHERE has_miro
+        UNION ALL
+        SELECT c_id, 'Visible', NULL, digest, 'item-' || c_id, 'id-' || c_id,
+               NULL, TRUE
+        FROM f WHERE has_calm
+    """
+    # q74: the folded single-aggregate probes — each branch reuses the
+    # demoted query's own oracle verbatim, normalized to (probe, k, v).
+    sql["q74_composite_probes"] = f"""
+        SELECT 'q04' AS probe, CAST(user_id AS VARCHAR) AS k,
+               strftime(max_ts, '%Y-%m-%d %H:%M:%S.%f') || ':'
+               || CAST(n_events AS VARCHAR) AS v
+        FROM ({sql['z04_max_ts_per_user']})
+        UNION ALL
+        SELECT 'q05', CAST(event_type AS VARCHAR), CAST(n AS VARCHAR)
+        FROM ({sql['z05_counts_by_type']})
+        UNION ALL
+        SELECT 'q10', CAST(user_id AS VARCHAR),
+               last_event_type || '#' || COALESCE(effective_props, '<null>')
+        FROM ({sql['z10_content_preserve']})
+        UNION ALL
+        SELECT 'q13', 'bound', CAST(n_after_bound AS VARCHAR)
+        FROM ({sql['z13_derived_bound']})
+        UNION ALL
+        SELECT 'q16', CAST(chunk_id AS VARCHAR), CAST(n_users AS VARCHAR)
+        FROM ({sql['z16_chunking']})
+        UNION ALL
+        SELECT 'q19', CAST(user_id AS VARCHAR), trace_id
+        FROM ({sql['z19_trace_ids']})
+        UNION ALL
+        SELECT 'q36', CAST(user_id AS VARCHAR) || '|' || event_type,
+               strftime(day, '%Y-%m-%d') || '#' || CAST(n_variants AS VARCHAR)
+        FROM ({sql['z36_conflict_detection']})
     """
     return sql

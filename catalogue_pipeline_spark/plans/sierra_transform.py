@@ -664,6 +664,20 @@ SIERRA_ITEM_SCHEMA = T.StructType(
         T.StructField("deleted", T.BooleanType()),
         T.StructField("suppressed", T.BooleanType()),
         T.StructField("copyNo", T.LongType()),
+        T.StructField("holdCount", T.LongType()),
+        T.StructField(
+            "fixedFields",
+            T.MapType(
+                T.StringType(),
+                T.StructType(
+                    [
+                        T.StructField("label", T.StringType()),
+                        T.StructField("value", T.StringType()),
+                        T.StructField("display", T.StringType()),
+                    ]
+                ),
+            ),
+        ),
         T.StructField(
             "location",
             T.StructType(
@@ -840,6 +854,7 @@ def sierra_items(items: DataFrame) -> DataFrame:
             "v_title"
         ),
         copy_title.alias("copy_title"),
+        it.alias("_item"),
     )
 
     # per-bib unambiguous fallback: distinct typed (type,label) pairs among
@@ -889,11 +904,18 @@ def sierra_items(items: DataFrame) -> DataFrame:
         final_label.alias("loc_label"),
         title.alias("title"),
         automated.alias("automated"),
+        "_item",
     )
     # tidyTitles: every item automated AND one distinct title → drop titles
     all_auto = F.min(F.col("automated").cast("int")).over(w) == 1
     n_titles = F.size(F.collect_set("title").over(w))
     tidy = all_auto & (n_titles == 1)
+    # item access conditions (rules engine — plans/sierra_item_access.py);
+    # computed against the RESOLVED location type, exactly as
+    # SierraPhysicalLocation.scala:42-49 wires SierraItemAccess
+    from .sierra_item_access import item_access
+
+    acc = item_access(F.col("_item"), F.col("loc_type"))
     return rows.select(
         "bib_id",
         F.concat(
@@ -903,6 +925,10 @@ def sierra_items(items: DataFrame) -> DataFrame:
         F.when(~tidy, F.col("title")).alias("title"),
         "loc_type",
         "loc_label",
+        acc.getField("method").alias("access_method"),
+        acc.getField("status").alias("access_status"),
+        acc.getField("note").alias("access_note"),
+        acc.getField("item_note").alias("item_note"),
     )
 
 
@@ -920,6 +946,10 @@ def items_per_bib(items: DataFrame) -> DataFrame:
                     F.coalesce(F.col("title"), F.lit("")),
                     F.coalesce(F.col("loc_type"), F.lit("")),
                     F.coalesce(F.col("loc_label"), F.lit("")),
+                    F.coalesce(F.col("access_method"), F.lit("")),
+                    F.coalesce(F.col("access_status"), F.lit("")),
+                    F.coalesce(F.col("access_note"), F.lit("")),
+                    F.coalesce(F.col("item_note"), F.lit("")),
                 )
             )
         ).alias("items")

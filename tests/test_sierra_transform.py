@@ -373,10 +373,22 @@ def _items_df(spark, rows):
     )
 
 
+# items in these fixtures carry no access fixed fields, so every one
+# resolves to the rules engine's fallback access condition
+_FALLBACK_ACCESS = (
+    'NotRequestable||This item cannot be requested online. Please contact '
+    '<a href="mailto:library@wellcomecollection.org">'
+    'library@wellcomecollection.org</a> for more information.|'
+)
+
+
 def _items_map(df):
     from catalogue_pipeline_spark.plans.sierra_transform import items_per_bib
 
-    return {r["bib_id"]: r["items"] for r in items_per_bib(df).collect()}
+    return {
+        r["bib_id"]: [i.replace("|" + _FALLBACK_ACCESS, "") for i in r["items"]]
+        for r in items_per_bib(df).collect()
+    }
 
 
 def test_items_location_mapping_and_closed_stores_label(spark):
