@@ -2307,13 +2307,47 @@ def _q67_mets_transform(spark, sf_dir):
         ),
         L(""),
     )
+    # fileSec + physical structMap (ORDER attrs deliberately reversed in
+    # document order to exercise the sort); optional TitlePage logical map
+    filesec = F.when(
+        ck % 2 == 0,
+        F.concat(
+            L('<mets:fileSec><mets:fileGrp USE="OBJECTS">'
+              '<mets:file ID="FILE_0001_OBJECTS" MIMETYPE="image/jp2">'
+              '<mets:FLocat LOCTYPE="URL" xlink:href="objects/F'),
+            cks,
+            L('_0001.jp2" /></mets:file>'
+              '<mets:file ID="FILE_0002_OBJECTS">'
+              '<mets:FLocat LOCTYPE="URL" xlink:href="objects/F'),
+            cks,
+            L('_0002.jpg" /></mets:file></mets:fileGrp></mets:fileSec>'
+              '<mets:structMap TYPE="PHYSICAL">'
+              '<mets:div DMDID="DMDPHYS_0000" ID="PHYS_0000" TYPE="physSequence">'
+              '<mets:div ADMID="AMD_0002" ID="PHYS_0002" ORDER="2" TYPE="page">'
+              '<mets:fptr FILEID="FILE_0002_OBJECTS" /></mets:div>'
+              '<mets:div ADMID="AMD_0001" ID="PHYS_0001" ORDER="1" TYPE="page">'
+              '<mets:fptr FILEID="FILE_0001_OBJECTS" /></mets:div>'
+              "</mets:div></mets:structMap>"),
+            F.when(
+                ck % 8 == 0,
+                L('<mets:structMap TYPE="LOGICAL">'
+                  '<mets:div ID="LOG_0000" TYPE="Monograph">'
+                  '<mets:div ID="LOG_0002" TYPE="TitlePage" /></mets:div>'
+                  "</mets:structMap><mets:structLink>"
+                  '<mets:smLink xlink:from="LOG_0002" xlink:to="PHYS_0002" />'
+                  "</mets:structLink>"),
+            ).otherwise(L("")),
+        ),
+    ).otherwise(L(""))
     content = F.concat(
         L('<mets:mets><mets:dmdSec ID="DMDLOG_0000"><mets:mdWrap MDTYPE="MODS"><mets:xmlData><mods:mods>'),
         titles,
         cond("dz", dz),
         cond("status", status),
         cond("usage", F.when(ck % 7 == 0, F.concat(L("Usage "), cks))),
-        L("</mods:mods></mets:xmlData></mets:mdWrap></mets:dmdSec></mets:mets>"),
+        L("</mods:mods></mets:xmlData></mets:mdWrap></mets:dmdSec>"),
+        filesec,
+        L("</mets:mets>"),
     )
     records = (
         spark.read.parquet(_t(sf_dir, "customer"))
@@ -2330,6 +2364,8 @@ def _q67_mets_transform(spark, sf_dir):
         "access_status",
         "access_usage",
         F.concat_ws("~", "merge_candidates").alias("merge_csv"),
+        F.concat_ws("&&", "file_refs").alias("file_refs_csv"),
+        "thumbnail_url",
     )
 
 
@@ -2367,14 +2403,43 @@ def _q68_tei_transform(spark, sf_dir):
         .when(u == 2, L("<summary>A</summary><summary>B</summary>"))
         .otherwise(L(""))
     )
+    # internal works (TeiNestedData): even ck → two msItems (single title /
+    # original-vs-alternative titles) with one nested child; odd ck → two
+    # msParts, the first containing an untitled item; %9 → Fihrist
+    # catalogue (lower-level items suppressed)
+    fihrist = F.when(
+        ck % 9 == 0, L('<idno type="catalogue">Fihrist</idno>')
+    ).otherwise(L(""))
+    child = F.concat(
+        L('<msItem xml:id="i'), cks, L('_1_1"></msItem>')
+    )
+    items = F.concat(
+        L('<msItem xml:id="i'), cks, L('_1"><title>Item Title '), cks,
+        L("</title>"), child, L("</msItem>"),
+        L('<msItem xml:id="i'), cks, L('_2">'
+          '<title type="original">Orig '), cks, L("</title>"
+          "<title>Alt "), cks, L("</title></msItem>"),
+    )
+    parts = F.concat(
+        L('<msPart xml:id="p'), cks, L('_1"><msContents>'
+          '<msItem xml:id="p'), cks, L('_1_i1"></msItem>'
+          "</msContents></msPart>"),
+        L('<msPart xml:id="p'), cks, L('_2"></msPart>'),
+    )
+    nested_items = F.when(ck % 2 == 0, items).otherwise(L(""))
+    nested_parts = F.when(ck % 2 == 1, parts).otherwise(L(""))
     content = F.concat(
         L('<TEI xml:id="m"><teiHeader><fileDesc><publicationStmt><idno>UkLW</idno>'),
         msids,
+        fihrist,
         L("</publicationStmt><sourceDesc><msDesc><msIdentifier>"),
         sierra,
         L("</msIdentifier><msContents>"),
         summary,
-        L("</msContents></msDesc></sourceDesc></fileDesc></teiHeader></TEI>"),
+        nested_items,
+        L("</msContents>"),
+        nested_parts,
+        L("</msDesc></sourceDesc></fileDesc></teiHeader></TEI>"),
     )
     records = (
         spark.read.parquet(_t(sf_dir, "customer"))
@@ -2395,6 +2460,7 @@ def _q68_tei_transform(spark, sf_dir):
         "b_number",
         "description",
         F.concat_ws("~", "merge_candidates").alias("merge_csv"),
+        F.concat_ws("&&", "internal_works").alias("internal_csv"),
     )
 
 
@@ -4416,7 +4482,22 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN live THEN
                  CASE WHEN uuid THEN 'calm-ref-no:' || uid || ':METS work'
                       ELSE 'sierra-system-number:' || bnum || ':METS work' END
-               ELSE '' END AS merge_csv
+               ELSE '' END AS merge_csv,
+               CASE WHEN live AND ck % 2 = 0 THEN
+                 'FILE_0001_OBJECTS~objects/F' || cks || '_0001.jp2~image/jp2'
+                 || '&&FILE_0002_OBJECTS~objects/F' || cks || '_0002.jpg~image/jpeg'
+               WHEN live THEN '' ELSE '' END AS file_refs_csv,
+               CASE WHEN live AND ck % 2 = 0 AND st NOT IN (2, 4) THEN
+                 CASE WHEN ck % 8 = 0 THEN
+                   'https://iiif.wellcomecollection.org/thumbs/'
+                   || CASE WHEN uuid THEN uid ELSE bnum END
+                   || '_F' || cks || '_0002.jpg/full/!200,200/0/default.jpg'
+                 ELSE
+                   'https://iiif.wellcomecollection.org/thumbs/'
+                   || CASE WHEN uuid THEN uid ELSE bnum END
+                   || '_F' || cks || '_0001.jp2/full/!200,200/0/default.jpg'
+                 END
+               END AS thumbnail_url
         FROM e
     """
     # q68: closed-form TEI expectation (msID rule errors in precedence
@@ -4454,7 +4535,21 @@ def oracle_sql() -> dict[str, str]:
                     THEN 'Sum f.1 ' || cks END AS description,
                CASE WHEN NOT del AND err IS NULL AND sr = 0 THEN
                  'sierra-system-number:' || bnum || ':Bnumber present in TEI file'
-               ELSE '' END AS merge_csv
+               ELSE '' END AS merge_csv,
+               CASE WHEN del OR err IS NOT NULL THEN ''
+                    WHEN ck % 2 = 0 THEN
+                      'i' || cks || '_1|Item Title ' || cks || '||1|-'
+                      || CASE WHEN ck % 9 <> 0 THEN
+                           '&&i' || cks || '_1_1|Item Title ' || cks
+                           || ' item 1||2|i' || cks || '_1' ELSE '' END
+                      || '&&i' || cks || '_2|Orig ' || cks || '|Alt ' || cks || '|1|-'
+                    ELSE
+                      'p' || cks || '_1|WMS_' || cks || ' part 1||1|-'
+                      || CASE WHEN ck % 9 <> 0 THEN
+                           '&&p' || cks || '_1_i1|WMS_' || cks
+                           || ' part 1 item 1||2|p' || cks || '_1' ELSE '' END
+                      || '&&p' || cks || '_2|WMS_' || cks || ' part 2||1|-'
+               END AS internal_csv
         FROM e
     """
     # q69: closed-form chain probes — 200 keys; batch 3 changes titles on

@@ -125,6 +125,227 @@ def _status_expr(status: Column) -> tuple[Column, Column]:
     return mapped, err
 
 
+# ------------------------------------------------- fileSec / structMap
+# FileReferences + thumbnail selection (round-3 verdict ask #4, closing the
+# "documented out of slice" note above).  Reference: models/
+# FileReferences.scala:6-49 (physical structMap div order → fptr FILEIDs →
+# OBJECTS fileGrp lookup with xlink:href + MIMETYPE),
+# models/ThumbnailReference.scala (explicit TitlePage via the logical
+# structMap + structLink, else the first image/pdf file),
+# transformers/MetsThumbnail.scala (DLCS thumb URLs, suppressed when the
+# access status restricts), transformers/DLCSFilenameNormaliser.scala.
+
+_FILE_T = "struct<id:string,href:string,mime:string>"
+
+# URLConnection.guessContentTypeFromName subset (content-types.properties);
+# unknown extensions — e.g. .jp2 — stay NULL exactly like the reference
+_MIME_BY_EXT = {
+    "jpg": "image/jpeg", "jpeg": "image/jpeg", "png": "image/png",
+    "gif": "image/gif", "pdf": "application/pdf", "txt": "text/plain",
+    "html": "text/html", "xml": "application/xml", "mp3": "audio/mpeg",
+    "mpeg": "video/mpeg", "mp4": "video/mp4",
+}
+
+
+def _guess_mime(href: Column) -> Column:
+    ext = F.lower(F.regexp_extract(href, r"\.([A-Za-z0-9]+)$", 1))
+    return F.coalesce(
+        *[F.when(ext == k, F.lit(v)) for k, v in _MIME_BY_EXT.items()]
+    )
+
+
+def _physical_divs(content: Column) -> Column:
+    """Physical-structMap divs as (ORDER, ID, [FILEID…]) structs in
+    document order."""
+    phys = F.regexp_extract(
+        content,
+        r'(?is)<(?:\w+:)?structMap[^>]*TYPE="physical"[^>]*>(.*?)</(?:\w+:)?structMap>',
+        1,
+    )
+    divs = F.regexp_extract_all(
+        phys,
+        F.lit(r'(?is)<(?:\w+:)?div[^>]*\bORDER="[^"]*"[^>]*>(?:(?!<(?:\w+:)?div)(?!</(?:\w+:)?structMap).)*'),
+        0,
+    )
+    return F.transform(
+        divs,
+        lambda d: F.struct(
+            F.regexp_extract(d, r'\bORDER="([^"]*)"', 1).alias("o"),
+            F.regexp_extract(d, r'(?<![A-Z])ID="([^"]*)"', 1).alias("id"),
+            F.regexp_extract_all(d, F.lit(r'FILEID="([^"]+)"'), 1).alias("fids"),
+        ),
+    )
+
+
+def _physical_file_ids(content: Column) -> Column:
+    """MetsXml.physicalFileIds: divs sorted by the ORDER attribute (string
+    sort, as the reference's sortByAttribute does), fptr FILEIDs flattened."""
+    return F.flatten(
+        F.transform(F.array_sort(_physical_divs(content)), lambda d: d.getField("fids"))
+    )
+
+
+def _objects_files(content: Column) -> Column:
+    """fileGrp USE=OBJECTS file elements as (id, href, mime) structs."""
+    grp = F.regexp_extract(
+        content,
+        r'(?is)<(?:\w+:)?fileGrp[^>]*USE="OBJECTS"[^>]*>(.*?)</(?:\w+:)?fileGrp>',
+        1,
+    )
+    files = F.regexp_extract_all(
+        grp,
+        F.lit(r'(?is)<(?:\w+:)?file\s(?:(?!</(?:\w+:)?file>).)*</(?:\w+:)?file>'),
+        0,
+    )
+    return F.transform(
+        files,
+        lambda f: F.struct(
+            F.regexp_extract(f, r'(?<![A-Z])ID="([^"]*)"', 1).alias("id"),
+            F.regexp_extract(f, r'href="([^"]*)"', 1).alias("href"),
+            F.nullif(F.regexp_extract(f, r'MIMETYPE="([^"]*)"', 1), F.lit("")).alias("mime"),
+        ),
+    )
+
+
+def file_references_expr(content: Column) -> Column:
+    """FileReferences.apply: one (id, href, mime-or-guessed) struct per
+    physical file id that resolves to an OBJECTS file with a non-empty
+    href, in physical page order."""
+    files = _objects_files(content)
+    ids = _physical_file_ids(content)
+
+    def resolve(fid):
+        match = F.try_element_at(
+            F.filter(files, lambda f: f.getField("id") == fid), F.lit(1)
+        )
+        return F.when(
+            match.isNotNull() & (match.getField("href") != ""),
+            F.struct(
+                fid.alias("id"),
+                match.getField("href").alias("href"),
+                F.coalesce(
+                    match.getField("mime"), _guess_mime(match.getField("href"))
+                ).alias("mime"),
+            ),
+        )
+
+    return F.filter(F.transform(ids, resolve), lambda r: r.isNotNull())
+
+
+def thumbnail_reference_expr(content: Column) -> Column:
+    """ThumbnailReference.apply: the explicit TitlePage file (logical
+    structMap TYPE=TitlePage → structLink → physical div → first FILEID)
+    when present and valid, else the first physical file whose LISTED mime
+    is image/* or application/pdf."""
+    files = _objects_files(content)
+    logical = F.regexp_extract(
+        content,
+        r'(?is)<(?:\w+:)?structMap[^>]*TYPE="LOGICAL"[^>]*>(.*?)</(?:\w+:)?structMap>',
+        1,
+    )
+    tp_div = F.nullif(
+        F.regexp_extract(
+            logical, r'(?is)<(?:\w+:)?div[^>]*TYPE="TitlePage"[^>]*>', 0
+        ),
+        F.lit(""),
+    )
+    log_id = F.nullif(
+        F.regexp_extract(tp_div, r'(?<![A-Z])ID="([^"]*)"', 1), F.lit("")
+    )
+    smlinks = F.transform(
+        F.regexp_extract_all(
+            content, F.lit(r"(?is)<(?:\w+:)?smLink[^>]*>"), 0
+        ),
+        lambda s: F.struct(
+            F.regexp_extract(s, r'(?:xlink:)?from="([^"]*)"', 1).alias("f"),
+            F.regexp_extract(s, r'(?:xlink:)?to="([^"]*)"', 1).alias("t"),
+        ),
+    )
+    phys_id = F.try_element_at(
+        F.filter(smlinks, lambda s: s.getField("f") == log_id), F.lit(1)
+    ).getField("t")
+    divs = _physical_divs(content)
+    tp_fid = F.try_element_at(
+        F.flatten(
+            F.transform(
+                F.filter(divs, lambda d: d.getField("id") == phys_id),
+                lambda d: d.getField("fids"),
+            )
+        ),
+        F.lit(1),
+    )
+
+    def lookup(fid):
+        return F.try_element_at(
+            F.filter(
+                files,
+                lambda f: (f.getField("id") == fid) & (f.getField("href") != ""),
+            ),
+            F.lit(1),
+        )
+
+    tp_file = lookup(tp_fid)
+    title_page = F.when(
+        tp_file.isNotNull(),
+        F.struct(
+            tp_file.getField("id").alias("id"),
+            tp_file.getField("href").alias("href"),
+            F.coalesce(
+                tp_file.getField("mime"), _guess_mime(tp_file.getField("href"))
+            ).alias("mime"),
+        ),
+    )
+    # first thumbnailable: LISTED mime image/* or application/pdf
+    ids = _physical_file_ids(content)
+    cands = F.filter(
+        F.transform(ids, lookup),
+        lambda f: f.isNotNull()
+        & (
+            (f.getField("mime") == "application/pdf")
+            | F.coalesce(f.getField("mime"), F.lit("")).startswith("image")
+        ),
+    )
+    first = F.try_element_at(cands, F.lit(1))
+    fallback = F.when(
+        first.isNotNull(),
+        F.struct(
+            first.getField("id").alias("id"),
+            first.getField("href").alias("href"),
+            F.coalesce(
+                first.getField("mime"), _guess_mime(first.getField("href"))
+            ).alias("mime"),
+        ),
+    )
+    return F.coalesce(title_page, fallback)
+
+
+def thumbnail_url_expr(
+    thumb: Column, bnum: Column, access_status: Column
+) -> Column:
+    """MetsThumbnail.apply: suppressed for restricted/closed access; DLCS
+    image-thumb URL for image mimes (location normalised: objects/ prefix
+    stripped, b-number prepended unless already present), iiif-builder
+    /thumb/<bnum> otherwise."""
+    restricted = F.coalesce(
+        access_status.isin("Restricted", "Closed"), F.lit(False)
+    )
+    fname = F.regexp_replace(thumb.getField("href"), r"^objects/", "")
+    norm = F.when(
+        F.lower(fname).startswith(F.lower(bnum)), fname
+    ).otherwise(F.concat(bnum, F.lit("_"), fname))
+    url = F.when(
+        F.coalesce(thumb.getField("mime"), F.lit("")).startswith("image/"),
+        F.concat(
+            F.lit("https://iiif.wellcomecollection.org/thumbs/"),
+            norm,
+            F.lit("/full/!200,200/0/default.jpg"),
+        ),
+    ).otherwise(
+        F.concat(F.lit("https://iiif.wellcomecollection.org/thumb/"), bnum)
+    )
+    return F.when(thumb.isNotNull() & ~restricted, url)
+
+
 def transform_mets(records: DataFrame) -> DataFrame:
     """records(id = record identifier, content = METS XML[, deleted,
     last_modified]) → one work row per record."""
@@ -173,4 +394,22 @@ def transform_mets(records: DataFrame) -> DataFrame:
         F.when(live, F.array(merge))
         .otherwise(F.array().cast("array<string>"))
         .alias("merge_candidates"),
+        F.when(
+            live,
+            F.transform(
+                file_references_expr(content),
+                lambda r: F.concat_ws(
+                    "~",
+                    r.getField("id"),
+                    r.getField("href"),
+                    F.coalesce(r.getField("mime"), F.lit("-")),
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("file_refs"),
+        F.when(
+            live,
+            thumbnail_url_expr(thumbnail_reference_expr(content), rid, status),
+        ).alias("thumbnail_url"),
     )

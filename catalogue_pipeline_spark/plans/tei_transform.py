@@ -33,6 +33,8 @@ Rules carried over (file:line under transformer_tei/src/main/.../tei):
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -64,6 +66,150 @@ def _summary_expr(content: Column) -> tuple[Column, Column]:
     return F.when(F.size(blocks) == 1, cleaned), err
 
 
+# ----------------------------------------------- nested internal works
+# TeiNestedData.scala:23-245 (round-3 verdict ask #5): a manuscript
+# explodes into child works — msItem elements (single-part manuscripts,
+# recursive; titles from a single <title> child, else the one
+# type="original", else "<wrapper> item N"; other titles become
+# alternative titles), or msPart elements (multi-part manuscripts, titled
+# "<wrapper> part N", items nested inside their msContents) when there are
+# no top-level items.  Manuscripts in the Fihrist catalogue (idno
+# type="catalogue") skip LOWER-level items (TeiNestedData.scala:149-167).
+#
+# Arbitrary-depth same-tag recursion is the one shape fixed regexes can't
+# express, so this is an Arrow-batched pandas UDF over a real XML parser —
+# the sanctioned X1-style escape hatch (one UDF per manuscript record, not
+# per event).  Reference ids come from the xml:id attribute
+# (TeiOps.scala:45-52).
+
+_INTERNAL_T = (
+    "struct<works:array<struct<id:string,title:string,alts:array<string>,"
+    "depth:int,parent:string>>,error:string>"
+)
+
+
+def _local(tag):
+    return tag.rsplit("}", 1)[-1] if isinstance(tag, str) else ""
+
+
+def _extract_internal_works(content: str):
+    """Pure-python core (testable without Spark): returns (works, error)."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(content)
+    except ET.ParseError as e:  # malformed XML errors the record
+        return [], f"Could not parse TEI XML: {e}"
+
+    def find_all(node, *path):
+        cur = [node]
+        for name in path:
+            cur = [c for n in cur for c in n if _local(c.tag) == name]
+        return cur
+
+    def get_id(node):
+        for k, v in node.attrib.items():
+            if _local(k) == "id" or k == "id":
+                return v.strip()
+        return None
+
+    def text(node):
+        return "".join(node.itertext())
+
+    # catalogues → fihrist check
+    catalogues = [
+        text(n)
+        for n in find_all(root, "teiHeader", "fileDesc", "publicationStmt", "idno")
+        if n.get("type") == "catalogue"
+    ]
+    fihrist = any(c.strip().lower() == "fihrist" for c in catalogues)
+
+    works, errors = [], []
+
+    def item_title(item, wrapper, i):
+        titles = [c for c in item if _local(c.tag) == "title"]
+        if len(titles) == 1:
+            return text(titles[0]), []
+        originals = [t for t in titles if (t.get("type") or "").lower() == "original"]
+        alts = [
+            text(t).strip()
+            for t in titles
+            if (t.get("type") or "").lower() != "original"
+        ] if titles else []
+        if len(originals) == 1:
+            return text(originals[0]), alts
+        return f"{wrapper} item {i}", alts
+
+    def walk_items(parent_nodes, wrapper, depth, parent_id, allow_lower):
+        items = [c for n in parent_nodes for c in n if _local(c.tag) == "msItem"]
+        for i, item in enumerate(items, 1):
+            wid = get_id(item)
+            if wid is None:
+                errors.append("Could not find an id in node!")
+                continue
+            title, alts = item_title(item, wrapper, i)
+            works.append((wid, title, alts, depth, parent_id))
+            if allow_lower and not fihrist:
+                walk_items([item], title, depth + 1, wid, allow_lower)
+
+    msdescs = [
+        d
+        for srcdesc in root.iter()
+        if _local(srcdesc.tag) == "msDesc"
+        for d in [srcdesc]
+    ]
+    contents = [c for d in msdescs for c in d if _local(c.tag) == "msContents"]
+    n_before = len(works)
+    walk_items(contents, wrapper_title(root), 1, None, True)
+    if len(works) == n_before:  # no top-level items → msPart path
+        parts = [c for d in msdescs for c in d if _local(c.tag) == "msPart"]
+        for i, part in enumerate(parts, 1):
+            pid = get_id(part)
+            if pid is None:
+                errors.append("Could not find an id in node!")
+                continue
+            ptitle = f"{wrapper_title(root)} part {i}"
+            works.append((pid, ptitle, [], 1, None))
+            # items under a part come via extractLowerLevelItems, which the
+            # Fihrist rule suppresses entirely (TeiNestedData.scala:149-167)
+            if not fihrist:
+                pcontents = [c for c in part if _local(c.tag) == "msContents"]
+                walk_items(pcontents, ptitle, 2, pid, True)
+    return works, (errors[0] if errors else None)
+
+
+def wrapper_title(root):
+    """The wrapper title is the manuscript's reference number — the single
+    <idno type="msID"> (matching this slice's title rule)."""
+    ids = [
+        "".join(n.itertext()).strip()
+        for n in root.iter()
+        if _local(n.tag) == "idno" and n.get("type") == "msID"
+    ]
+    return ids[0] if len(ids) == 1 else ""
+
+
+def tei_internal_works_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(_INTERNAL_T)
+    def _extract(contents: pd.Series) -> pd.DataFrame:
+        out = {"works": [], "error": []}
+        for c in contents:
+            works, err = _extract_internal_works(c or "")
+            out["works"].append(
+                [
+                    {"id": w[0], "title": w[1], "alts": w[2], "depth": w[3],
+                     "parent": w[4]}
+                    for w in works
+                ]
+            )
+            out["error"].append(err)
+        return pd.DataFrame(out)
+
+    return _extract
+
+
 def transform_tei(records: DataFrame) -> DataFrame:
     """records(id, content = TEI XML[, deleted]) → one top-level work row
     per manuscript."""
@@ -93,7 +239,9 @@ def transform_tei(records: DataFrame) -> DataFrame:
     bnum_err = F.when(F.size(bnums) > 1, F.lit("More than one sierra bnumber node!"))
 
     summary, sum_err = _summary_expr(content)
-    err = F.coalesce(ref_err, bnum_err, sum_err)
+    nested = tei_internal_works_udf()(content)
+    nested_err = nested.getField("error")
+    err = F.coalesce(ref_err, bnum_err, sum_err, nested_err)
 
     merge = F.when(
         bnum.rlike(r"^b[0-9]{7}[0-9x]$"),
@@ -124,4 +272,20 @@ def transform_tei(records: DataFrame) -> DataFrame:
         F.when(live, merge).otherwise(F.array().cast("array<string>")).alias(
             "merge_candidates"
         ),
+        F.when(
+            live,
+            F.transform(
+                nested.getField("works"),
+                lambda w: F.concat_ws(
+                    "|",
+                    w.getField("id"),
+                    w.getField("title"),
+                    F.array_join(w.getField("alts"), ";"),
+                    w.getField("depth"),
+                    F.coalesce(w.getField("parent"), F.lit("-")),
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("internal_works"),
     )

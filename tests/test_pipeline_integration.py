@@ -173,3 +173,90 @@ def test_all_transformer_slices_feed_matcher(spark, tmp_path):
         "miro-image-number/V0000123",
         "sierra-system-number/b1000001x",
     ) in comps
+
+
+def test_tei_internal_works_feed_matcher(spark, tmp_path):
+    """TEI ask (round-4): a manuscript explodes into child works that enter
+    the matcher as merge fodder — the TEI top-level work links its sierra
+    b-number AND its internal works, so the matcher component contains the
+    Sierra work, the TEI wrapper and every nested item."""
+    import json as _json
+
+    from catalogue_pipeline_spark.plans.sierra_transform import transform_sierra
+    from catalogue_pipeline_spark.plans.tei_transform import transform_tei
+
+    tei = transform_tei(
+        spark.createDataFrame(
+            [("manuscript_77", (
+                '<TEI xml:id="m"><teiHeader><fileDesc><publicationStmt>'
+                '<idno type="msID">WMS_77</idno></publicationStmt>'
+                "<sourceDesc><msDesc><msIdentifier>"
+                '<altIdentifier type="Sierra"><idno>b1000001x</idno></altIdentifier>'
+                "</msIdentifier><msContents>"
+                '<msItem xml:id="it1"><title>First text</title></msItem>'
+                '<msItem xml:id="it2"></msItem>'
+                "</msContents></msDesc></sourceDesc></fileDesc></teiHeader></TEI>"
+            ))],
+            "id string, content string",
+        )
+    )
+    row = tei.collect()[0]
+    assert row["internal_works"] == [
+        "it1|First text||1|-",
+        "it2|WMS_77 item 2||1|-",
+    ]
+
+    sierra = transform_sierra(
+        spark.createDataFrame(
+            [("1000001", _json.dumps({
+                "id": "1000001", "deleted": False,
+                "varFields": [
+                    {"fieldTag": "a", "marcTag": "245", "ind1": " ", "ind2": " ",
+                     "subfields": [{"tag": "a", "content": "Physical work"}]},
+                ]}))],
+            "id string, content string",
+        )
+    )
+
+    # TEI wrapper candidates: the sierra b-number + its internal works
+    tei_cands = tei.select(
+        F.concat(F.lit("tei/"), F.col("id")).alias("work_id"),
+        F.lit(1).alias("version"),
+        F.concat(
+            F.transform(
+                F.col("merge_candidates"),
+                lambda c: F.concat_ws("/", F.slice(F.split(c, ":"), 1, 2)),
+            ),
+            F.transform(
+                F.col("internal_works"),
+                lambda w: F.concat(F.lit("tei-nested/"), F.split(w, r"\|")[0]),
+            ),
+        ).alias("candidates"),
+        F.lit(False).alias("suppressed"),
+    )
+    nested_nodes = tei.select(
+        F.explode("internal_works").alias("w")
+    ).select(
+        F.concat(F.lit("tei-nested/"), F.split("w", r"\|")[0]).alias("work_id"),
+        F.lit(1).alias("version"),
+        F.array().cast("array<string>").alias("candidates"),
+        F.lit(False).alias("suppressed"),
+    )
+    sierra_nodes = sierra.select(
+        F.concat(F.lit("sierra-system-number/"), F.col("id")).alias("work_id"),
+        F.lit(1).alias("version"),
+        F.array().cast("array<string>").alias("candidates"),
+        F.lit(False).alias("suppressed"),
+    )
+    updates = tei_cands.unionByName(nested_nodes).unionByName(sierra_nodes)
+    table = create_matcher_table(str(tmp_path / "teigraph"), num_buckets=4)
+    _, result = update_graph(spark, table, updates, batch_seq=1, changeset_id="t1")
+    comps = {
+        tuple(sorted(w["work_id"] for w in r["works"])) for r in result.collect()
+    }
+    assert (
+        "sierra-system-number/b1000001x",
+        "tei-nested/it1",
+        "tei-nested/it2",
+        "tei/manuscript_77",
+    ) in comps
