@@ -176,3 +176,86 @@ def test_related_concepts_field_filters(spark):
     )
     got = {(r["concept_id"], r["related_id"]) for r in out.collect()}
     assert got == {("P1", "P2"), ("P2", "P1")}
+
+
+def test_concepts_graph_fed_from_sierra_slice(spark):
+    """Round-4 closing ask: the concepts graph consumes SIERRA-extracted
+    subjects/contributors/genres — transform_sierra_concepts +
+    transform_sierra_fields emit exactly the columns extract_concept_nodes/
+    extract_concept_edges expect, and related_concepts runs over the
+    resulting edges."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from catalogue_pipeline_spark.plans.concepts import (
+        extract_concept_edges,
+        extract_concept_nodes,
+        related_concepts,
+    )
+    from catalogue_pipeline_spark.plans.sierra_concepts import (
+        transform_sierra_concepts,
+    )
+    from catalogue_pipeline_spark.plans.sierra_fields import (
+        transform_sierra_fields,
+    )
+
+    def bib(sid, subjects, person, genre=None):
+        vfs = [
+            {"fieldTag": "a", "marcTag": "650", "ind1": " ", "ind2": "0",
+             "subfields": [{"tag": "a", "content": s}]}
+            for s in subjects
+        ]
+        vfs.append({"fieldTag": "a", "marcTag": "100", "ind1": " ", "ind2": " ",
+                    "subfields": [{"tag": "a", "content": person}]})
+        if genre:
+            vfs.append({"fieldTag": "a", "marcTag": "655", "ind1": " ",
+                        "ind2": " ",
+                        "subfields": [{"tag": "a", "content": genre}]})
+        return (sid, json.dumps({"id": sid, "deleted": False,
+                                 "suppressed": False, "varFields": vfs}))
+
+    rows = [
+        bib("1000001", ["Medicine", "Anatomy"], "Vesalius, Andreas", "Woodcuts"),
+        bib("1000002", ["Medicine", "Anatomy"], "Vesalius, Andreas"),
+        bib("1000003", ["Medicine", "Anatomy"], "Harvey, William", "Woodcuts"),
+        bib("1000004", ["Medicine", "Surgery"], "Harvey, William"),
+    ]
+    bibs = spark.createDataFrame(rows, "id string, content string")
+    concepts = transform_sierra_concepts(bibs)
+    fields = transform_sierra_fields(bibs)
+    # localCheckpoint: the two transformer plans are large expression trees
+    # that would otherwise be duplicated into every downstream join
+    # (the merger's documented reuse guidance, plans/merger.py:155-158)
+    works = (
+        concepts.join(fields.select("sierra_id", "genres"), "sierra_id")
+        .select(F.col("sierra_id").alias("id"), "subjects", "contributors", "genres")
+        .localCheckpoint()
+    )
+
+    nodes = {(r["type"], r["label"]) for r in extract_concept_nodes(works).collect()}
+    assert ("Subject", "Medicine") in nodes
+    assert ("Subject", "Anatomy") in nodes
+    assert ("Genre", "Woodcuts") in nodes
+    assert ("Person", "Vesalius, Andreas") in nodes
+
+    edges = extract_concept_edges(works)
+    rel = related_concepts(
+        edges, source_fields=["subjects"], related_fields=["subjects"],
+        threshold=3, limit=5,
+    )
+    labels = extract_concept_nodes(works).select(
+        F.col("concept_id"), F.col("label")
+    )
+    out = {
+        (r["src"], r["dst"]): r["shared_works"]
+        for r in rel.join(labels.withColumnRenamed("label", "src"), "concept_id")
+        .join(
+            labels.withColumnsRenamed({"concept_id": "related_id", "label": "dst"}),
+            "related_id",
+        )
+        .collect()
+    }
+    # Medicine co-occurs with Anatomy on works 1-3 (threshold 3 met); the
+    # Medicine–Surgery pair (1 shared work) is below threshold
+    assert out == {("Medicine", "Anatomy"): 3, ("Anatomy", "Medicine"): 3}
