@@ -1913,7 +1913,125 @@ def _q62_related_concepts(spark, sf_dir):
         limit=5,
         max_works_per_concept=20,
     )
-    return out.select("concept_id", "related_id", "shared_works", "rank")
+    cooccur = out.select(
+        F.lit("cooccur").alias("family"),
+        "concept_id",
+        "related_id",
+        F.lit("").alias("rel_type"),
+        F.col("shared_works").cast("long").alias("shared_works"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+    # ---- round-4: the SOURCE-concept graph families (SAME_AS closures,
+    # typed relationship traversal, concept types) over a deterministic
+    # generated property graph — plans/concept_graph.py
+    from catalogue_pipeline_spark.plans.concept_graph import (
+        concept_types,
+        related_source_concepts,
+        same_as_concept_ids,
+    )
+
+    k = ck - 1
+    ks = k.cast("string")
+    b30 = base.filter(ck <= 30)
+    has_source = b30.select(
+        F.concat(F.lit("C"), ks).alias("concept_id"),
+        F.concat(F.lit("ls"), ks).alias("source_id"),
+    ).unionByName(
+        b30.filter(k % 6 == 0).select(
+            F.concat(F.lit("D"), ks).alias("concept_id"),
+            F.concat(F.lit("sa"), ks).alias("source_id"),
+        )
+    )
+    same_as = (
+        b30.filter(k % 2 == 0)
+        .select(
+            F.concat(F.lit("ls"), ks).alias("src"),
+            F.concat(F.lit("sa"), ks).alias("dst"),
+        )
+        .unionByName(
+            b30.filter(k % 4 == 0).select(
+                F.concat(F.lit("sa"), ks).alias("src"),
+                F.concat(F.lit("sb"), ks).alias("dst"),
+            )
+        )
+    )
+    m1s = ((k + 2) % 30).cast("string")
+    m2s = ((k + 4) % 30).cast("string")
+    rel = (
+        b30.filter(k % 2 == 0)
+        .select(
+            F.concat(F.lit("sa"), ks).alias("src"),
+            F.concat(F.lit("ls"), m1s).alias("dst"),
+            F.lit("RELATED_TO").alias("relationship_type"),
+        )
+        .unionByName(
+            b30.filter(k % 4 == 0).select(
+                F.concat(F.lit("sb"), ks).alias("src"),
+                F.concat(F.lit("ls"), m2s).alias("dst"),
+                F.lit("RELATED_TO").alias("relationship_type"),
+            )
+        )
+        .unionByName(
+            # an edge back into the linked source's own closure — must be
+            # excluded by the NOT SAME_AS guard
+            b30.filter(k % 8 == 0).select(
+                F.concat(F.lit("ls"), ks).alias("src"),
+                F.concat(F.lit("sa"), ks).alias("dst"),
+                F.lit("RELATED_TO").alias("relationship_type"),
+            )
+        )
+    )
+    i = ck
+    has_concept = base.select(
+        F.concat(F.lit("W"), i.cast("string")).alias("work_id"),
+        F.concat(F.lit("C"), (i % 30).cast("string")).alias("concept_id"),
+        F.when(i % 3 == 0, F.lit("Person")).otherwise(F.lit("Concept")).alias(
+            "referenced_type"
+        ),
+        F.lit("subjects").alias("field"),
+    ).unionByName(
+        base.filter(i % 3 == 0).select(
+            F.concat(F.lit("W"), i.cast("string")).alias("work_id"),
+            F.concat(F.lit("D"), (6 * (i % 5)).cast("string")).alias("concept_id"),
+            F.lit("Agent").alias("referenced_type"),
+            F.lit("contributors").alias("field"),
+        )
+    )
+    graph = related_source_concepts(
+        has_source,
+        same_as,
+        rel,
+        has_concept,
+        edge_types=["RELATED_TO"],
+        direction="from",
+        max_hops=2,
+        limit=5,
+    ).select(
+        F.lit("graph").alias("family"),
+        "concept_id",
+        "related_id",
+        F.col("relationship_type").alias("rel_type"),
+        F.col("work_count").cast("long").alias("shared_works"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+    sameas = same_as_concept_ids(has_source, same_as, max_hops=8).select(
+        F.lit("same_as").alias("family"),
+        "concept_id",
+        F.col("same_as_concept_id").alias("related_id"),
+        F.lit("").alias("rel_type"),
+        F.lit(0).cast("long").alias("shared_works"),
+        F.lit(0).cast("long").alias("rank"),
+    )
+    types = concept_types(has_concept).select(
+        F.lit("types").alias("family"),
+        "concept_id",
+        F.concat_ws("+", "types").alias("related_id"),
+        F.lit("").alias("rel_type"),
+        F.lit(0).cast("long").alias("shared_works"),
+        F.lit(0).cast("long").alias("rank"),
+    )
+    return cooccur.unionByName(graph).unionByName(sameas).unionByName(types)
 
 
 def _q63_palette(spark, sf_dir):
@@ -1996,21 +2114,49 @@ def _q64_sierra_items(spark, sf_dir):
         .when(lc == 4, F.lit("bound in above"))
         .when(lc == 6, F.lit("Exhibition space"))
     )
-    vfs = F.when(
-        ck % 5 == 0,
-        F.array(
-            F.struct(
-                F.lit("v").alias("fieldTag"),
-                F.lit(None).cast("string").alias("marcTag"),
-                F.lit(" ").alias("ind1"),
-                F.lit(" ").alias("ind2"),
-                F.concat(F.lit("Vol. "), cks).alias("content"),
-                F.lit(None)
-                .cast("array<struct<tag:string,content:string>>")
-                .alias("subfields"),
-            )
-        ),
+    bibnum = ck % 60
+    bibnums = bibnum.cast("string")
+    inum = F.concat((bibnum + 1000).cast("string"), F.lit("i"))
+    # 949 (fieldTag c) $a shelfmark raw values: i-number extensions on %9,
+    # bare i-numbers on %15 (suppressed on iconographic bibs), padded
+    # shelfmarks on other %3 (exercises the trim)
+    raw_949 = (
+        F.when(ck % 9 == 0, F.concat(inum, F.lit("."), cks))
+        .when((ck % 15 == 0) & (ck % 3 == 0), inum)
+        .when(ck % 3 == 0, F.concat(F.lit("S"), cks, F.lit("  ")))
     )
+    vfs = F.filter(
+        F.array(
+            F.when(
+                ck % 5 == 0,
+                F.struct(
+                    F.lit("v").alias("fieldTag"),
+                    F.lit(None).cast("string").alias("marcTag"),
+                    F.lit(" ").alias("ind1"),
+                    F.lit(" ").alias("ind2"),
+                    F.concat(F.lit("Vol. "), cks).alias("content"),
+                    F.lit(None)
+                    .cast("array<struct<tag:string,content:string>>")
+                    .alias("subfields"),
+                ),
+            ),
+            F.when(
+                raw_949.isNotNull(),
+                F.struct(
+                    F.lit("c").alias("fieldTag"),
+                    F.lit("949").alias("marcTag"),
+                    F.lit(" ").alias("ind1"),
+                    F.lit(" ").alias("ind2"),
+                    F.lit(None).cast("string").alias("content"),
+                    F.array(
+                        F.struct(F.lit("a").alias("tag"), raw_949.alias("content"))
+                    ).alias("subfields"),
+                ),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    vfs = F.when(F.size(vfs) > 0, vfs)
     # access-condition scenario per item (rules engine inputs): fixed
     # fields 88/108/79 by am = ck%6, holds via %17, due dates via %19
     am = ck % 6
@@ -2057,12 +2203,123 @@ def _q64_sierra_items(spark, sf_dir):
         .filter((ck > 0) & (ck <= 300))
         .select(
             sid.alias("item_id"),
-            F.concat(F.lit("b"), (ck % 60).cast("string")).alias("bib_id"),
+            F.concat(F.lit("b"), bibnums).alias("bib_id"),
             F.to_json(doc).alias("content"),
         )
     )
-    out = items_per_bib(items)
-    return out.select("bib_id", F.concat_ws("~", "items").alias("items_csv"))
+
+    # ---- bib records b0..b89: material type (A&M 'h' suppresses
+    # shelfmarks, visual 'r' carries an 001 i-number), CAT DATE on some of
+    # the item-less order bibs (b60..b89)
+    bn = ck - 1  # bib number for customer rows 1..90
+    bns = bn.cast("string")
+    b_inum = F.concat((bn + 1000).cast("string"), F.lit("i"))
+    mat = (
+        F.when(bn % 10 == 7, F.lit("h"))
+        .when(bn % 10 == 3, F.lit("r"))
+        .otherwise(F.lit("a"))
+    )
+    b_vfs = F.when(
+        bn % 10 == 3,
+        F.array(
+            F.struct(
+                F.lit("a").alias("fieldTag"),
+                F.lit("001").alias("marcTag"),
+                F.lit(" ").alias("ind1"),
+                F.lit(" ").alias("ind2"),
+                b_inum.alias("content"),
+                F.lit(None)
+                .cast("array<struct<tag:string,content:string>>")
+                .alias("subfields"),
+            )
+        ),
+    )
+    b_ff = F.when(
+        (bn >= 60) & (bn % 4 == 1),
+        F.create_map(
+            F.lit("28"),
+            F.struct(
+                F.lit("CAT DATE").alias("label"),
+                F.lit("2021-05-03").alias("value"),
+                F.lit(None).cast("string").alias("display"),
+            ),
+        ),
+    )
+    bib_doc = F.struct(
+        F.concat(F.lit("b"), bns).alias("id"),
+        F.struct(mat.alias("code"), F.lit(None).cast("string").alias("value")).alias(
+            "materialType"
+        ),
+        b_ff.alias("fixedFields"),
+        b_vfs.alias("varFields"),
+    )
+    bibs = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .filter((ck > 0) & (ck <= 90))
+        .select(
+            F.concat(F.lit("b"), bns).alias("id"),
+            F.to_json(bib_doc).alias("content"),
+        )
+    )
+
+    # ---- order records on the item-less bibs b60..b89 (SierraItemsOnOrder)
+    ost = ck % 5
+    o_ff = F.map_filter(
+        F.create_map(
+            F.lit("20"),
+            F.struct(
+                F.lit("STATUS").alias("label"),
+                F.when(ost.isin(0, 1), F.lit("o"))
+                .when(ost == 2, F.lit("a"))
+                .when(ost == 3, F.lit("z"))
+                .otherwise(F.lit("c"))
+                .alias("value"),
+                F.lit(None).cast("string").alias("display"),
+            ),
+            F.lit("13"),
+            F.struct(
+                F.lit("ODATE").alias("label"),
+                F.when(ost.isin(0, 2), F.lit("2001-01-01"))
+                .when(ost == 4, F.lit("1999-12-31"))
+                .cast("string")
+                .alias("value"),
+                F.lit(None).cast("string").alias("display"),
+            ),
+            F.lit("17"),
+            F.struct(
+                F.lit("RDATE").alias("label"),
+                F.when(ost == 2, F.lit("2002-02-02")).cast("string").alias("value"),
+                F.lit(None).cast("string").alias("display"),
+            ),
+        ),
+        lambda k, v: v.getField("value").isNotNull(),
+    )
+    order_doc = F.struct(
+        (ck + 7000000).cast("string").alias("id"),
+        (ck % 40 == 0).alias("deleted"),
+        (ck % 20 == 0).alias("suppressed"),
+        o_ff.alias("fixedFields"),
+    )
+    orders = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .filter((ck > 0) & (ck <= 300) & (ck % 4 == 0))
+        .select(
+            (ck + 7000000).cast("string").alias("order_id"),
+            F.concat(F.lit("b"), (ck % 30 + 60).cast("string")).alias("bib_id"),
+            F.to_json(order_doc).alias("content"),
+        )
+    )
+
+    from catalogue_pipeline_spark.plans.sierra_extras import items_on_order
+
+    per_bib_items = items_per_bib(items, bibs)
+    per_bib_orders = items_on_order(bibs, orders, items)
+    out = per_bib_orders.join(per_bib_items, "bib_id", "left")
+    return out.select(
+        "bib_id",
+        F.concat_ws("~", F.coalesce(F.col("items"), F.array().cast("array<string>"))).alias("items_csv"),
+        F.concat_ws("~", "order_items").alias("orders_csv"),
+    )
 
 
 def _q65_calm_transform(spark, sf_dir):
@@ -2237,6 +2494,27 @@ def _q66_miro_transform(spark, sf_dir):
             F.when(ck % 24 == 0, F.array(L("2016"), L("2016")))
             .when(ck % 12 == 0, F.array(L("2015")))
             .alias("image_award_date"),
+            # round-4 location / licence / contributor inputs
+            (
+                F.when(ck % 8 == 0, L("CC-0")).when(ck % 8 == 1, L("CC-BY"))
+                .when(ck % 8 == 2, L("CC-BY-NC")).when(ck % 8 == 3, L("PDM"))
+                .when(ck % 8 == 4, L("In copyright"))
+                .when(ck % 8 == 5, L("Do not use"))
+                .when(ck % 8 == 7, L("Academics"))
+            ).alias("image_use_restrictions"),
+            (
+                F.when(ck % 5 == 1, L("Wellcome Library, London"))
+                .when(ck % 5 == 2, L("Science Museum London"))
+            ).alias("image_credit_line"),
+            (
+                F.when(ck % 5 == 3, L("aam")).when(ck % 5 == 4, L("ZZZ"))
+            ).alias("image_source_code"),
+            F.when(ck % 6 == 0, F.array(F.concat(L("Creator "), cks))).alias(
+                "image_creator"
+            ),
+            F.when(ck % 12 == 0, F.array(F.concat(L("Second "), cks))).alias(
+                "image_secondary_creator"
+            ),
         )
     )
     miro_records = (
@@ -2249,7 +2527,20 @@ def _q66_miro_transform(spark, sf_dir):
         )
     )
     out = with_created_period(transform_miro(miro_records))
-    return out.select(
+    # round-4 family over the same records: locations / licences / credit
+    # lines / contributors (plans/miro_transform.miro_locations)
+    from catalogue_pipeline_spark.plans.miro_transform import miro_locations
+
+    locs = miro_locations(miro_records).select(
+        "id",
+        "thumbnail_url",
+        F.coalesce("license_id", F.lit("")).alias("license_id"),
+        F.coalesce(F.col("suppress_reason"), F.lit("")).alias("loc_suppress"),
+        F.coalesce(F.col("error_reason"), F.lit("")).alias("loc_error"),
+        F.coalesce("credit", F.lit("")).alias("credit"),
+        F.concat_ws("&&", "contributors").alias("contrib_csv"),
+    )
+    return out.join(locs, "id").select(
         "id",
         "type",
         "reason",
@@ -2262,6 +2553,12 @@ def _q66_miro_transform(spark, sf_dir):
         F.concat_ws("~", "other_identifiers").alias("ids_csv"),
         "created_from",
         "created_to",
+        "thumbnail_url",
+        "license_id",
+        "loc_suppress",
+        "loc_error",
+        "credit",
+        "contrib_csv",
     )
 
 
@@ -2574,11 +2871,16 @@ def _q69_transform_cdc_e2e(spark, sf_dir):
 
 
 def _q70_holdings_enumeration(spark, sf_dir):
-    """Sierra holdings 853/863 caption pairing driver-oracled: varFields
-    JSON generated from customer exercises ranges, month naming, multiple
-    sequences, human-written h fields and sorting; the Arrow-batched UDF's
-    output is checked against a closed-form oracle of the rendering rules."""
-    from catalogue_pipeline_spark.functions.holdings import holdings_enumeration_udf
+    """Sierra holdings driver-oracled, end to end: 853/863 caption pairing
+    (ranges, month naming, multiple sequences, human-written h fields)
+    PLUS the round-4 SierraHoldings object builder — physical holdings
+    (866 $a description prepended to the enumeration, 866 $z note,
+    fixed-field-40 location via the location-types table, 949 shelfmark,
+    empty-holdings drop, deleted/suppressed filter) and digital 'elro'
+    holdings (856 items re-shaped, per-URL compatibility merge: one row
+    when note/linkText are unique-or-absent and enumerations agree, both
+    rows otherwise).  The oracle recomputes every rule in closed form."""
+    from catalogue_pipeline_spark.functions.holdings import holdings_enumeration_udf  # noqa: F401
 
     ck = F.col("c_custkey")
     cks = ck.cast("string")
@@ -2615,20 +2917,102 @@ def _q70_holdings_enumeration(spark, sf_dir):
             L(","), sub("i", L("2001")), L("]}"),
         ),
     ).otherwise(L(""))
-    human = F.when(
-        ck % 7 == 0,
-        F.concat(L('{"fieldTag":"h","content":"Desc '), cks, L('"},')),
-    ).otherwise(L(""))
-    varfields = F.concat(L("["), human, f853, L(","), f863, f863b, L("]"))
-    records = (
-        spark.read.parquet(_t(sf_dir, "customer"))
-        .filter((ck > 0) & (ck <= 300))
-        .select(F.concat(L("h"), cks).alias("id"), varfields.alias("varfields"))
+    from catalogue_pipeline_spark.plans.sierra_extras import sierra_holdings
+
+    human_p = F.when(
+        ck % 7 == 0, F.concat(L('{"fieldTag":"h","content":"Desc '), cks, L('"}'))
     )
-    out = records.select(
-        "id", holdings_enumeration_udf()(F.col("varfields")).alias("e")
+    caps_p = F.when(
+        ck % 9 != 0, F.concat(f853, L(","), f863, f863b)
     )
-    return out.select("id", F.concat_ws("~", "e").alias("enum_csv"))
+    is_digital = ck % 5 == 0
+    f866_p = F.when(
+        ~is_digital & (ck % 3 == 0),
+        F.concat(
+            L('{"marcTag":"866","subfields":['),
+            sub("a", F.concat(L("Vol. 1-"), cks)),
+            F.when(ck % 6 == 0, F.concat(L(","), sub("z", F.concat(L("Gaps "), cks)))).otherwise(L("")),
+            L("]}"),
+        ),
+    )
+    f949_p = F.when(
+        ~is_digital & (ck % 2 == 0),
+        F.concat(
+            L('{"marcTag":"949","subfields":['),
+            sub("a", F.concat(L(" /MED"), cks, L(" "))),
+            L("]}"),
+        ),
+    )
+    url = F.concat(L("https://ex.org/"), cks)
+
+    def f856_p(z):
+        return F.concat(
+            L('{"marcTag":"856","subfields":['),
+            sub("u", url),
+            F.when(z.isNotNull(), F.concat(L(","), sub("z", z))).otherwise(L("")),
+            L("]}"),
+        )
+
+    ff40 = F.when(is_digital, L("elro ")).otherwise(
+        F.when(ck % 4 == 0, L("stax "))
+        .when(ck % 4 == 1, L("hgser"))
+        .when(ck % 4 == 2, L("acqi "))
+    )
+    flags = F.concat(
+        L('"deleted":'), F.when(ck % 11 == 0, L("true")).otherwise(L("false")),
+        L(',"suppressed":'), F.when(ck % 13 == 0, L("true")).otherwise(L("false")),
+    )
+
+    def content(rid, extra856):
+        vf = F.concat(
+            L("["), F.concat_ws(",", human_p, extra856, f866_p, f949_p, caps_p), L("]")
+        )
+        ff = F.when(
+            ff40.isNotNull(),
+            F.concat(L('{"40":{"value":"'), ff40, L('"}}')),
+        ).otherwise(L("{}"))
+        return F.concat(
+            L('{"id":"'), rid, L('",'), flags,
+            L(',"fixedFields":'), ff, L(',"varFields":'), vf, L("}"),
+        )
+
+    base = spark.read.parquet(_t(sf_dir, "customer")).filter((ck > 0) & (ck <= 300))
+    bib = F.concat(L("hb"), cks)
+    physical = base.filter(~is_digital).select(
+        F.concat(L("h"), cks).alias("holdings_id"),
+        bib.alias("bib_id"),
+        content((ck + 1000000).cast("string"), F.lit(None).cast("string")).alias("content"),
+    )
+    z_a = F.when(ck % 10 == 0, L("Access site A")).otherwise(L("View resource"))
+    z_b = F.when(ck % 10 == 0, L("Access site B")).cast("string")
+    digital = base.filter(is_digital).select(
+        bib.alias("bib_id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.concat(L("ha"), cks).alias("holdings_id"),
+                    content((ck + 1000000).cast("string"), f856_p(z_a)).alias("content"),
+                ),
+                F.struct(
+                    F.concat(L("hb"), cks).alias("holdings_id"),
+                    content((ck + 2000000).cast("string"), f856_p(z_b)).alias("content"),
+                ),
+            )
+        ).alias("r"),
+    ).select("r.holdings_id", "bib_id", "r.content")
+    records = physical.unionByName(digital)
+    out = sierra_holdings(records)
+    return out.select(
+        "bib_id",
+        "kind",
+        F.coalesce("note", F.lit("")).alias("note"),
+        F.concat_ws("~", "enumeration").alias("enum_csv"),
+        F.coalesce("loc_type", F.lit("")).alias("loc_type"),
+        F.coalesce("loc_label", F.lit("")).alias("loc_label"),
+        F.coalesce("shelfmark", F.lit("")).alias("shelfmark"),
+        F.coalesce("url", F.lit("")).alias("url"),
+        F.coalesce("link_text", F.lit("")).alias("link_text"),
+    )
 
 
 def _q71_sierra_concepts(spark, sf_dir):
@@ -2841,8 +3225,56 @@ def _q72_sierra_fields(spark, sf_dir):
     dur_bad = vfs("306", [("a", L("bad99"))])
     maybe = lambda cond, field: F.when(cond, field)  # noqa: E731
     is_odd = ck % 2 == 1
+    # collection-path scenarios (MarcCollectionPath): leaf / leaf+$g /
+    # root / branch / self-referential host, keyed off ck%11 subvariants
+    cp = (ck / 11).cast("long") % 5
+    has_cp = ck % 11 == 0
+    f001 = vfs("001", content=sid)
+    host_w = F.when(cp == 4, sid).otherwise(F.concat(L("p"), cks))
+    f773 = vfs(
+        "773",
+        [("w", host_w)]
+        + [("g", F.concat(L("Vol. "), cks, L(".")))],
+    )
+    f773_nog = vfs("773", [("w", host_w)])
+    f774 = vfs("774", [("t", L("A constituent")), ("w", L("whatever"))])
+    # 856 electronic-resource scenarios: bare URL (sometimes related),
+    # CTA link text, long title label, repeated $u, non-URL $u
+    er = (ck / 2).cast("long") % 5
+    f856 = (
+        F.when(
+            (er == 0) & (ck % 4 == 1),
+            vfs("856", [("u", F.concat(L("https://example.org/"), cks))], ind2="2"),
+        )
+        .when(
+            er == 0,
+            vfs("856", [("u", F.concat(L("https://example.org/"), cks))]),
+        )
+        .when(
+            er == 1,
+            vfs("856", [("u", F.concat(L("https://example.org/"), cks)),
+                        ("z", L("view resource."))]),
+        )
+        .when(
+            er == 2,
+            vfs("856", [("u", F.concat(L("https://example.org/"), cks)),
+                        ("y", L("An exceptionally verbose label that names the resource"))]),
+        )
+        .when(
+            er == 3,
+            vfs("856", [("u", F.concat(L("https://example.org/"), cks)),
+                        ("u", L("https://example.org/other"))]),
+        )
+        .otherwise(vfs("856", [("u", L("search for 'online journals'"))]))
+    )
     fields = F.filter(
         F.array(
+            f001,
+            maybe(has_cp & cp.isin(0, 4), f773_nog),
+            maybe(has_cp & (cp == 1), f773),
+            maybe(has_cp & (cp == 3), f773_nog),
+            maybe(has_cp & cp.isin(2, 3), f774),
+            maybe(is_odd, f856),
             maybe(ck % 2 == 0, f655),
             vfs("500", [("a", F.concat(L("Note "), cks, L(".")))]),
             maybe(ck % 3 == 0, vfs("535", [("a", F.concat(L("Dup "), cks))], ind1="2")),
@@ -2879,13 +3311,41 @@ def _q72_sierra_fields(spark, sf_dir):
         .select(sid.alias("id"), F.to_json(doc).alias("content"))
     )
     out = transform_sierra_fields(bibs)
-    return out.select(
+    # round-4 families over the same generated bibs: 773/774 collection
+    # paths and 856 electronic resources (plans/sierra_extras.py)
+    from catalogue_pipeline_spark.plans.sierra_extras import (
+        collection_path_expr,
+        electronic_resources_expr,
+    )
+    from catalogue_pipeline_spark.plans.sierra_transform import SIERRA_BIB_SCHEMA
+
+    b2 = F.from_json("content", SIERRA_BIB_SCHEMA)
+    extras = bibs.select(
+        F.col("id").alias("sierra_id"),
+        F.coalesce(collection_path_expr(b2), F.lit("")).alias("collection_path"),
+        F.array_join(
+            F.transform(
+                electronic_resources_expr(b2.getField("varFields")),
+                lambda r: F.concat_ws(
+                    "^",
+                    r.getField("url"),
+                    F.coalesce(r.getField("title"), F.lit("")),
+                    F.coalesce(r.getField("link_text"), F.lit("")),
+                    r.getField("relationship"),
+                ),
+            ),
+            "~",
+        ).alias("eresources_csv"),
+    )
+    return out.join(extras, "sierra_id").select(
         "sierra_id",
         F.array_join("genres_ser", "&&").alias("genres_csv"),
         F.array_join("notes_ser", "&&").alias("notes_csv"),
         F.array_join("languages_ser", "&&").alias("langs_csv"),
         F.array_join("production_ser", "&&").alias("prod_csv"),
         "duration_seconds",
+        "collection_path",
+        "eresources_csv",
     )
 
 
@@ -4150,12 +4610,113 @@ def oracle_sql() -> dict[str, str]:
           FROM capped c JOIN rel r USING (work_id)
           WHERE c.concept_id <> r.related_id
           GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        ),
+        -- round-4 source-concept graph families (generated property graph)
+        b30 AS (SELECT ck - 1 AS k FROM w WHERE ck <= 30),
+        hs AS (
+          SELECT 'C' || CAST(k AS VARCHAR) AS concept_id,
+                 'ls' || CAST(k AS VARCHAR) AS source_id FROM b30
+          UNION ALL
+          SELECT 'D' || CAST(k AS VARCHAR), 'sa' || CAST(k AS VARCHAR)
+          FROM b30 WHERE k % 6 = 0
+        ),
+        sag AS (
+          SELECT 'ls' || CAST(k AS VARCHAR) AS src,
+                 'sa' || CAST(k AS VARCHAR) AS dst FROM b30 WHERE k % 2 = 0
+          UNION ALL
+          SELECT 'sa' || CAST(k AS VARCHAR), 'sb' || CAST(k AS VARCHAR)
+          FROM b30 WHERE k % 4 = 0
+        ),
+        nodes AS (SELECT src AS n FROM sag UNION SELECT dst FROM sag),
+        cl AS (
+          SELECT n AS src, n AS dst FROM nodes
+          UNION SELECT src, dst FROM sag
+          UNION SELECT a.src, b.dst FROM sag a JOIN sag b ON a.dst = b.src
+        ),
+        ge AS (
+          SELECT 'sa' || CAST(k AS VARCHAR) AS src,
+                 'ls' || CAST((k + 2) % 30 AS VARCHAR) AS dst,
+                 'RELATED_TO' AS rel_type FROM b30 WHERE k % 2 = 0
+          UNION ALL
+          SELECT 'sb' || CAST(k AS VARCHAR),
+                 'ls' || CAST((k + 4) % 30 AS VARCHAR), 'RELATED_TO'
+          FROM b30 WHERE k % 4 = 0
+          UNION ALL
+          SELECT 'ls' || CAST(k AS VARCHAR), 'sa' || CAST(k AS VARCHAR),
+                 'RELATED_TO'
+          FROM b30 WHERE k % 8 = 0
+        ),
+        hc AS (
+          SELECT 'W' || CAST(ck AS VARCHAR) AS work_id,
+                 'C' || CAST(ck % 30 AS VARCHAR) AS concept_id,
+                 CASE WHEN ck % 3 = 0 THEN 'Person' ELSE 'Concept' END AS rtype
+          FROM w
+          UNION ALL
+          SELECT 'W' || CAST(ck AS VARCHAR),
+                 'D' || CAST(6 * (ck % 5) AS VARCHAR), 'Agent'
+          FROM w WHERE ck % 3 = 0
+        ),
+        srcs AS (
+          SELECT DISTINCT h.concept_id, h.source_id AS linked,
+                 COALESCE(c.dst, h.source_id) AS source
+          FROM hs h LEFT JOIN cl c ON c.src = h.source_id
+        ),
+        hits AS (
+          SELECT DISTINCT s.concept_id, r.dst AS lrel, r.rel_type
+          FROM srcs s JOIN ge r ON r.src = s.source
+          WHERE NOT EXISTS (
+            SELECT 1 FROM cl c WHERE c.src = s.linked AND c.dst = r.dst
+          )
+        ),
+        rcl AS (
+          SELECT DISTINCT h.concept_id, h.lrel, h.rel_type,
+                 COALESCE(c.dst, h.lrel) AS rsrc
+          FROM hits h LEFT JOIN cl c ON c.src = h.lrel
+        ),
+        cnts AS (SELECT concept_id AS rconcept, COUNT(*) AS n FROM hc GROUP BY 1),
+        pt AS (
+          SELECT r.concept_id, r.rel_type, r.lrel,
+                 MIN(b.concept_id) AS related_id, SUM(COALESCE(c2.n, 0)) AS wc
+          FROM rcl r
+          JOIN hs b ON b.source_id = r.rsrc
+          LEFT JOIN cnts c2 ON c2.rconcept = b.concept_id
+          GROUP BY 1, 2, 3
+        ),
+        pr AS (
+          SELECT concept_id, rel_type, related_id, SUM(wc) AS wc
+          FROM pt GROUP BY 1, 2, 3
+        ),
+        graphfam AS (
+          SELECT 'graph' AS family, concept_id, related_id, rel_type,
+                 CAST(wc AS BIGINT) AS shared_works,
+                 CAST(row_number() OVER (
+                   PARTITION BY concept_id ORDER BY wc DESC, related_id
+                 ) AS BIGINT) AS rank
+          FROM pr QUALIFY rank <= 5
+        ),
+        samefam AS (
+          SELECT DISTINCT 'same_as' AS family, s.concept_id,
+                 h2.concept_id AS related_id, '' AS rel_type,
+                 CAST(0 AS BIGINT) AS shared_works, CAST(0 AS BIGINT) AS rank
+          FROM srcs s JOIN hs h2 ON h2.source_id = s.source
+          WHERE h2.concept_id <> s.concept_id
+        ),
+        typesfam AS (
+          SELECT 'types' AS family, concept_id,
+                 array_to_string(list_sort(list(DISTINCT rtype)), '+') AS related_id,
+                 '' AS rel_type, CAST(0 AS BIGINT) AS shared_works,
+                 CAST(0 AS BIGINT) AS rank
+          FROM hc GROUP BY concept_id
         )
-        SELECT concept_id, related_id, CAST(shared_works AS BIGINT) AS shared_works,
+        SELECT 'cooccur' AS family, concept_id, related_id, '' AS rel_type,
+               CAST(shared_works AS BIGINT) AS shared_works,
                CAST(row_number() OVER (
                  PARTITION BY concept_id
-                 ORDER BY shared_works DESC, related_id) AS INT) AS rank
+                 ORDER BY shared_works DESC, related_id) AS BIGINT) AS rank
         FROM cnt QUALIFY rank <= 5
+        UNION ALL SELECT * FROM graphfam
+        UNION ALL SELECT * FROM samefam
+        UNION ALL SELECT * FROM typesfam
     """
     # q63: full SQL rebuild of the palette pipeline — md5 pixels, integer
     # binning (min(floor(v*10/255), 9)), L2-normalized sparse histogram,
@@ -4278,6 +4839,30 @@ def oracle_sql() -> dict[str, str]:
               ELSE 'NotRequestable||This item cannot be requested online. Please contact <a href="mailto:library@wellcomecollection.org">library@wellcomecollection.org</a> for more information.'
             END AS access_str
           FROM acc
+        ), shlf AS (
+          -- SierraShelfmark: bib material type 'h' (bibnum%10=7) hides all
+          -- shelfmarks; visual bibs (bibnum%10=3, 001 = (1000+bibnum)i)
+          -- keep only '.'-extensions of the i-number; raw 949 values by
+          -- the same modulo recipe the Spark side generates
+          SELECT ck,
+                 CASE WHEN ck % 9 = 0
+                        THEN CAST(1000 + ck % 60 AS VARCHAR) || 'i.' || CAST(ck AS VARCHAR)
+                      WHEN ck % 15 = 0 AND ck % 3 = 0
+                        THEN CAST(1000 + ck % 60 AS VARCHAR) || 'i'
+                      WHEN ck % 3 = 0 THEN 'S' || CAST(ck AS VARCHAR)
+                 END AS raw,
+                 (ck % 60) % 10 = 7 AS mat_h,
+                 CASE WHEN (ck % 60) % 10 = 3
+                      THEN CAST(1000 + ck % 60 AS VARCHAR) || 'i' END AS icono
+          FROM m
+        ), shlf2 AS (
+          SELECT ck,
+                 CASE WHEN mat_h THEN NULL
+                      WHEN icono IS NOT NULL THEN
+                        CASE WHEN raw LIKE icono || '.%' AND raw <> icono || '.'
+                             THEN raw END
+                      ELSE raw END AS shelf
+          FROM shlf
         ), fin AS (
           SELECT l.bib,
                  l.sid || '|i' || l.sid
@@ -4287,13 +4872,52 @@ def oracle_sql() -> dict[str, str]:
                    || '|' || COALESCE(l.rt, '')
                    || '|' || COALESCE(l.rl, '')
                    || '|' || l.access_str || '|'
+                   || '|' || COALESCE(s.shelf, '')
                  AS item_str
           FROM acc2 l
           JOIN tidy t ON t.bib = l.bib
+          JOIN shlf2 s ON s.ck = l.ck
+        ), allbibs AS (
+          SELECT 'b' || CAST(c_custkey - 1 AS VARCHAR) AS bib,
+                 c_custkey - 1 AS bn
+          FROM customer WHERE c_custkey > 0 AND c_custkey <= 90
+        ), ords AS (
+          -- SierraItemsOnOrder on the item-less bibs b60..b89: live orders
+          -- sorted by order number, labels deduped first-occurrence; CAT
+          -- DATE bibs (bn%4=1) and bibs with items yield nothing
+          SELECT 'b' || CAST(c_custkey % 30 + 60 AS VARCHAR) AS bib,
+                 CAST(c_custkey + 7000000 AS VARCHAR) AS osid,
+                 CASE c_custkey % 5
+                   WHEN 0 THEN 'Ordered for Wellcome Collection on 1 January 2001'
+                   WHEN 1 THEN 'Ordered for Wellcome Collection'
+                   WHEN 2 THEN 'Awaiting cataloguing for Wellcome Collection'
+                   WHEN 4 THEN 'Ordered for Wellcome Collection on 31 December 1999'
+                 END AS label
+          FROM customer
+          WHERE c_custkey > 0 AND c_custkey <= 300 AND c_custkey % 4 = 0
+            AND c_custkey % 20 <> 0
+        ), ord_dedup AS (
+          SELECT bib, label, MIN(osid) AS first_sid
+          FROM ords WHERE label IS NOT NULL GROUP BY bib, label
+        ), ord_csv AS (
+          SELECT b.bib,
+                 CASE WHEN b.bn >= 60 AND b.bn % 4 <> 1 THEN
+                   COALESCE(array_to_string(
+                     list(d.label ORDER BY d.first_sid), '~'), '')
+                 ELSE '' END AS orders_csv
+          FROM allbibs b
+          LEFT JOIN ord_dedup d ON d.bib = b.bib
+          GROUP BY b.bib, b.bn
         )
-        SELECT bib AS bib_id,
-               array_to_string(list_sort(list(item_str)), '~') AS items_csv
-        FROM fin GROUP BY bib
+        SELECT b.bib AS bib_id,
+               COALESCE(i.items_csv, '') AS items_csv,
+               o.orders_csv
+        FROM allbibs b
+        JOIN ord_csv o ON o.bib = b.bib
+        LEFT JOIN (
+          SELECT bib, array_to_string(list_sort(list(item_str)), '~') AS items_csv
+          FROM fin GROUP BY bib
+        ) i ON i.bib = b.bib
     """
     # q65: closed-form CALM expectation (suppression, error precedence,
     # level table, tag-strip normalization, validated merge candidates,
@@ -4440,7 +5064,37 @@ def oracle_sql() -> dict[str, str]:
                  'sierra-system-number:b123' || lpad(cks, 4, '0') || cd
                ELSE '' END AS ids_csv,
                CASE WHEN vis AND ck % 6 = 0 THEN '1889-01-01' END AS created_from,
-               CASE WHEN vis AND ck % 6 = 0 THEN '1889-12-31' END AS created_to
+               CASE WHEN vis AND ck % 6 = 0 THEN '1889-12-31' END AS created_to,
+               'https://iiif.wellcomecollection.org/image/' || mid
+                 || '/full/300,/0/default.jpg' AS thumbnail_url,
+               CASE ck % 8 WHEN 0 THEN 'cc-0' WHEN 1 THEN 'cc-by'
+                           WHEN 2 THEN 'cc-by-nc' WHEN 3 THEN 'pdm'
+                           WHEN 4 THEN 'inc' WHEN 7 THEN 'cc-by-nc'
+                           ELSE '' END AS license_id,
+               CASE WHEN ck % 8 = 5
+                    THEN 'image_use_restrictions = ''Do not use''' ELSE ''
+               END AS loc_suppress,
+               CASE WHEN ck % 8 = 6
+                    THEN 'Nothing in the image_use_restrictions field' ELSE ''
+               END AS loc_error,
+               CASE WHEN ck % 5 = 1 THEN 'Wellcome Collection'
+                    WHEN ck % 5 = 2 THEN 'Science Museum, London'
+                    WHEN ck % 5 = 3
+                    THEN 'Aamir Ahmed, Jane Pendjiky and Michael Millar'
+                    ELSE '' END AS credit,
+               concat_ws('&&',
+                 CASE WHEN ck % 6 = 0
+                      THEN 'Agent~Creator ' || cks
+                           || '~label-derived=creator ' || cks END,
+                 CASE WHEN ck % 12 = 0
+                      THEN 'Agent~Second ' || cks
+                           || '~label-derived=second ' || cks END,
+                 CASE WHEN ck % 5 = 2
+                      THEN 'Agent~Science Museum, London~label-derived=science museum, london'
+                      WHEN ck % 5 = 3
+                      THEN 'Agent~Aamir Ahmed, Jane Pendjiky and Michael Millar~label-derived=aamir ahmed, jane pendjiky and michael millar'
+                 END
+               ) AS contrib_csv
         FROM e
     """
     # q67: closed-form METS expectation (invisible works, licence/status
@@ -4602,12 +5256,50 @@ def oracle_sql() -> dict[str, str]:
                  END AS cap1
           FROM d
         )
-        SELECT 'h' || cks AS id,
-               CASE WHEN human THEN 'Desc ' || cks || '~' ELSE '' END
-               || cap1
-               || CASE WHEN second THEN '~v.9:no.9 (2001)' ELSE '' END
-               AS enum_csv
-        FROM e
+        , f AS (
+          SELECT *,
+            ck % 5 = 0 AS dig,
+            NOT (ck % 11 = 0 OR ck % 13 = 0) AS alive,
+            ck % 9 <> 0 AS has_caps,
+            CASE WHEN ck % 5 <> 0 AND ck % 3 = 0 THEN 'Vol. 1-' || cks END AS descr,
+            CASE WHEN ck % 5 <> 0 AND ck % 6 = 0 THEN 'Gaps ' || cks END AS note,
+            -- the shelfmark lives inside the location: unresolvable
+            -- location type => no location => no shelfmark
+            CASE WHEN ck % 5 <> 0 AND ck % 2 = 0 AND ck % 4 IN (0, 1)
+                 THEN '/MED' || cks END AS shelf,
+            CASE WHEN ck % 5 <> 0 AND ck % 4 IN (0, 1)
+                 THEN 'ClosedStores' END AS ltype
+          FROM e
+        ), g2 AS (
+          SELECT *,
+            concat_ws('~',
+              descr,
+              CASE WHEN human THEN 'Desc ' || cks END,
+              CASE WHEN has_caps THEN cap1 END,
+              CASE WHEN has_caps AND second THEN 'v.9:no.9 (2001)' END
+            ) AS enum_phys,
+            concat_ws('~',
+              CASE WHEN human THEN 'Desc ' || cks END,
+              CASE WHEN has_caps THEN cap1 END,
+              CASE WHEN has_caps AND second THEN 'v.9:no.9 (2001)' END
+            ) AS enum_dig
+          FROM f
+        )
+        SELECT 'hb' || cks AS bib_id, 'physical' AS kind,
+               COALESCE(note, '') AS note,
+               enum_phys AS enum_csv,
+               COALESCE(ltype, '') AS loc_type,
+               CASE WHEN ltype IS NOT NULL THEN 'Closed stores' ELSE '' END AS loc_label,
+               COALESCE(shelf, '') AS shelfmark,
+               '' AS url, '' AS link_text
+        FROM g2
+        WHERE NOT dig AND alive AND (note IS NOT NULL OR enum_phys <> '')
+        UNION ALL
+        SELECT 'hb' || cks, 'digital', '', enum_dig, '', '', '',
+               'https://ex.org/' || cks,
+               CASE WHEN ck % 10 = 0 THEN v.lt ELSE 'View resource' END
+        FROM g2, (VALUES ('Access site A'), ('Access site B')) AS v(lt)
+        WHERE dig AND alive AND (ck % 10 = 0 OR v.lt = 'Access site A')
     """
     sql["q56_schema_evolution"] = """
         SELECT c_custkey AS offset,
@@ -4787,7 +5479,26 @@ def oracle_sql() -> dict[str, str]:
                  || '|Pub ' || cks || '|2001'
           END AS prod_csv,
           CASE WHEN ck % 3 = 0
-               THEN CAST((ck % 24) * 3600 + 1815 AS INTEGER) END AS duration_seconds
+               THEN CAST((ck % 24) * 3600 + 1815 AS INTEGER) END AS duration_seconds,
+          -- MarcCollectionPath: leaf / leaf+$g / root / branch / self-ref
+          CASE WHEN ck % 11 <> 0 THEN ''
+               WHEN (ck // 11) % 5 = 0 THEN 'p' || cks || '/' || sid
+               WHEN (ck // 11) % 5 = 1
+                 THEN 'p' || cks || '/Vol_' || cks || '_' || sid
+               WHEN (ck // 11) % 5 = 2 THEN sid
+               WHEN (ck // 11) % 5 = 3 THEN 'p' || cks || '/' || sid
+               ELSE '' END AS collection_path,
+          -- MarcElectronicResources over the generated 856 variants
+          CASE WHEN ck % 2 = 0 THEN ''
+               WHEN (ck // 2) % 5 = 0 THEN
+                 'https://example.org/' || cks || '^^^'
+                 || CASE WHEN ck % 4 = 1 THEN 'RelatedResource' ELSE 'Resource' END
+               WHEN (ck // 2) % 5 = 1 THEN
+                 'https://example.org/' || cks || '^^View resource^Resource'
+               WHEN (ck // 2) % 5 = 2 THEN
+                 'https://example.org/' || cks
+                 || '^An exceptionally verbose label that names the resource^^Resource'
+               ELSE '' END AS eresources_csv
         FROM g
     """
     # q73: the full transform→match→merge→mint chain in closed form — the

@@ -69,6 +69,12 @@ MIRO_SCHEMA = T.StructType(
         T.StructField("image_lc_genre", T.StringType()),
         T.StructField("image_innopac_id", T.StringType()),
         T.StructField("image_artwork_date", T.StringType()),
+        # location / licence / contributor inputs (round 4)
+        T.StructField("image_use_restrictions", T.StringType()),
+        T.StructField("image_credit_line", T.StringType()),
+        T.StructField("image_source_code", T.StringType()),
+        T.StructField("image_creator", T.ArrayType(T.StringType())),
+        T.StructField("image_secondary_creator", T.ArrayType(T.StringType())),
     ]
 )
 
@@ -233,4 +239,230 @@ def with_created_period(works: DataFrame) -> DataFrame:
         out.withColumn("created_from", F.col("_p.from_date").cast("string"))
         .withColumn("created_to", F.col("_p.to_date").cast("string"))
         .drop("_p")
+    )
+
+
+# ----------------------------------- locations / licences / contributors
+
+# MiroLicenses.scala:35-72 — use-restriction string → licence id; two
+# strings suppress the record, an absent value is a data error
+_LICENSE_IDS = {
+    "CC-0": "cc-0",
+    "CC-BY": "cc-by",
+    "CC-BY-NC": "cc-by-nc",
+    "CC-BY-NC-ND": "cc-by-nc-nd",
+    "PDM": "pdm",
+    "In copyright": "inc",
+    "Academics": "cc-by-nc",  # mapping defined in the drop-downs document
+}
+_SUPPRESS_RESTRICTIONS = ["Do not use", "Image withdrawn, see notes"]
+
+# MiroContributorCredit.scala:29-82 — literal tidy-up table, order
+# preserved (the reference uses String.replaceAll; every pattern is a
+# literal, so plain replace is equivalent and regex-safe)
+_CREDIT_FIXES = [
+    ("Adrian Wressell, Heart of England NHSFT",
+     "Adrian Wressell, Heart of England NHS FT"),
+    ("Andrew Dilley,Jane Greening & Bruce Lynn",
+     "Andrew Dilley, Jane Greening & Bruce Lynn"),
+    ("Andrew Dilley,Nicola DeLeon & Bruce Lynn",
+     "Andrew Dilley, Nicola De Leon & Bruce Lynn"),
+    ("Ashley Prytherch, Royal Surrey County Hospital NHS Foundation Trust",
+     "Ashley Prytherch, Royal Surrey County Hospital NHS FT"),
+    ("David Gregory & Debbie Marshall", "David Gregory and Debbie Marshall"),
+    ("David Gregory&Debbie Marshall", "David Gregory and Debbie Marshall"),
+    ("Geraldine Thompson.", "Geraldine Thompson"),
+    ("John & Penny Hubley.", "John & Penny Hubley"),
+    ("oyal Army Medical Corps Muniment Collection, Wellcome Images",
+     "Royal Army Medical Corps Muniment Collection, Wellcome Collection"),
+    ("Science Museum London", "Science Museum, London"),
+    ("The Wellcome Library, London", "Wellcome Collection"),
+    ("Wellcome Library, London", "Wellcome Collection"),
+    ("Wellcome Libary, London", "Wellcome Collection"),
+    ("Wellcome LIbrary, London", "Wellcome Collection"),
+    ("Wellcome Images", "Wellcome Collection"),
+    ("The Wellcome Library", "Wellcome Collection"),
+    ("Wellcome Library", "Wellcome Collection"),
+    ("Wellcome Collection London", "Wellcome Collection"),
+    ("Wellcome Collection, Londn", "Wellcome Collection"),
+    ("Wellcome Trust", "Wellcome Collection"),
+    ("'Wellcome Collection'", "Wellcome Collection"),
+]
+
+# A representative slice of miro_contributor_map.json /
+# miro_individual_record_contributor_map.json (DATA resources, ~1000
+# rows; a deployment loads the full JSON with spark.read.json into the
+# same lookup).  The rule logic is independent of the table contents.
+CONTRIBUTOR_CREDITS = {
+    "AAL": "Wellcome Collection",
+    "AAM": "Aamir Ahmed, Jane Pendjiky and Michael Millar",
+    "AAW": "Alfred Anwander, MPI-CBS",
+    "ABA": "Asuncion Bassas-Mujtaba",
+    "ABU": "Wellcome Collection",
+    "CSC": "Wellcome Trust Centre for Stem Cell Research",
+    "GUS": "Karen Gustafson",
+}
+PER_RECORD_CREDITS = {
+    "B0006507": {"CSC": "Jenny Nichols, Wellcome Trust Centre for Stem Cell Research"},
+    "B0006714": {"CSC": "Jose Silva, Wellcome Trust Centre for Stem Cell Research"},
+    "B0007831": {"CHC": "Dr Stephen McQuaid & Stewart Church / QUB"},
+}
+# MiroContributorCodes.scala:160-180 — nine GUS records removed by request
+_GUS_SUPPRESSED = [
+    "B0009891", "B0009897", "B0009886", "B0009893", "B0009887",
+    "B0009895", "B0009884", "B0009890", "B0009888",
+]
+
+_IIIF_BASE = "https://iiif.wellcomecollection.org"
+
+
+def _map_lit(d: dict[str, str]) -> Column:
+    pairs = []
+    for k, v in sorted(d.items()):
+        pairs += [F.lit(k), F.lit(v)]
+    return F.create_map(*pairs)
+
+
+def choose_license(use_restrictions: Column) -> Column:
+    """struct<license_id, suppress_reason, error_reason> — exactly one of
+    the three is non-null (MiroLicenses.scala:35-72; the reference throws
+    ShouldSuppressException / ShouldNotTransformException, re-expressed as
+    outcome columns the caller folds into work status)."""
+    lid = F.try_element_at(_map_lit(_LICENSE_IDS), use_restrictions)
+    return (
+        F.when(
+            use_restrictions.isNull(),
+            F.struct(
+                F.lit(None).cast("string").alias("license_id"),
+                F.lit(None).cast("string").alias("suppress_reason"),
+                F.lit("Nothing in the image_use_restrictions field").alias("error_reason"),
+            ),
+        )
+        .when(
+            use_restrictions.isin(*_SUPPRESS_RESTRICTIONS),
+            F.struct(
+                F.lit(None).cast("string").alias("license_id"),
+                F.concat(
+                    F.lit("image_use_restrictions = '"), use_restrictions, F.lit("'")
+                ).alias("suppress_reason"),
+                F.lit(None).cast("string").alias("error_reason"),
+            ),
+        )
+        .when(
+            lid.isNotNull(),
+            F.struct(
+                lid.alias("license_id"),
+                F.lit(None).cast("string").alias("suppress_reason"),
+                F.lit(None).cast("string").alias("error_reason"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.lit(None).cast("string").alias("license_id"),
+                F.lit(None).cast("string").alias("suppress_reason"),
+                F.concat(
+                    F.lit("Unrecognised image_use_restrictions: "), use_restrictions
+                ).alias("error_reason"),
+            )
+        )
+    )
+
+
+def credit_expr(miro_id: Column, credit_line: Column, source_code: Column) -> Column:
+    """struct<credit, suppress_reason> — the image credit line with the
+    tidy-up table applied, else the contributor-code lookup (upper-cased,
+    per-record overrides, GUS denylist) (MiroContributorCredit.scala:29-89,
+    MiroContributorCodes.scala:150-190)."""
+    fixed = credit_line
+    for src, dst in _CREDIT_FIXES:
+        fixed = F.replace(fixed, F.lit(src), F.lit(dst))
+    code = F.upper(source_code)
+    gus_hit = (code == "GUS") & miro_id.isin(*_GUS_SUPPRESSED)
+    per_rec = F.create_map(
+        *[
+            x
+            for mid, m in sorted(PER_RECORD_CREDITS.items())
+            for x in (F.lit(mid), _map_lit(m))
+        ]
+    )
+    looked_up = F.coalesce(
+        F.try_element_at(_map_lit(CONTRIBUTOR_CREDITS), code),
+        F.try_element_at(F.try_element_at(per_rec, miro_id), code),
+    )
+    return (
+        F.when(
+            credit_line.isNotNull(),
+            F.struct(fixed.alias("credit"), F.lit(None).cast("string").alias("suppress_reason")),
+        )
+        .when(
+            source_code.isNotNull() & gus_hit,
+            F.struct(
+                F.lit(None).cast("string").alias("credit"),
+                F.lit("we do not expose image_source_code = GUS").alias("suppress_reason"),
+            ),
+        )
+        .when(
+            source_code.isNotNull(),
+            F.struct(looked_up.alias("credit"), F.lit(None).cast("string").alias("suppress_reason")),
+        )
+        .otherwise(
+            F.struct(
+                F.lit(None).cast("string").alias("credit"),
+                F.lit(None).cast("string").alias("suppress_reason"),
+            )
+        )
+    )
+
+
+def miro_locations(records: DataFrame) -> DataFrame:
+    """The MiroLocation / MiroThumbnail / MiroContributors slice:
+    records(id, content) → one row per image with the IIIF info.json
+    digital location, the 300-wide thumbnail URL, the chosen licence, the
+    tidied credit line and the contributor list (creator ++ secondary
+    creator ++ non-Wellcome credit, each an Agent with a label-derived
+    id — MiroLocation.scala:9-49, MiroThumbnail.scala:8-24,
+    MiroContributors.scala:11-47).  Pure narrow map, zero shuffles."""
+    from .sierra_concepts import label_derived_value
+
+    parsed = records.select(
+        "id", F.from_json("content", MIRO_SCHEMA).alias("m")
+    )
+    m = F.col("m")
+    lic = choose_license(m.getField("image_use_restrictions"))
+    cred = credit_expr(
+        F.col("id"),
+        m.getField("image_credit_line"),
+        m.getField("image_source_code"),
+    )
+    credit = cred.getField("credit")
+    arr = lambda c: F.coalesce(c, F.array().cast("array<string>"))  # noqa: E731
+    labels = F.concat(
+        F.filter(arr(m.getField("image_creator")), lambda x: x.isNotNull()),
+        arr(m.getField("image_secondary_creator")),
+        F.filter(
+            F.array(F.when(credit != "Wellcome Collection", credit)),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    contributors = F.transform(
+        labels,
+        lambda lab: F.concat_ws(
+            "~", F.lit("Agent"), lab, F.concat(F.lit("label-derived="), label_derived_value(lab))
+        ),
+    )
+    return parsed.select(
+        "id",
+        F.concat(F.lit(_IIIF_BASE + "/image/"), F.col("id"), F.lit("/info.json")).alias(
+            "location_url"
+        ),
+        F.concat(
+            F.lit(_IIIF_BASE + "/image/"), F.col("id"), F.lit("/full/300,/0/default.jpg")
+        ).alias("thumbnail_url"),
+        lic.getField("license_id").alias("license_id"),
+        F.coalesce(
+            lic.getField("suppress_reason"), cred.getField("suppress_reason")
+        ).alias("suppress_reason"),
+        lic.getField("error_reason").alias("error_reason"),
+        credit.alias("credit"),
+        contributors.alias("contributors"),
     )

@@ -133,6 +133,20 @@ SIERRA_BIB_SCHEMA = T.StructType(
                 ]
             ),
         ),
+        # fixed fields (e.g. 28 = CAT DATE, consulted by SierraItemsOnOrder)
+        T.StructField(
+            "fixedFields",
+            T.MapType(
+                T.StringType(),
+                T.StructType(
+                    [
+                        T.StructField("label", T.StringType()),
+                        T.StructField("value", T.StringType()),
+                        T.StructField("display", T.StringType()),
+                    ]
+                ),
+            ),
+        ),
         T.StructField(
             "varFields",
             T.ArrayType(
@@ -916,6 +930,8 @@ def sierra_items(items: DataFrame) -> DataFrame:
     from .sierra_item_access import item_access
 
     acc = item_access(F.col("_item"), F.col("loc_type"))
+    from .sierra_extras import item_shelfmark_raw
+
     return rows.select(
         "bib_id",
         F.concat(
@@ -929,13 +945,27 @@ def sierra_items(items: DataFrame) -> DataFrame:
         acc.getField("status").alias("access_status"),
         acc.getField("note").alias("access_note"),
         acc.getField("item_note").alias("item_note"),
+        # raw 949 (fieldTag c) $a — resolved against the parent bib's
+        # material type / i-number by sierra_extras.sierra_items_with_bib
+        item_shelfmark_raw(F.col("_item").getField("varFields")).alias(
+            "shelfmark_raw"
+        ),
     )
 
 
-def items_per_bib(items: DataFrame) -> DataFrame:
+def items_per_bib(items: DataFrame, bibs: DataFrame | None = None) -> DataFrame:
     """sierra_items rolled up per bib, sorted by item sierra id (the
-    deterministic order SierraItems.scala:35-38 documents)."""
-    rows = sierra_items(items)
+    deterministic order SierraItems.scala:35-38 documents).  With ``bibs``
+    (id, content) the rollup strings also carry the bib-resolved shelfmark
+    (SierraShelfmark semantics, sierra_extras.sierra_items_with_bib)."""
+    if bibs is not None:
+        from .sierra_extras import sierra_items_with_bib
+
+        rows = sierra_items_with_bib(items, bibs)
+        shelf = [F.coalesce(F.col("shelfmark"), F.lit(""))]
+    else:
+        rows = sierra_items(items)
+        shelf = []
     return rows.groupBy("bib_id").agg(
         F.array_sort(
             F.collect_list(
@@ -950,6 +980,7 @@ def items_per_bib(items: DataFrame) -> DataFrame:
                     F.coalesce(F.col("access_status"), F.lit("")),
                     F.coalesce(F.col("access_note"), F.lit("")),
                     F.coalesce(F.col("item_note"), F.lit("")),
+                    *shelf,
                 )
             )
         ).alias("items")

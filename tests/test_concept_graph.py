@@ -1,0 +1,134 @@
+"""Concept-graph ingestor queries: bounded SAME_AS closure, source
+concepts, same-as concepts, concept types, related-source traversal.
+
+Scenario expectations derived from the openCypher in
+catalogue_graph/src/ingestor/queries/concept_queries.py.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from catalogue_pipeline_spark.plans.concept_graph import (
+    bounded_closure,
+    concept_types,
+    related_source_concepts,
+    same_as_concept_ids,
+    source_concepts,
+)
+
+
+def _edges(spark, pairs, schema="src string, dst string"):
+    return spark.createDataFrame(pairs, schema)
+
+
+def test_bounded_closure_hop_limit(spark):
+    # chain a→b→c→d: 2-hop closure reaches c from a but not d
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    got = {(r["src"], r["dst"]) for r in bounded_closure(e, 2).collect()}
+    assert ("a", "c") in got and ("a", "d") not in got
+    assert ("a", "a") in got  # 0-hop identity
+    # 4-hop closure reaches d
+    got4 = {(r["src"], r["dst"]) for r in bounded_closure(e, 4).collect()}
+    assert ("a", "d") in got4
+    with pytest.raises(ValueError):
+        bounded_closure(e, 3)
+
+
+def test_source_and_same_as_concepts(spark):
+    has_source = _edges(
+        spark,
+        [("c1", "ls1"), ("c2", "ls2"), ("c3", "sa1")],
+        "concept_id string, source_id string",
+    )
+    same_as = _edges(spark, [("ls1", "sa1"), ("ls2", "sa1")])
+    srcs = source_concepts(has_source, same_as, max_hops=8)
+    got = {(r["concept_id"], r["source_id"]) for r in srcs.collect()}
+    # c1's closure: ls1 (0-hop) + sa1 (1 hop)
+    assert {("c1", "ls1"), ("c1", "sa1"), ("c2", "ls2"), ("c2", "sa1"),
+            ("c3", "sa1")} <= got
+    # same-as concepts follow the DIRECTED closure, exactly as the Cypher
+    # (concept)-[:HAS_SOURCE_CONCEPT]->()-[:SAME_AS*0..8]->(source)
+    # <-[:HAS_SOURCE_CONCEPT]-(other): c1 and c2 reach sa1, whose only
+    # direct holder is c3 — so c1/c2 see c3 but NOT each other, and c3
+    # (whose closure is just {sa1}) sees nobody
+    sa = same_as_concept_ids(has_source, same_as)
+    pairs = {(r["concept_id"], r["same_as_concept_id"]) for r in sa.collect()}
+    assert pairs == {("c1", "c3"), ("c2", "c3")}
+
+
+def test_concept_types(spark):
+    hc = spark.createDataFrame(
+        [("w1", "c1", "Person", "contributors"), ("w2", "c1", "Agent", "contributors"),
+         ("w3", "c1", "Person", "subjects"), ("w1", "c2", "Place", "subjects")],
+        "work_id string, concept_id string, referenced_type string, field string",
+    )
+    got = {r["concept_id"]: r["types"] for r in concept_types(hc).collect()}
+    assert got["c1"] == ["Agent", "Person"]
+    assert got["c2"] == ["Place"]
+
+
+@pytest.fixture()
+def related_graph(spark):
+    # c1 → ls1, closure {ls1, sa1}; RELATED_TO: sa1 → ls2 (c2, 3 works)
+    # and sa1 → ls3 (c3, 1 work); exclusion: ls1 → sa1 edge must NOT make
+    # sa1 "related" (it's in c1's own closure)
+    has_source = _edges(
+        spark,
+        [("c1", "ls1"), ("c2", "ls2"), ("c3", "ls3"), ("c4", "sa2")],
+        "concept_id string, source_id string",
+    )
+    same_as = _edges(spark, [("ls1", "sa1"), ("ls2", "sa2")])
+    rel = spark.createDataFrame(
+        [("sa1", "ls2", "RELATED_TO"), ("sa1", "ls3", "RELATED_TO"),
+         ("ls1", "sa1", "RELATED_TO"), ("ls3", "ls1", "HAS_FIELD_OF_WORK")],
+        "src string, dst string, relationship_type string",
+    )
+    has_concept = spark.createDataFrame(
+        [("w1", "c2", "Concept", "subjects"), ("w2", "c2", "Concept", "subjects"),
+         ("w3", "c2", "Concept", "subjects"), ("w4", "c3", "Concept", "subjects"),
+         ("w5", "c4", "Concept", "subjects"), ("w6", "c1", "Concept", "subjects")],
+        "work_id string, concept_id string, referenced_type string, field string",
+    )
+    return has_source, same_as, rel, has_concept
+
+
+def test_related_source_concepts_from(spark, related_graph):
+    has_source, same_as, rel, has_concept = related_graph
+    out = related_source_concepts(
+        has_source, same_as, rel, has_concept,
+        edge_types=["RELATED_TO"], direction="from", limit=10,
+    ).collect()
+    rows = {(r["concept_id"], r["related_id"]): (r["work_count"], r["rank"])
+            for r in out}
+    # ls2's closure {ls2, sa2} maps back to c2 (3 works) AND c4 (1 work):
+    # head = min(c2, c4) = c2, count = 4; ls3 → c3 (1 work)
+    assert rows[("c1", "c2")] == (4, 1)
+    assert rows[("c1", "c3")] == (1, 2)
+    # sa1 (own closure) never appears as related
+    assert not any(k == ("c1", "c1") for k in rows)
+    assert len([k for k in rows if k[0] == "c1"]) == 2
+
+
+def test_related_source_concepts_to_and_ignored(spark, related_graph):
+    has_source, same_as, rel, has_concept = related_graph
+    # direction='to' over HAS_FIELD_OF_WORK: edge ls3→ls1 read backwards
+    # from c3's perspective... c1's closure {ls1,sa1} has incoming ls3→ls1
+    out = related_source_concepts(
+        has_source, same_as, rel, has_concept,
+        edge_types=["HAS_FIELD_OF_WORK"], direction="to", limit=10,
+    ).collect()
+    rows = {(r["concept_id"], r["related_id"]) for r in out}
+    assert ("c1", "c3") in rows
+    # the ignore list kills the traversal through that source id
+    out2 = related_source_concepts(
+        has_source, same_as, rel, has_concept,
+        edge_types=["RELATED_TO"], direction="from", limit=10,
+        ignored=["ls2"],
+    ).collect()
+    rows2 = {(r["concept_id"], r["related_id"]): r["work_count"] for r in out2}
+    # ls2 ignored: c2 still reachable? no — ls2 was the only path to c2's
+    # sources... sa2 remains via closure? ls2 ignored at target-closure
+    # stage too, but sa2 (ls2's SAME_AS target) was only reachable through
+    # ls2 which is dropped as linked_related — c4/c2 gone, c3 survives
+    assert ("c1", "c3") in rows2
+    assert not any(k[1] in ("c2", "c4") for k in rows2)

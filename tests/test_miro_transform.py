@@ -130,3 +130,98 @@ def test_created_period_only_for_v_collection(spark):
     assert out["V0000001"]["created_from"] == "1889-01-01"
     assert out["V0000001"]["created_to"] == "1889-12-31"
     assert out["L0000001"]["created_from"] is None
+
+
+# ------------------------- round-4: locations / licences / contributors
+
+
+def _locrow(spark, rec, mid="V0001234"):
+    import json as _json
+
+    from catalogue_pipeline_spark.plans.miro_transform import miro_locations
+
+    df = spark.createDataFrame(
+        [(mid, _json.dumps(rec))], "id string, content string"
+    )
+    return miro_locations(df).collect()[0].asDict()
+
+
+def test_miro_license_mapping(spark):
+    # MiroLicensesTest: direct string mappings
+    for s, lid in [("CC-0", "cc-0"), ("CC-BY", "cc-by"), ("CC-BY-NC", "cc-by-nc"),
+                   ("CC-BY-NC-ND", "cc-by-nc-nd"), ("PDM", "pdm"),
+                   ("In copyright", "inc"), ("Academics", "cc-by-nc")]:
+        out = _locrow(spark, {"image_use_restrictions": s})
+        assert out["license_id"] == lid and out["suppress_reason"] is None
+    # suppression strings
+    out = _locrow(spark, {"image_use_restrictions": "Do not use"})
+    assert out["suppress_reason"] == "image_use_restrictions = 'Do not use'"
+    # absent restrictions = data error
+    out = _locrow(spark, {})
+    assert out["error_reason"] == "Nothing in the image_use_restrictions field"
+
+
+def test_miro_location_urls(spark):
+    out = _locrow(spark, {"image_use_restrictions": "CC-BY"}, mid="L0011760")
+    assert out["location_url"] == (
+        "https://iiif.wellcomecollection.org/image/L0011760/info.json"
+    )
+    assert out["thumbnail_url"] == (
+        "https://iiif.wellcomecollection.org/image/L0011760/full/300,/0/default.jpg"
+    )
+
+
+def test_miro_credit_line(spark):
+    # the tidy-up table, e.g. old Wellcome names
+    out = _locrow(spark, {
+        "image_use_restrictions": "CC-BY",
+        "image_credit_line": "Wellcome Library, London",
+    })
+    assert out["credit"] == "Wellcome Collection"
+    # contributor-code fallback (case-insensitive)
+    out = _locrow(spark, {"image_use_restrictions": "CC-BY", "image_source_code": "aam"})
+    assert out["credit"] == "Aamir Ahmed, Jane Pendjiky and Michael Millar"
+    # per-record override
+    out = _locrow(
+        spark,
+        {"image_use_restrictions": "CC-BY", "image_source_code": "CHC"},
+        mid="B0007831",
+    )
+    assert out["credit"] == "Dr Stephen McQuaid & Stewart Church / QUB"
+    # the GUS denylist suppresses nine specific records
+    out = _locrow(
+        spark,
+        {"image_use_restrictions": "CC-BY", "image_source_code": "GUS"},
+        mid="B0009891",
+    )
+    assert out["suppress_reason"] == "we do not expose image_source_code = GUS"
+    out = _locrow(
+        spark,
+        {"image_use_restrictions": "CC-BY", "image_source_code": "GUS"},
+        mid="B0000001",
+    )
+    assert out["credit"] == "Karen Gustafson"
+
+
+def test_miro_contributors(spark):
+    # creator ++ secondary creator ++ non-Wellcome credit, Agent labels
+    out = _locrow(spark, {
+        "image_use_restrictions": "CC-BY",
+        "image_creator": ["Henry Wellcome", None],
+        "image_secondary_creator": ["A N Other"],
+        "image_credit_line": "Science Museum London",
+    })
+    assert out["contributors"] == [
+        "Agent~Henry Wellcome~label-derived=henry wellcome",
+        "Agent~A N Other~label-derived=a n other",
+        "Agent~Science Museum, London~label-derived=science museum, london",
+    ]
+    # a Wellcome Collection credit is NOT a contributor
+    out = _locrow(spark, {
+        "image_use_restrictions": "CC-BY",
+        "image_creator": ["Henry Wellcome"],
+        "image_credit_line": "Wellcome Images",
+    })
+    assert out["contributors"] == [
+        "Agent~Henry Wellcome~label-derived=henry wellcome"
+    ]

@@ -85,6 +85,60 @@ def resolve_packed(batch):
     )
 
 
+def resolve_packed_dict(batch):
+    """packed + the round-3 verdict's last suggestion: take the 64-bit
+    hash of conv_id as the grouping key so the exchange carries a long
+    instead of the string, and re-attach the conv_id after the aggregate.
+    Without a true dictionary there is nothing to re-attach FROM except the
+    rows themselves, so the string rides along as one more max() register —
+    the probe measures whether keying the hash beats keying the string
+    (collision risk is accepted for the probe; a production version would
+    need a salt-and-verify pass, which is part of why this variant was
+    never shipped)."""
+    from catalogue_pipeline_spark.cdc.resolve import with_op_pri
+
+    ev = with_op_pri(batch)
+    sep = F.lit("\x00")
+    wkey = _pack_key(F.col("ts"), F.col("op_pri"), F.col("offset"))
+    ndkey = F.concat(
+        F.lpad(F.hex(F.unix_micros(F.col("ts"))), 16, "0"),
+        F.lpad(F.hex(F.col("offset")), 10, "0"),
+    )
+    agg = ev.groupBy(
+        F.xxhash64("conv_id").alias("conv_h"), F.col("turn_idx")
+    ).agg(
+        F.max("conv_id").alias("conv_id"),
+        F.max(F.concat(wkey, sep, F.col("op"))).alias("w"),
+        F.max(
+            F.when(
+                F.col("op") != "delete",
+                F.concat(
+                    ndkey,
+                    sep,
+                    F.coalesce(F.col("role"), F.lit("\x01")),
+                    sep,
+                    F.coalesce(F.col("tool"), F.lit("\x01")),
+                    sep,
+                    F.coalesce(F.col("text"), F.lit("\x01")),
+                ),
+            )
+        ).alias("nd"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    spl = F.split(F.col("nd"), "\x00", 4)
+    return agg.select(
+        "conv_id",
+        "turn_idx",
+        F.nullif(spl[1], F.lit("\x01")).alias("role"),
+        F.nullif(spl[3], F.lit("\x01")).alias("text"),
+        F.nullif(spl[2], F.lit("\x01")).alias("tool"),
+        F.timestamp_micros(F.conv(F.substring("w", 1, 16), 16, 10).cast("long")).alias("ts"),
+        F.substring("w", 17, 1).cast("int").alias("op_pri"),
+        F.conv(F.substring("w", 18, 10), 16, 10).cast("long").alias("offset"),
+        "n_events",
+    )
+
+
 def resolve_no_op(batch):
     from catalogue_pipeline_spark.cdc.resolve import with_op_pri
 
@@ -139,6 +193,7 @@ def run_variants(cpus: int, binlog: str) -> dict:
         ("current", resolve_lww),
         ("no_op", resolve_no_op),
         ("packed", resolve_packed),
+        ("packed_dict", resolve_packed_dict),
     ):
         t0 = time.time()
         fn(reg.normalize(raw)).count()
@@ -182,7 +237,7 @@ def main():
     big = child(n_big)
     small = child(n_small)
     print(f"{'variant':<10}{'local[' + str(n_small) + ']':>12}{'local[' + str(n_big) + ']':>12}{'speedup':>9}{'eff':>6}")
-    for k in ("decode", "current", "no_op", "packed"):
+    for k in ("decode", "current", "no_op", "packed", "packed_dict"):
         sp = small[k] / big[k]
         print(f"{k:<10}{small[k]:>11.1f}s{big[k]:>11.1f}s{sp:>8.2f}x{sp / 4:>6.2f}")
     import shutil
