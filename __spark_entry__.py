@@ -1611,6 +1611,243 @@ def _q58_concepts_remover(spark, sf_dir):
             ("log_deleted_rows", logs.filter(F.col("action") == "deleted").count()),
             ("log_added_rows", logs.filter(F.col("action") == "added").count()),
         ]
+
+        # ---- round-4: external-ontology source transformers (LoC MADS
+        # JSON-LD via VariantType, MeSH descriptor XML, Wikidata SPARQL
+        # rows) — plans/source_concepts.py; counts + length checksums
+        from catalogue_pipeline_spark.plans.source_concepts import (
+            transform_loc,
+            transform_mesh,
+            transform_wikidata_edges,
+            transform_wikidata_nodes,
+        )
+
+        L = F.lit
+        cks = ck.cast("string")
+        base200 = spark.read.parquet(_t(sf_dir, "customer")).filter(
+            (ck > 0) & (ck <= 200)
+        )
+        shid = F.concat(L("sh"), (ck + 70000).cast("string"))
+        uri = F.concat(L("http://id.loc.gov/authorities/subjects/"), shid)
+        refs = lambda c: F.struct(  # noqa: E731
+            F.concat(L("http://id.loc.gov/authorities/subjects/sh"), c).alias("@id")
+        )
+        vnode = lambda i, lab: F.struct(  # noqa: E731
+            F.concat(L("_:v"), L(str(i))).alias("@id"),
+            F.lit(None).cast("array<string>").alias("@type"),
+            F.lit(None).cast("struct<`@value`:string>").alias(
+                "madsrdf:authoritativeLabel"
+            ),
+            F.lit(None).cast("array<struct<`@id`:string>>").alias("madsrdf:hasVariant"),
+            F.lit(None)
+            .cast("array<struct<`@id`:string>>")
+            .alias("madsrdf:hasBroaderAuthority"),
+            F.lit(None)
+            .cast("array<struct<`@id`:string>>")
+            .alias("madsrdf:hasNarrowerAuthority"),
+            F.lit(None)
+            .cast("array<struct<`@id`:string>>")
+            .alias("madsrdf:hasReciprocalAuthority"),
+            lab.alias("madsrdf:variantLabel"),
+        )
+        n_var = ck % 3
+        auth = F.struct(
+            uri.alias("@id"),
+            F.when(
+                ck % 10 == 0,
+                F.array(L("madsrdf:Authority"), L("madsrdf:Geographic")),
+            )
+            .otherwise(F.array(L("madsrdf:Authority")))
+            .alias("@type"),
+            F.struct(F.concat(L("Label "), cks).alias("@value")).alias(
+                "madsrdf:authoritativeLabel"
+            ),
+            F.when(
+                n_var > 0,
+                F.filter(
+                    F.array(
+                        F.struct(L("_:v0").alias("@id")),
+                        F.when(n_var > 1, F.struct(L("_:v1").alias("@id"))),
+                    ),
+                    lambda x: x.isNotNull(),
+                ),
+            ).alias("madsrdf:hasVariant"),
+            F.when(ck % 2 == 0, F.array(refs((ck + 70001).cast("string")))).alias(
+                "madsrdf:hasBroaderAuthority"
+            ),
+            F.when(ck % 5 == 0, F.array(refs((ck + 69999).cast("string")))).alias(
+                "madsrdf:hasNarrowerAuthority"
+            ),
+            F.when(ck % 7 == 0, F.array(refs((ck + 70010).cast("string")))).alias(
+                "madsrdf:hasReciprocalAuthority"
+            ),
+            F.lit(None).cast("string").alias("madsrdf:variantLabel"),
+        )
+        loc_graph = F.filter(
+            F.array(
+                auth,
+                F.when(n_var > 0, vnode(0, F.concat(L("Var0 "), cks))),
+                F.when(n_var > 1, vnode(1, F.concat(L("Var1 "), cks))),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        loc_docs = base200.select(
+            F.to_json(
+                F.struct(uri.alias("@id"), loc_graph.alias("@graph"))
+            ).alias("content")
+        )
+        loc_nodes, loc_edges = transform_loc(loc_docs)
+        loc_nodes = loc_nodes.localCheckpoint()
+        loc_edges = loc_edges.localCheckpoint()
+
+        mesh_xml = F.concat(
+            L('<DescriptorRecord DescriptorClass="'),
+            F.when(ck % 9 == 0, L("4")).otherwise(L("1")),
+            L('"><DescriptorUI>D0'), cks, L("</DescriptorUI>"),
+            L("<DescriptorName><String>Mesh "), cks,
+            L("</String></DescriptorName><TreeNumberList><TreeNumber>A01."),
+            (ck % 20).cast("string"), L("</TreeNumber>"),
+            F.when(
+                ck % 4 == 0,
+                F.concat(
+                    L("<TreeNumber>A01."), (ck % 20).cast("string"),
+                    L(".500</TreeNumber>"),
+                ),
+            ).otherwise(L("")),
+            L('</TreeNumberList><ConceptList><Concept PreferredConceptYN="Y">'),
+            F.when(
+                ck % 3 == 0,
+                F.concat(L("<ScopeNote>Scope "), cks, L("</ScopeNote>")),
+            ).otherwise(L("")),
+            L("<TermList><Term><String>Mesh "), cks,
+            L("</String></Term><Term><String>Alt "), cks,
+            L("</String></Term></TermList></Concept></ConceptList>"),
+            F.when(
+                ck % 6 == 0,
+                F.concat(
+                    L("<SeeRelatedList><SeeRelatedDescriptor><DescriptorReferredTo><DescriptorUI>D0"),
+                    (ck + 1).cast("string"),
+                    L("</DescriptorUI></DescriptorReferredTo></SeeRelatedDescriptor></SeeRelatedList>"),
+                ),
+            ).otherwise(L("")),
+            L("</DescriptorRecord>"),
+        )
+        mesh_nodes, mesh_edges = transform_mesh(
+            base200.select(mesh_xml.alias("content"))
+        )
+        mesh_nodes = mesh_nodes.localCheckpoint()
+        mesh_edges = mesh_edges.localCheckpoint()
+
+        wd_label = F.when(ck % 11 == 0, F.concat(L("Q"), cks)).otherwise(
+            F.concat(L("wd "), cks)
+        )
+        wd_row = F.to_json(
+            F.struct(
+                F.struct(
+                    L("uri").alias("type"),
+                    F.concat(L("http://www.wikidata.org/entity/Q"), cks).alias("value"),
+                ).alias("item"),
+                F.struct(L("literal").alias("type"), wd_label.alias("value")).alias(
+                    "itemLabel"
+                ),
+                F.when(
+                    ck % 4 == 0,
+                    F.struct(
+                        L("literal").alias("type"),
+                        F.concat(L("alt1 "), cks, L(", alt2 "), cks).alias("value"),
+                    ),
+                ).alias("itemAltLabel"),
+                F.when(
+                    ck % 5 == 0,
+                    F.struct(
+                        L("literal").alias("type"),
+                        F.concat(L("desc "), cks).alias("value"),
+                    ),
+                ).alias("itemDescription"),
+            )
+        )
+        wd_nodes = transform_wikidata_nodes(base200.select(wd_row.alias("content")))
+        wd_raw_edges = (
+            base200.filter(ck % 2 == 0)
+            .select(
+                F.concat(L("Q"), cks).alias("from_id"),
+                shid.alias("to_id"),
+                L("same_as_loc").alias("edge_type"),
+            )
+            .unionByName(
+                base200.filter(ck % 3 == 0).select(
+                    F.concat(L("Q"), cks).alias("from_id"),
+                    F.concat(L("Q"), (ck + 1).cast("string")).alias("to_id"),
+                    L("has_parent").alias("edge_type"),
+                )
+            )
+            .unionByName(
+                base200.filter(ck % 13 == 0).select(
+                    F.concat(L("Q"), cks).alias("from_id"),
+                    F.concat(L("Q"), (ck + 2).cast("string")).alias("to_id"),
+                    L("bogus").alias("edge_type"),
+                )
+            )
+        )
+        wd_edges = transform_wikidata_edges(wd_raw_edges)
+
+        def _len(df, col):
+            return int(
+                df.select(
+                    F.coalesce(F.sum(F.length(col)), F.lit(0)).alias("s")
+                ).collect()[0]["s"]
+            )
+
+        probes += [
+            ("loc_nodes", loc_nodes.count()),
+            ("loc_label_len", _len(loc_nodes, F.col("label"))),
+            (
+                "loc_alt_len",
+                _len(loc_nodes, F.concat_ws("|", "alternative_labels")),
+            ),
+            (
+                "loc_narrower_edges",
+                loc_edges.filter(F.col("relationship") == "NARROWER_THAN").count(),
+            ),
+            (
+                "loc_related_edges",
+                loc_edges.filter(F.col("relationship") == "RELATED_TO").count(),
+            ),
+            ("mesh_nodes", mesh_nodes.count()),
+            (
+                "mesh_alt_len",
+                _len(mesh_nodes, F.concat_ws("|", "alternative_labels")),
+            ),
+            ("mesh_desc_len", _len(mesh_nodes, F.col("description"))),
+            (
+                "mesh_parent_edges",
+                mesh_edges.filter(F.col("relationship") == "HAS_PARENT").count(),
+            ),
+            (
+                "mesh_related_edges",
+                mesh_edges.filter(F.col("relationship") == "RELATED_TO").count(),
+            ),
+            ("wd_nodes", wd_nodes.count()),
+            ("wd_desc_len", _len(wd_nodes, F.col("description"))),
+            (
+                "wd_alt_count",
+                int(
+                    wd_nodes.select(
+                        F.coalesce(
+                            F.sum(F.size("alternative_labels")), F.lit(0)
+                        ).alias("s")
+                    ).collect()[0]["s"]
+                ),
+            ),
+            (
+                "wd_sameas_edges",
+                wd_edges.filter(F.col("relationship") == "SAME_AS").count(),
+            ),
+            (
+                "wd_parent_edges",
+                wd_edges.filter(F.col("relationship") == "HAS_PARENT").count(),
+            ),
+        ]
         return spark.createDataFrame(probes, "probe string, n long")
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -4430,6 +4667,75 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 'snapshot_after_run2', 61
         UNION ALL SELECT 'log_deleted_rows', 1
         UNION ALL SELECT 'log_added_rows', 7
+        -- round-4 source-concept transformer probes, recomputed from the
+        -- same modulo recipe (S = customers 1..200; geo/exclusion gates
+        -- mirror the generators in _q58)
+        UNION ALL SELECT 'loc_nodes', CAST(COUNT(*) AS BIGINT)
+          FROM customer WHERE c_custkey > 0 AND c_custkey <= 200
+           AND c_custkey % 10 <> 0
+        UNION ALL SELECT 'loc_label_len',
+          CAST(SUM(6 + length(CAST(c_custkey AS VARCHAR))) AS BIGINT)
+          FROM customer WHERE c_custkey > 0 AND c_custkey <= 200
+           AND c_custkey % 10 <> 0
+        UNION ALL SELECT 'loc_alt_len', CAST(SUM(
+            CASE c_custkey % 3
+              WHEN 1 THEN 5 + length(CAST(c_custkey AS VARCHAR))
+              WHEN 2 THEN 11 + 2 * length(CAST(c_custkey AS VARCHAR))
+              ELSE 0 END) AS BIGINT)
+          FROM customer WHERE c_custkey > 0 AND c_custkey <= 200
+           AND c_custkey % 10 <> 0
+        UNION ALL SELECT 'loc_narrower_edges', CAST(SUM(
+            CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END
+            + CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          FROM customer WHERE c_custkey > 0 AND c_custkey <= 200
+           AND c_custkey % 10 <> 0
+        UNION ALL SELECT 'loc_related_edges', CAST(SUM(
+            CASE WHEN c_custkey % 7 = 0 THEN 2 ELSE 0 END) AS BIGINT)
+          FROM customer WHERE c_custkey > 0 AND c_custkey <= 200
+           AND c_custkey % 10 <> 0
+        UNION ALL SELECT 'mesh_nodes', CAST(COUNT(*) AS BIGINT)
+          FROM customer WHERE c_custkey > 0 AND c_custkey <= 200
+           AND c_custkey % 9 <> 0
+        UNION ALL SELECT 'mesh_alt_len',
+          CAST(SUM(4 + length(CAST(c_custkey AS VARCHAR))) AS BIGINT)
+          FROM customer WHERE c_custkey > 0 AND c_custkey <= 200
+           AND c_custkey % 9 <> 0
+        UNION ALL SELECT 'mesh_desc_len', CAST(SUM(
+            CASE WHEN c_custkey % 3 = 0
+                 THEN 6 + length(CAST(c_custkey AS VARCHAR)) ELSE 0 END) AS BIGINT)
+          FROM customer WHERE c_custkey > 0 AND c_custkey <= 200
+           AND c_custkey % 9 <> 0
+        UNION ALL SELECT 'mesh_parent_edges', CAST(COUNT(*) AS BIGINT) FROM (
+          SELECT DISTINCT c.c_custkey AS child, p.c_custkey AS parent
+          FROM customer c JOIN customer p
+            ON c.c_custkey % 20 = p.c_custkey % 20
+          WHERE c.c_custkey > 0 AND c.c_custkey <= 200
+            AND p.c_custkey > 0 AND p.c_custkey <= 200
+            AND c.c_custkey % 4 = 0 AND c.c_custkey % 9 <> 0
+            AND p.c_custkey % 9 <> 0
+        )
+        UNION ALL SELECT 'mesh_related_edges', CAST(SUM(
+            CASE WHEN c_custkey % 6 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          FROM customer WHERE c_custkey > 0 AND c_custkey <= 200
+           AND c_custkey % 9 <> 0
+        UNION ALL SELECT 'wd_nodes', CAST(COUNT(*) AS BIGINT)
+          FROM customer WHERE c_custkey > 0 AND c_custkey <= 200
+           AND c_custkey % 11 <> 0
+        UNION ALL SELECT 'wd_desc_len', CAST(SUM(
+            CASE WHEN c_custkey % 5 = 0
+                 THEN 5 + length(CAST(c_custkey AS VARCHAR)) ELSE 0 END) AS BIGINT)
+          FROM customer WHERE c_custkey > 0 AND c_custkey <= 200
+           AND c_custkey % 11 <> 0
+        UNION ALL SELECT 'wd_alt_count', CAST(SUM(
+            CASE WHEN c_custkey % 4 = 0 THEN 2 ELSE 0 END) AS BIGINT)
+          FROM customer WHERE c_custkey > 0 AND c_custkey <= 200
+           AND c_custkey % 11 <> 0
+        UNION ALL SELECT 'wd_sameas_edges', CAST(2 * COUNT(*) AS BIGINT)
+          FROM customer WHERE c_custkey > 0 AND c_custkey <= 200
+           AND c_custkey % 2 = 0
+        UNION ALL SELECT 'wd_parent_edges', CAST(COUNT(*) AS BIGINT)
+          FROM customer WHERE c_custkey > 0 AND c_custkey <= 200
+           AND c_custkey % 3 = 0
     """
     # q59: closed-form expectation of the Sierra bib-JSON transformer — the
     # oracle recomputes every work field (including the mod-11 b-number
