@@ -594,3 +594,85 @@ def sierra_holdings(holdings: DataFrame) -> DataFrame:
         .distinct()
     )
     return digital.unionByName(physical)
+
+
+# ----------------------------------------------------------- full bundle
+
+def sierra_work_bundle(
+    bibs: DataFrame,
+    items: DataFrame | None = None,
+    orders: DataFrame | None = None,
+    holdings: DataFrame | None = None,
+) -> DataFrame:
+    """The COMPLETE Sierra work assembly — what SierraTransformer.scala
+    produces once every record type is attached: the bib-field work row
+    (plans/sierra_transform.transform_sierra) plus, when the companion
+    record tables are supplied,
+
+      * ``collection_path`` / ``eresources`` from the bib itself (this
+        module),
+      * ``items`` — the per-bib item rollup with bib-resolved shelfmarks
+        and access conditions,
+      * ``order_items`` — on-order messages (empty when items exist or
+        the bib has a CAT DATE),
+      * ``holdings`` — physical + digital holdings rollup.
+
+    All companion joins key on the bib id (one shuffle each, rollups
+    pre-aggregated map-side); the bundle is a left join so bibs without
+    companion records keep empty collections.
+    """
+    from .sierra_transform import items_per_bib, transform_sierra
+
+    works = transform_sierra(bibs)
+    bib = F.from_json(F.col("content"), SIERRA_BIB_SCHEMA)
+    extras = bibs.select(
+        F.col("id").alias("sierra_id"),
+        collection_path_expr(bib).alias("collection_path"),
+        F.transform(
+            electronic_resources_expr(bib.getField("varFields")),
+            lambda r: F.concat_ws(
+                "|",
+                r.getField("url"),
+                F.coalesce(r.getField("title"), F.lit("")),
+                F.coalesce(r.getField("link_text"), F.lit("")),
+                r.getField("relationship"),
+            ),
+        ).alias("eresources"),
+    )
+    out = works.join(extras, "sierra_id", "left")
+    empty = F.array().cast("array<string>")
+    if items is not None:
+        rollup = items_per_bib(items, bibs).withColumnRenamed("bib_id", "sierra_id")
+        out = out.join(rollup, "sierra_id", "left").withColumn(
+            "items", F.coalesce("items", empty)
+        )
+    if orders is not None:
+        oo = items_on_order(bibs, orders, items).withColumnRenamed(
+            "bib_id", "sierra_id"
+        )
+        out = out.join(oo, "sierra_id", "left").withColumn(
+            "order_items", F.coalesce("order_items", empty)
+        )
+    if holdings is not None:
+        h = sierra_holdings(holdings)
+        hr = h.groupBy(F.col("bib_id").alias("sierra_id")).agg(
+            F.array_sort(
+                F.collect_list(
+                    F.concat_ws(
+                        "|",
+                        F.col("kind"),
+                        F.coalesce("note", F.lit("")),
+                        F.concat_ws("~", "enumeration"),
+                        F.coalesce("loc_type", F.lit("")),
+                        F.coalesce("loc_label", F.lit("")),
+                        F.coalesce("shelfmark", F.lit("")),
+                        F.coalesce("url", F.lit("")),
+                        F.coalesce("link_text", F.lit("")),
+                    )
+                )
+            ).alias("holdings")
+        )
+        out = out.join(hr, "sierra_id", "left").withColumn(
+            "holdings", F.coalesce("holdings", empty)
+        )
+    return out

@@ -383,3 +383,53 @@ def test_holdings_schema_roundtrip(spark):
     df = spark.createDataFrame([(json.dumps(rec),)], "content string")
     parsed = df.select(F.from_json("content", SIERRA_HOLDINGS_SCHEMA).alias("h")).collect()
     assert parsed[0]["h"]["fixedFields"]["40"]["value"] == "stax "
+
+
+# --------------------------------------------------------- full bundle
+
+
+def test_sierra_work_bundle(spark):
+    from catalogue_pipeline_spark.plans.sierra_extras import sierra_work_bundle
+
+    bib = {
+        "id": "1000001",
+        "deleted": False,
+        "suppressed": False,
+        "varFields": [
+            _vf(field_tag="a", marc_tag="245", subfields=[_sub("a", "A title")]),
+            _vf(marc_tag="001", content="1000001"),
+            _vf(marc_tag="773", subfields=[_sub("w", "(Wcat)parent9")]),
+            _vf(marc_tag="856", subfields=[_sub("u", "https://example.org/r")]),
+        ],
+    }
+    bibs = spark.createDataFrame(
+        [("1000001", json.dumps(bib))], "id string, content string"
+    )
+    items = spark.createDataFrame(
+        [("i1", "1000001",
+          json.dumps({"id": "2000001", "varFields": [
+              _vf(marc_tag="949", field_tag="c", subfields=[_sub("a", "S55")])]}))],
+        "item_id string, bib_id string, content string",
+    )
+    orders = spark.createDataFrame(
+        [("o1", "1000001", json.dumps(_order("7000001", "o", odate="2001-01-01")))],
+        "order_id string, bib_id string, content string",
+    )
+    holdings = spark.createDataFrame(
+        [("h1", "1000001", json.dumps(_hrec(loc="stax ", varfields=[
+            _vf(marc_tag="866", subfields=[_sub("a", "Vol. 1-3")])])))],
+        "holdings_id string, bib_id string, content string",
+    )
+    row = (
+        sierra_work_bundle(bibs, items, orders, holdings)
+        .filter(F.col("sierra_id") == "1000001")
+        .collect()[0]
+    )
+    assert row["collection_path"] == "parent9/1000001"
+    assert row["eresources"] == ["https://example.org/r|||Resource"]
+    assert len(row["items"]) == 1 and row["items"][0].endswith("|S55")
+    # items exist → the on-order gate yields nothing
+    assert row["order_items"] == []
+    assert row["holdings"] == [
+        "physical||Vol. 1-3|ClosedStores|Closed stores|||"
+    ]
