@@ -183,6 +183,11 @@ def run_variants(cpus: int, binlog: str) -> dict:
     raw.count()  # warm
     out = {}
 
+    # warm-up: one untimed aggregate so codegen/JIT/shuffle-service setup
+    # doesn't land on whichever variant happens to run first (measured:
+    # the first aggregate pays a multi-second first-run penalty)
+    resolve_no_op(reg.normalize(raw)).count()
+
     t0 = time.time()
     reg.normalize(raw).select(
         F.sum(F.length("text") + F.length("conv_id") + F.length("op")).alias("b")
