@@ -234,3 +234,130 @@ def related_source_concepts(
         .filter(F.col("rank") <= limit)
         .select("concept_id", "related_id", "relationship_type", "work_count", "rank")
     )
+
+
+# ------------------------------------------------- indexable documents
+
+# ingestor/transformers/raw_concept.py:17-34 — source priority for the
+# query label vs the display label (Wikidata over LC-Names for display)
+QUERY_SOURCE_PRIORITY = ["nlm-mesh", "lc-subjects", "lc-names", "wikidata", "label-derived"]
+DISPLAY_SOURCE_PRIORITY = [
+    "weco-authority", "nlm-mesh", "lc-subjects", "wikidata", "lc-names", "label-derived",
+]
+# raw_concept.py:103-120 — most-specific concept-type election order
+CONCEPT_TYPE_PRIORITY = [
+    "Genre", "Place", "Person", "Organisation", "Period", "Meeting",
+    "Agent", "Subject", "Concept",
+]
+
+
+def standardise_label_expr(label):
+    """raw_concept.py:41-48 — capitalise + LoC '--' → ' - '."""
+    cap = F.concat(F.upper(F.substring(label, 1, 1)), F.substr(label, F.lit(2)))
+    return F.replace(cap, F.lit("--"), F.lit(" - "))
+
+
+def _priority_pick(label_map, fallback, priority):
+    """First non-null label walking the source-priority list; sources not
+    in the map fall through; 'label-derived' resolves to the concept's own
+    label (raw_concept.py:65-87)."""
+    arms = []
+    for src in priority:
+        arms.append(
+            fallback if src == "label-derived" else F.try_element_at(label_map, F.lit(src))
+        )
+    return F.coalesce(*arms)
+
+
+def most_specific_type_expr(types):
+    """raw_concept.py:90-120 — empty → 'Concept', else the highest-priority
+    member of the type list."""
+    return F.coalesce(
+        *[
+            F.when(F.array_contains(types, t), F.lit(t))
+            for t in CONCEPT_TYPE_PRIORITY
+        ],
+        F.lit("Concept"),
+    )
+
+
+def indexable_concepts(
+    concepts: DataFrame,
+    has_source: DataFrame,
+    same_as: DataFrame,
+    has_concept: DataFrame,
+    source_nodes: DataFrame,
+    max_hops: int = 8,
+) -> DataFrame:
+    """The concepts-ingestor document builder
+    (ingestor/transformers/concepts_transformer.py +
+    transformers/raw_concept.py): one display-ready row per concept —
+
+      * ``label`` / ``display_label`` — priority-elected across the
+        concept's source-concept closure (standardised labels) with the
+        label-derived fallback;
+      * ``concept_type`` — most-specific election over the referenced
+        types of incoming HAS_CONCEPT edges;
+      * ``identifiers`` — the DIRECTLY linked source concepts as
+        ``source:id`` pairs (closure members beyond the first hop are
+        query material, not identifiers);
+      * ``same_as`` — concepts sharing a source concept.
+
+    concepts(concept_id, label); source_nodes(id, label, source) from
+    plans/source_concepts.py transformers.  Every stage is a concept-keyed
+    join + groupBy; the closure is the bounded SAME_AS doubling above.
+    """
+    srcs = source_concepts(has_source, same_as, max_hops)
+    sn = source_nodes.select(
+        F.col("id").alias("source_id"),
+        standardise_label_expr(F.col("label")).alias("_slabel"),
+        F.col("source").alias("_source"),
+    )
+    # one label per (concept, source): deterministic min, then a map —
+    # the reference's dict assignment keeps an arbitrary last-writer
+    label_maps = (
+        srcs.join(sn, "source_id")
+        .groupBy("concept_id", "_source")
+        .agg(F.min("_slabel").alias("_slabel"))
+        .groupBy("concept_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("_source"), F.col("_slabel")))
+            ).alias("_labels")
+        )
+    )
+    ids = (
+        has_source.select("concept_id", "source_id")
+        .join(sn, "source_id")
+        .groupBy("concept_id")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.concat_ws(":", "_source", "source_id"))
+            ).alias("identifiers")
+        )
+    )
+    sa = same_as_concept_ids(has_source, same_as, max_hops).groupBy(
+        "concept_id"
+    ).agg(F.array_sort(F.collect_set("same_as_concept_id")).alias("same_as"))
+    types = concept_types(has_concept)
+
+    out = (
+        concepts.join(label_maps, "concept_id", "left")
+        .join(ids, "concept_id", "left")
+        .join(sa, "concept_id", "left")
+        .join(types, "concept_id", "left")
+    )
+    empty = F.array().cast("array<string>")
+    own = F.col("label")
+    return out.select(
+        "concept_id",
+        _priority_pick(F.col("_labels"), own, QUERY_SOURCE_PRIORITY).alias("label"),
+        _priority_pick(F.col("_labels"), own, DISPLAY_SOURCE_PRIORITY).alias(
+            "display_label"
+        ),
+        most_specific_type_expr(
+            F.coalesce(F.col("types"), empty)
+        ).alias("concept_type"),
+        F.coalesce(F.col("identifiers"), empty).alias("identifiers"),
+        F.coalesce(F.col("same_as"), empty).alias("same_as"),
+    )

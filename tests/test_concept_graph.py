@@ -132,3 +132,56 @@ def test_related_source_concepts_to_and_ignored(spark, related_graph):
     # ls2 which is dropped as linked_related — c4/c2 gone, c3 survives
     assert ("c1", "c3") in rows2
     assert not any(k[1] in ("c2", "c4") for k in rows2)
+
+
+# ---------------------------------------------- indexable concept docs
+
+
+def test_indexable_concepts(spark):
+    from catalogue_pipeline_spark.plans.concept_graph import indexable_concepts
+
+    concepts = spark.createDataFrame(
+        [("c1", "sanitation--history"), ("c2", "plain concept"), ("c3", "orphan")],
+        "concept_id string, label string",
+    )
+    has_source = _edges(
+        spark,
+        [("c1", "sh1"), ("c1", "Q1"), ("c2", "D9"), ("c3x", "sh1")],
+        "concept_id string, source_id string",
+    )
+    same_as = _edges(spark, [("sh1", "D1")])
+    source_nodes = spark.createDataFrame(
+        [("sh1", "sanitation--history", "lc-subjects"),
+         ("D1", "sanitation", "nlm-mesh"),
+         ("Q1", "hygiene history", "wikidata"),
+         ("D9", "misc", "nlm-mesh")],
+        "id string, label string, source string",
+    )
+    has_concept = spark.createDataFrame(
+        [("w1", "c1", "Person", "contributors"),
+         ("w2", "c1", "Place", "subjects"),
+         ("w3", "c2", "Agent", "contributors")],
+        "work_id string, concept_id string, referenced_type string, field string",
+    )
+    out = {r["concept_id"]: r.asDict() for r in indexable_concepts(
+        concepts, has_source, same_as, has_concept, source_nodes
+    ).collect()}
+    # c1: closure = {sh1, D1 (via SAME_AS), Q1} → labels from nlm-mesh
+    # ('Sanitation'), lc-subjects ('Sanitation - history'), wikidata
+    # ('Hygiene history'); QUERY priority picks nlm-mesh
+    assert out["c1"]["label"] == "Sanitation"
+    # DISPLAY priority: weco > nlm-mesh → also Sanitation here
+    assert out["c1"]["display_label"] == "Sanitation"
+    # standardise: capitalised + '--' → ' - ' visible via lc-subjects id map
+    assert out["c1"]["identifiers"] == ["lc-subjects:sh1", "wikidata:Q1"]
+    # Place beats Person in the most-specific election
+    assert out["c1"]["concept_type"] == "Place"
+    # c3x shares sh1 with c1 → mutual same-as on the shared source
+    assert out["c1"]["same_as"] == ["c3x"]
+    # c2: only nlm-mesh 'Misc'; Agent type
+    assert out["c2"]["label"] == "Misc"
+    assert out["c2"]["concept_type"] == "Agent"
+    # c3: no sources, no types → label-derived fallback + 'Concept'
+    assert out["c3"]["label"] == "orphan"
+    assert out["c3"]["concept_type"] == "Concept"
+    assert out["c3"]["identifiers"] == [] and out["c3"]["same_as"] == []
