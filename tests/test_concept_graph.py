@@ -185,3 +185,63 @@ def test_indexable_concepts(spark):
     assert out["c3"]["label"] == "orphan"
     assert out["c3"]["concept_type"] == "Concept"
     assert out["c3"]["identifiers"] == [] and out["c3"]["same_as"] == []
+
+
+# ------------------------------- cross-source path-hierarchy integration
+
+
+def test_cross_source_collection_paths(spark):
+    """Sierra 773/774 collection paths and CALM collectionPaths land in the
+    SAME path-identifier tree and answer one ancestors query together —
+    the relation embedder's world view (MarcCollectionPath.scala's stated
+    goal: produce tokens 'similar to those the Relation Embedder receives
+    from CALM and TEI')."""
+    import json as _json
+
+    from catalogue_pipeline_spark.plans.calm_transform import transform_calm
+    from catalogue_pipeline_spark.plans.graph import work_ancestors
+    from catalogue_pipeline_spark.plans.sierra_extras import sierra_work_bundle
+
+    # CALM: a two-level archive WA/X and WA/X/1 (map-record substrate)
+    calm = spark.createDataFrame(
+        [
+            ("u1", {"RefNo": ["WA/X"], "Title": ["Top"],
+                    "Level": ["Collection"], "CatalogueStatus": ["Catalogued"]}),
+            ("u2", {"RefNo": ["WA/X/1"], "Title": ["Child"],
+                    "Level": ["Item"], "CatalogueStatus": ["Catalogued"]}),
+        ],
+        "id string, data map<string,array<string>>",
+    ).withColumn("deleted", F.lit(False))
+    calm_paths = transform_calm(calm).select(
+        F.col("id").alias("work_id"), F.col("collection_path").alias("path")
+    ).filter(F.col("path").isNotNull())
+
+    # Sierra: host record WA (001=WA) with constituent, child 773 →
+    # path 'WA/childid'... use ids that join into the same namespace
+    def bib(sid, fields):
+        return (sid, _json.dumps({"id": sid, "varFields":
+            [{"marcTag": "001", "content": sid, "fieldTag": "a"}] + fields}))
+
+    host = bib("WA", [
+        {"marcTag": "245", "fieldTag": "a",
+         "subfields": [{"tag": "a", "content": "Host"}]},
+        {"marcTag": "774", "subfields": [{"tag": "w", "content": "x"}]},
+    ])
+    child = bib("9175i", [
+        {"marcTag": "245", "fieldTag": "a",
+         "subfields": [{"tag": "a", "content": "Child"}]},
+        {"marcTag": "773", "subfields": [{"tag": "w", "content": "(Wcat)WA"}]},
+    ])
+    bibs = spark.createDataFrame([host, child], "id string, content string")
+    sierra_paths = sierra_work_bundle(bibs).select(
+        F.col("sierra_id").alias("work_id"),
+        F.col("collection_path").alias("path"),
+    ).filter(F.col("path").isNotNull())
+
+    all_paths = calm_paths.unionByName(sierra_paths)
+    anc = work_ancestors(all_paths).collect()
+    pairs = {(r["id"], r["ancestor_id"]) for r in anc}
+    # CALM child under CALM top; Sierra child under the Sierra host --
+    # one tree, one query
+    assert ("u2", "u1") in pairs
+    assert ("9175i", "WA") in pairs
