@@ -5615,7 +5615,7 @@ def oracle_sql() -> dict[str, str]:
                'text-' || CAST(c_custkey AS VARCHAR) AS text,
                CASE WHEN c_custkey % 3 = 1
                     THEN 'tool_' || CAST(c_custkey % 5 AS VARCHAR) END AS tool,
-               to_timestamp(1700000000 + c_custkey) AS ts,
+               TIMESTAMP '2023-11-14 22:13:20' + INTERVAL (c_custkey) SECOND AS ts,
                CAST(1 + c_custkey % 3 AS INT) AS schema_ver
         FROM customer WHERE c_custkey > 0 AND c_custkey <= 300
     """

@@ -50,6 +50,43 @@ def rows_to_multiset(rows, colnames):
     return Counter(tuple(canon(r[i]) for i in order) for r in rows)
 
 
+def spark_type_family(simple: str) -> str:
+    """Coarse dtype family for a Spark simpleString()."""
+    s = simple.lower()
+    if s.startswith(("array", "struct", "map")):
+        return s.split("<")[0]
+    if s in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
+        return "int"
+    if s.startswith("decimal") or s in ("double", "float"):
+        return "float"
+    if s in ("timestamp", "timestamp_ntz"):
+        return "ts"  # Spark LTZ renders identically to NTZ under a UTC session
+    return {"string": "str", "boolean": "bool"}.get(s, s)
+
+
+def duckdb_type_family(t) -> str:
+    """Coarse dtype family for a DuckDB column type. TIMESTAMPTZ is kept
+    distinct from TIMESTAMP on purpose: the driver's schema compare treats
+    them as different, so an oracle drifting to `to_timestamp()` (TZ-aware)
+    must fail here too."""
+    s = str(t).upper()
+    if s.startswith(("STRUCT", "MAP")):
+        return s.split("(")[0].lower()
+    if s.endswith("[]") or s.startswith("LIST"):
+        return "array"
+    if "TIME ZONE" in s or s == "TIMESTAMPTZ":
+        return "tstz"
+    if s.startswith("TIMESTAMP"):
+        return "ts"
+    if s.startswith("DECIMAL") or s in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    return {"VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date",
+            "BLOB": "binary"}.get(s, s.lower())
+
+
 def main():
     only = set(sys.argv[1:])
     spark = build_session("cps-check", master="local[8]", shuffle_partitions=8)
@@ -86,6 +123,15 @@ def main():
         scols = [c.lower() for c in cols]
         if sorted(scols) != sorted(ocols):
             print(f"FAIL {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
+            failures.append(name)
+            continue
+        stypes = {f.name.lower(): spark_type_family(f.dataType.simpleString())
+                  for f in df.schema.fields}
+        otypes = {c.lower(): duckdb_type_family(t)
+                  for c, t in zip(rel.columns, rel.types)}
+        bad = {c: (stypes[c], otypes[c]) for c in stypes if stypes[c] != otypes[c]}
+        if bad:
+            print(f"FAIL {name}: dtype mismatch {bad}")
             failures.append(name)
             continue
         if len(srows) != len(orows):
