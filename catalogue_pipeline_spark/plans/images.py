@@ -40,10 +40,38 @@ def extract_image_data(miro_locations: DataFrame, works: DataFrame) -> DataFrame
     ).join(w, "image_id")
 
 
+def infer_features(images: DataFrame, key_col: str = "image_id", dim: int = 16) -> DataFrame:
+    """Deterministic stand-in for the VGG16 feature inferrer
+    (pipeline/inferrer/feature_inferrer/app/src/feature_extraction.py:28-37,
+    whose 4096-d output main.py:48 L2-normalises before indexing).  Real
+    model weights are out of scope in this engine; this derives a
+    unit-norm pseudo-embedding from per-dimension md5 of ``key ':' j`` —
+    deterministic, SQL-reproducible, and carrying the inferrer's exact
+    output CONTRACT (fixed-dim array<float>, ||v|| = 1) so the images
+    pipeline is end-to-end testable.  Pure JVM codegen: hex→[-1,1) per
+    dim, one array aggregate for the norm — no Python, no shuffle."""
+    key = F.col(key_col)
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.conv(
+            F.substring(F.md5(F.concat(key, F.lit(":"), j.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(2147483648.0)
+        - F.lit(1.0),
+    )
+    norm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
+    return images.withColumn(
+        "features", F.transform(raw, lambda x: (x / norm).cast("float"))
+    )
+
+
 def augment_images(
     images: DataFrame,
     palette: DataFrame | None = None,
     aspect_ratios: DataFrame | None = None,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Attach inferrer outputs (operators/palette.py) on image_id — the
     reference's augmentor fan-in (inferrer manager).  Missing inferrer
@@ -65,6 +93,10 @@ def augment_images(
             ),
             "image_id",
             "left",
+        )
+    if features is not None:
+        out = out.join(
+            features.select("image_id", "features"), "image_id", "left"
         )
     return out
 
