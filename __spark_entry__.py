@@ -3743,6 +3743,246 @@ def _q73_pipeline_e2e(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _q75_indexable_works(spark, sf_dir):
+    """The works-ingestor document builder driver-oracled (round-5 family:
+    plans/works_ingestor.py + plans/graph_works.py).  120 works synthesized
+    from customer — all four work types, a 3-level FRAGMENT-style path
+    hierarchy (exercising the reference's path-identifier graph: pid = last
+    fragment, parent = second-to-last, raw_work.py:108-139), series
+    ancestors with the title-dedup rule, availability scenarios (online /
+    closed-stores with the other-institution suppression / open-shelves via
+    items AND holdings), concept standard-label election, display dedup,
+    note grouping, MARC language canonicalisation, production from-years
+    with the -9999 sentinel.  Every display/query/aggregatable/filterable
+    family is flattened to a string column and recomputed in closed form by
+    the DuckDB oracle."""
+    from catalogue_pipeline_spark.plans.works_ingestor import (
+        extract_works,
+        indexable_works,
+    )
+
+    base = spark.read.parquet(_t(sf_dir, "customer")).filter(
+        (F.col("c_custkey") > 0) & (F.col("c_custkey") <= 120)
+    ).select(F.col("c_custkey").alias("ck"))
+
+    E = "cast(ck as string)"
+    G = "cast((ck-1)%4 as string)"  # hierarchy group for ck<=12
+    works = base.selectExpr(
+        f"'w'||{E} as work_id",
+        "CASE WHEN ck<=12 THEN 'Visible' WHEN ck%10=7 THEN 'Redirected' "
+        "WHEN ck%10=8 THEN 'Deleted' WHEN ck%10=9 THEN 'Invisible' "
+        "ELSE 'Visible' END as type",
+        "CASE WHEN ck%20=2 THEN 'Series' WHEN ck%20=4 THEN 'Section' "
+        "ELSE 'Standard' END as work_type",
+        "'sierra-system-number' as source_scheme",
+        f"'b'||{E} as source_value",
+        f"CASE WHEN ck%4=0 THEN array(named_struct('scheme','calm-ref-no',"
+        f"'value','CR'||{E})) ELSE array() END as other_identifiers",
+        f"'Work '||{E} as title",
+        "array() as alternative_titles",
+        "cast(null as string) as reference_number",
+        "cast(null as string) as description",
+        "cast(null as string) as physical_description",
+        "cast(null as string) as lettering",
+        "cast(null as string) as edition",
+        "cast(null as int) as duration",
+        "cast(null as string) as current_frequency",
+        "array() as former_frequency",
+        "array() as designation",
+        "CASE WHEN ck%5=0 THEN named_struct('id','a','label','Books') "
+        "WHEN ck%5=1 THEN named_struct('id','k','label','Pictures') END as format",
+        "cast(null as string) as created_date_label",
+        "cast(null as struct<kind:string,location_type_id:string,"
+        "location_type_label:string,label:string,shelfmark:string,url:string,"
+        "link_text:string,credit:string,created_date:string,license_id:string,"
+        "access_status:string,access_relationship:string>) as thumbnail",
+        "CASE WHEN ck%3=0 THEN array(named_struct('id','eng','label','English')) "
+        "WHEN ck%3=1 THEN array(named_struct('id','egy','label','Ancient Egyptian')) "
+        "ELSE array(named_struct('id','zzz','label','Weird')) END as languages",
+        "CASE WHEN ck%8=0 THEN array("
+        " named_struct('note_type_id','terms-of-use','note_type_label','Terms of use',"
+        "   'contents','Available at Churchill Archives Centre'),"
+        " named_struct('note_type_id','general-note','note_type_label','Notes','contents','n1')) "
+        "WHEN ck%4=0 THEN array("
+        " named_struct('note_type_id','general-note','note_type_label','Notes','contents','n1'),"
+        " named_struct('note_type_id','copyright-note','note_type_label','Copyright','contents','c1'),"
+        " named_struct('note_type_id','general-note','note_type_label','Notes','contents','n2')) "
+        "ELSE array() END as notes",
+        # one physical closed-stores loc always; digital on evens; open-shelves on %7
+        f"""array(named_struct('id','i'||{E},
+            'identifiers', array(named_struct('scheme','sierra-identifier','value','ii'||{E})),
+            'title', cast(null as string), 'note', cast(null as string),
+            'locations', filter(array(
+              named_struct('kind','physical','location_type_id','closed-stores',
+                'location_type_label','Closed stores','label','Closed stores',
+                'shelfmark', CASE WHEN ck%3=0 THEN 'S'||{E} END,
+                'url',cast(null as string),'link_text',cast(null as string),
+                'credit',cast(null as string),'created_date',cast(null as string),
+                'license_id',cast(null as string),'access_status',cast(null as string),
+                'access_relationship',cast(null as string)),
+              CASE WHEN ck%2=0 THEN named_struct('kind','digital',
+                'location_type_id','iiif-presentation','location_type_label','IIIF',
+                'label',cast(null as string),'shelfmark',cast(null as string),
+                'url','https://x/'||{E},'link_text',cast(null as string),
+                'credit',cast(null as string),
+                'created_date', CASE WHEN ck%6=0 THEN '2020-01-0'||cast(1+ck%9 as string) END,
+                'license_id', CASE WHEN ck%4=0 THEN 'cc-by' ELSE 'cc-by-nc' END,
+                'access_status', CASE WHEN ck%5=0 THEN 'Open' WHEN ck%5=1 THEN 'OpenWithAdvisory'
+                  WHEN ck%5=2 THEN 'LicensedResources' WHEN ck%5=3 THEN 'Restricted' END,
+                'access_relationship', CASE WHEN ck%5=2 THEN
+                  CASE WHEN ck%10=2 THEN 'related' ELSE 'resource' END END) END,
+              CASE WHEN ck%7=0 THEN named_struct('kind','physical',
+                'location_type_id','open-shelves','location_type_label','Open shelves',
+                'label','Open shelves','shelfmark',cast(null as string),
+                'url',cast(null as string),'link_text',cast(null as string),
+                'credit',cast(null as string),'created_date',cast(null as string),
+                'license_id',cast(null as string),'access_status',cast(null as string),
+                'access_relationship',cast(null as string)) END
+            ), x -> x is not null))) as items""",
+        """CASE WHEN ck%11=0 THEN array(named_struct(
+            'note',cast(null as string),'enumeration',array('v.1'),
+            'location', named_struct('kind','physical','location_type_id','open-shelves',
+              'location_type_label','Open shelves','label','Open shelves',
+              'shelfmark',cast(null as string),'url',cast(null as string),
+              'link_text',cast(null as string),'credit',cast(null as string),
+              'created_date',cast(null as string),'license_id',cast(null as string),
+              'access_status',cast(null as string),'access_relationship',cast(null as string))))
+           ELSE array() END as holdings""",
+        f"CASE WHEN ck%6=0 THEN array(named_struct('id','im'||{E},"
+        f"'identifiers',array(named_struct('scheme','miro-image-number','value','V'||{E})))) "
+        "ELSE array() END as image_data",
+        f"""CASE WHEN ck%3=0 THEN
+            CASE WHEN ck%9=0 THEN array(
+              named_struct('concept_id','c'||cast(ck%5 as string),'label','raw c'||cast(ck%5 as string),
+                'identifiers',array(named_struct('scheme','lc-subjects','value','sh'||cast(ck%5 as string))),
+                'concept_type','Subject',
+                'concepts',array(named_struct('concept_id','c'||cast(ck%5 as string),
+                  'label','raw c'||cast(ck%5 as string),
+                  'identifiers',array(named_struct('scheme','lc-subjects','value','sh'||cast(ck%5 as string))),
+                  'concept_type','Concept'))),
+              named_struct('concept_id','c'||cast(ck%5 as string),'label','raw c'||cast(ck%5 as string),
+                'identifiers',array(named_struct('scheme','lc-subjects','value','sh'||cast(ck%5 as string))),
+                'concept_type','Subject',
+                'concepts',array(named_struct('concept_id','c'||cast(ck%5 as string),
+                  'label','raw c'||cast(ck%5 as string),
+                  'identifiers',array(named_struct('scheme','lc-subjects','value','sh'||cast(ck%5 as string))),
+                  'concept_type','Concept'))))
+            ELSE array(
+              named_struct('concept_id','c'||cast(ck%5 as string),'label','raw c'||cast(ck%5 as string),
+                'identifiers',array(named_struct('scheme','lc-subjects','value','sh'||cast(ck%5 as string))),
+                'concept_type','Subject',
+                'concepts',array(named_struct('concept_id','c'||cast(ck%5 as string),
+                  'label','raw c'||cast(ck%5 as string),
+                  'identifiers',array(named_struct('scheme','lc-subjects','value','sh'||cast(ck%5 as string))),
+                  'concept_type','Concept')))) END
+           ELSE array() END as subjects""",
+        f"""CASE WHEN ck%4=1 THEN array(named_struct('label','G'||cast(ck%3 as string),
+            'concepts', array(
+              named_struct('concept_id', CASE WHEN ck%8=1 THEN cast(null as string)
+                  ELSE 'g'||cast(ck%3 as string) END,
+                'label','genre '||cast(ck%3 as string),
+                'identifiers',array(named_struct('scheme','lc-gmgpc','value','tg'||cast(ck%3 as string))),
+                'concept_type','Genre'),
+              named_struct('concept_id',cast(null as string),'label','place x',
+                'identifiers',cast(array() as array<struct<scheme:string,value:string>>),
+                'concept_type','Place'))))
+           ELSE array() END as genres""",
+        f"""CASE WHEN ck%2=1 THEN array(named_struct(
+            'agent', named_struct('concept_id', CASE WHEN ck%14=1 THEN cast(null as string)
+                ELSE 'a'||cast(ck%7 as string) END,
+              'label','agent '||cast(ck%7 as string),
+              'identifiers',array(named_struct('scheme','viaf','value','v'||cast(ck%7 as string))),
+              'concept_type','Person'),
+            'roles', array('author'), 'primary', true))
+           ELSE array() END as contributors""",
+        f"""CASE WHEN ck%5=0 THEN array(named_struct('label','prod',
+            'places',array('London'),'agents',cast(array() as array<string>),
+            'dates',array(named_struct('label','d1',
+              'range_from', CASE WHEN ck%25=0 THEN '-9999-01-01T00:00:00Z'
+                ELSE cast(1800+ck as string)||'-01-01T00:00:00Z' END)),
+            'function',cast(null as string)))
+           ELSE array() END as production""",
+        f"""CASE WHEN ck<=4 THEN named_struct('path','P'||{G},'label','ref P'||{G})
+            WHEN ck<=8 THEN named_struct('path','P'||{G}||'/M'||{G},'label',cast(null as string))
+            WHEN ck<=12 THEN named_struct('path','M'||{G}||'/L'||{G},'label','ref L'||{G})
+           END as collection_path""",
+        f"""CASE WHEN ck=9 THEN array(named_struct('title','Work 5','work_type','Series','num_children',2))
+            WHEN ck between 10 and 12 THEN array(named_struct('title','Series S'||{G},'work_type','Series','num_children',2))
+           ELSE array() END as series_ancestors""",
+        f"CASE WHEN ck>12 AND ck%10=7 THEN 'w'||cast(ck-1 as string) END as redirect_target",
+    )
+    # cast the expr-built frame onto the canonical nested schema
+    from catalogue_pipeline_spark.plans.works_ingestor import WORK_SCHEMA
+
+    target = spark.createDataFrame([], WORK_SCHEMA).schema
+    works = works.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]
+    )
+
+    concept_labels = spark.createDataFrame(
+        [("c0", "Std C0"), ("c2", "Std C2"), ("c4", "Std C4"),
+         ("a0", "Std A0"), ("a3", "Std A3"), ("g1", "Std G1")],
+        "concept_id string, display_label string",
+    )
+    docs = indexable_works(extract_works(works, concept_labels=concept_labels))
+
+    j = lambda c: F.coalesce(F.array_join(c, ";"), F.lit(""))
+    d, q, a, f = F.col("display"), F.col("query"), F.col("aggregatable"), F.col("filterable")
+    rel = lambda arr: j(F.transform(arr, lambda p: F.concat_ws(
+        "~", F.coalesce(p.getField("id"), F.lit("-")), p.getField("title"),
+        p.getField("total_parts").cast("string"), p.getField("type"))))
+    idlab = lambda arr: j(F.transform(arr, lambda x: F.concat_ws(
+        "~", F.coalesce(x.getField("id"), F.lit("-")), x.getField("label"))))
+    out = docs.select(
+        "work_id",
+        F.col("type").alias("wtype"),
+        F.coalesce(d.getField("type"), F.lit("")).alias("d_type"),
+        F.coalesce(
+            F.concat_ws("~", d.getField("work_type").getField("id"),
+                        d.getField("work_type").getField("label")), F.lit("")
+        ).alias("d_worktype"),
+        j(F.transform(d.getField("identifiers"), lambda i: F.concat_ws(
+            "~", i.getField("value"), i.getField("identifier_type_id")))).alias("d_idents"),
+        j(F.transform(d.getField("subjects"), lambda sj: F.concat_ws(
+            "~", F.coalesce(sj.getField("id"), F.lit("-")), sj.getField("label"),
+            F.size(sj.getField("concepts")).cast("string")))).alias("d_subjects"),
+        j(F.transform(d.getField("contributors"), lambda c: F.concat_ws(
+            "~", F.coalesce(c.getField("agent").getField("id"), F.lit("-")),
+            c.getField("agent").getField("label"),
+            c.getField("primary").cast("string")))).alias("d_contributors"),
+        j(F.transform(d.getField("notes"), lambda n: F.concat_ws(
+            "~", n.getField("note_type_id"),
+            F.array_join(n.getField("contents"), ",")))).alias("d_notes"),
+        j(F.transform(d.getField("availabilities"),
+                      lambda x: x.getField("label"))).alias("d_avail"),
+        j(F.transform(d.getField("images"), lambda x: x.getField("id"))).alias("d_images"),
+        rel(d.getField("parts")).alias("d_parts"),
+        rel(d.getField("part_of")).alias("d_partof"),
+        j(q.getField("identifiers_value")).alias("q_idents"),
+        j(q.getField("part_of_title")).alias("q_partof"),
+        F.coalesce(q.getField("collection_path_path"), F.lit("")).alias("q_cpath"),
+        j(q.getField("subjects_concepts_label")).alias("q_subj"),
+        j(q.getField("genres_concepts_label")).alias("q_genre"),
+        j(q.getField("items_shelfmarks_value")).alias("q_shelf"),
+        j(q.getField("production_label")).alias("q_prod"),
+        j(F.transform(f.getField("production_dates_range_from"),
+                      lambda x: x.cast("string"))).alias("f_prod_from"),
+        j(f.getField("items_locations_access_conditions_status_id")).alias("f_status"),
+        j(f.getField("items_locations_license_id")).alias("f_license"),
+        j(f.getField("part_of_id")).alias("f_partof_id"),
+        j(f.getField("items_locations_location_type_id")).alias("f_loctype"),
+        idlab(a.getField("subjects")).alias("a_subjects"),
+        idlab(a.getField("languages")).alias("a_langs"),
+        idlab(a.getField("item_licenses")).alias("a_lic"),
+        idlab(a.getField("availabilities")).alias("a_avail"),
+        j(F.transform(a.getField("production_dates"),
+                      lambda x: x.getField("id"))).alias("a_prod"),
+        idlab(a.getField("work_type")).alias("a_worktype"),
+        F.coalesce(F.col("redirect_target"), F.lit("")).alias("redirect_target"),
+    )
+    return _materialize(out, "q75")
+
+
 def _q74_composite_probes(spark, sf_dir):
     """Seven single-aggregate probes folded into ONE driver row so the
     driver's 50-query correctness window spends its slots on whole operator
@@ -3786,6 +4026,40 @@ def _q74_composite_probes(spark, sf_dir):
     return out
 
 
+def _q76_cdc_detection_composite(spark, sf_dir):
+    """Four J-family detection probes folded into ONE driver row (the same
+    window-consolidation move as q74): J1 insert detection (q06), J4
+    snapshot-delete detection (q07), J2 content-diff update detection
+    (q08), J3 LWW timestamp gate (q09).  Each probe keeps its oracle —
+    moved into this query's UNION ALL — and each demoted original stays
+    locally sweepable as z06-z09.  Output normalized to (probe, k, v)."""
+    def rows(probe, df, k, v):
+        return df.select(
+            F.lit(probe).alias("probe"),
+            k.cast("string").alias("k"),
+            v.cast("string").alias("v"),
+        )
+
+    ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    q06 = _q06_insert_detection(spark, sf_dir)
+    q07 = _q07_delete_detection(spark, sf_dir)
+    q08 = _q08_update_detection(spark, sf_dir)
+    q09 = _q09_ts_gate(spark, sf_dir)
+    vi = lambda c: F.floor(c * 1000000 + F.lit(0.5)).cast("bigint").cast("string")
+    parts = [
+        rows("q06", q06, F.col("user_id"), F.lit("1")),
+        rows("q07", q07, F.col("c_custkey"), F.concat_ws("#", "c_name", "deleted")),
+        rows("q08", q08, F.concat_ws("|", "user_id", "event_type"),
+             F.concat_ws("#", vi(F.col("first_value")), vi(F.col("last_value")))),
+        rows("q09", q09, F.concat_ws("#", "user_id", "event_id"),
+             F.date_format("ts", ts_fmt)),
+    ]
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver registry.  The FIRST 50 entries (also the 50 first names in
     sorted order — every windowed name is q-prefixed, every demoted probe is
@@ -3798,10 +4072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q01_cdc_apply": _q01_cdc_apply,
         "q02_cdc_replay_e2e": _q02_cdc_replay_e2e,
         "q74_composite_probes": _q74_composite_probes,
-        "q06_insert_detection": _q06_insert_detection,
-        "q07_delete_detection": _q07_delete_detection,
-        "q08_update_detection": _q08_update_detection,
-        "q09_ts_gate": _q09_ts_gate,
+        "q76_cdc_detection_composite": _q76_cdc_detection_composite,
         "q11_gap_detection": _q11_gap_detection,
         "q12_session_merge": _q12_session_merge,
         "q37_salted_lww": _q37_salted_lww,
@@ -3823,6 +4094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_concepts_remover": _q58_concepts_remover,
         "q62_related_concepts": _q62_related_concepts,
         "q73_pipeline_e2e": _q73_pipeline_e2e,
+        "q75_indexable_works": _q75_indexable_works,
         "q42_lsh_near_dup": _q42_lsh_near_dup,
         "q26_cosine_topk": _q26_cosine_topk,
         "q35_lsh_topk": _q35_lsh_topk,
@@ -3847,6 +4119,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_sierra_fields": _q72_sierra_fields,
         # ---- end of the 50-query driver window; demoted probes below ----
         "z03_lww_latest_event": _q03_lww_latest_event,
+        "z06_insert_detection": _q06_insert_detection,
+        "z07_delete_detection": _q07_delete_detection,
+        "z08_update_detection": _q08_update_detection,
+        "z09_ts_gate": _q09_ts_gate,
         "z04_max_ts_per_user": _q04_max_ts_per_user,
         "z05_counts_by_type": _q05_counts_by_type,
         "z10_content_preserve": _q10_content_preserve,
@@ -3892,16 +4168,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, max(ts) AS max_ts, count(*) AS n_events FROM events GROUP BY user_id
     """
     sql["z05_counts_by_type"] = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
-    sql["q06_insert_detection"] = """
+    sql["z06_insert_detection"] = """
         SELECT DISTINCT user_id FROM events e
         WHERE NOT EXISTS (
           SELECT 1 FROM customer c WHERE c.c_custkey <= 100 AND c.c_custkey = e.user_id)
     """
-    sql["q07_delete_detection"] = """
+    sql["z07_delete_detection"] = """
         SELECT c_custkey, c_name, TRUE AS deleted FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
     """
-    sql["q08_update_detection"] = """
+    sql["z08_update_detection"] = """
         WITH ranked AS (
           SELECT user_id, event_type, value,
                  ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) rn_a,
@@ -3912,7 +4188,7 @@ def oracle_sql() -> dict[str, str]:
         JOIN (SELECT * FROM ranked WHERE rn_d = 1) l USING (user_id, event_type)
         WHERE f.value <> l.value
     """
-    sql["q09_ts_gate"] = """
+    sql["z09_ts_gate"] = """
         WITH base AS (
           SELECT user_id, max(ts) AS base_ts FROM events WHERE event_type = 'signup' GROUP BY user_id)
         SELECT e.user_id, e.event_id, e.ts FROM events e JOIN base b USING (user_id)
@@ -5889,5 +6165,142 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'q36', CAST(user_id AS VARCHAR) || '|' || event_type,
                strftime(day, '%Y-%m-%d') || '#' || CAST(n_variants AS VARCHAR)
         FROM ({sql['z36_conflict_detection']})
+    """
+
+    # q75: the works-ingestor document builder — every synthesized work's
+    # display/query/aggregatable/filterable families recomputed in closed
+    # form (same ck-modular recipe as the Spark side; hierarchy relations
+    # for ck 1..12 are the 3-level fragment-style chain P{g} <- M{g} <- L{g}).
+    sql["q75_indexable_works"] = """
+        WITH b AS (
+          SELECT c_custkey AS ck, (c_custkey-1)%4 AS g,
+            (c_custkey<=12 OR c_custkey%10 NOT IN (7,8,9)) AS vis,
+            c_custkey%2 AS m2, c_custkey%3 AS m3, c_custkey%4 AS m4,
+            c_custkey%5 AS m5, c_custkey%6 AS m6, c_custkey%7 AS m7,
+            c_custkey%8 AS m8, c_custkey%9 AS m9, c_custkey%10 AS m10,
+            c_custkey%11 AS m11, c_custkey%14 AS m14, c_custkey%20 AS m20,
+            c_custkey%25 AS m25
+          FROM customer WHERE c_custkey>0 AND c_custkey<=120),
+        d AS (
+          SELECT *,
+            CASE ck%5 WHEN 0 THEN 'Std C0' WHEN 2 THEN 'Std C2'
+                 WHEN 4 THEN 'Std C4' ELSE 'raw c'||(ck%5) END AS std_c,
+            CASE WHEN m14=1 THEN 'agent '||(ck%7)
+                 WHEN ck%7 IN (0,3) THEN 'Std A'||(ck%7)
+                 ELSE 'agent '||(ck%7) END AS std_a,
+            CASE WHEN m8=1 THEN 'genre '||(ck%3)
+                 WHEN ck%3=1 THEN 'Std G1' ELSE 'genre '||(ck%3) END AS std_g,
+            (m2=0 AND (m5 IN (0,1) OR (m5=2 AND m10<>2))) AS online,
+            (m8<>0) AS closed, (m7=0 OR m11=0) AS open_sh,
+            CASE WHEN ck IN (2,4) THEN (CASE ck WHEN 2 THEN 'Series' ELSE 'Section' END)
+                 ELSE 'Work' END AS self_reltype
+          FROM b)
+        SELECT
+          'w'||ck AS work_id,
+          CASE WHEN ck<=12 THEN 'Visible' WHEN m10=7 THEN 'Redirected'
+               WHEN m10=8 THEN 'Deleted' WHEN m10=9 THEN 'Invisible'
+               ELSE 'Visible' END AS wtype,
+          CASE WHEN NOT vis THEN '' WHEN m20=2 THEN 'Series'
+               WHEN m20=4 THEN 'Section' ELSE 'Work' END AS d_type,
+          CASE WHEN NOT vis THEN '' WHEN m5=0 THEN 'a~Books'
+               WHEN m5=1 THEN 'k~Pictures' ELSE '' END AS d_worktype,
+          CASE WHEN NOT vis THEN '' ELSE 'b'||ck||'~sierra-system-number'
+               || CASE WHEN m4=0 THEN ';CR'||ck||'~calm-ref-no' ELSE '' END END AS d_idents,
+          CASE WHEN vis AND m3=0 THEN 'c'||(ck%5)||'~'||std_c||'~1' ELSE '' END AS d_subjects,
+          CASE WHEN vis AND m2=1 THEN
+               (CASE WHEN m14=1 THEN '-' ELSE 'a'||(ck%7) END)||'~'||std_a||'~true'
+               ELSE '' END AS d_contributors,
+          CASE WHEN NOT vis THEN ''
+               WHEN m8=0 THEN 'terms-of-use~Available at Churchill Archives Centre;general-note~n1'
+               WHEN m4=0 THEN 'general-note~n1,n2;copyright-note~c1'
+               ELSE '' END AS d_notes,
+          CASE WHEN NOT vis THEN '' ELSE concat_ws(';',
+               CASE WHEN online THEN 'Online' END,
+               CASE WHEN closed THEN 'Closed stores' END,
+               CASE WHEN open_sh THEN 'Open shelves' END) END AS d_avail,
+          CASE WHEN vis AND m6=0 THEN 'im'||ck ELSE '' END AS d_images,
+          CASE WHEN NOT vis THEN ''
+               WHEN ck<=4 THEN 'w'||(ck+4)||'~Work '||(ck+4)||'~1~Work'
+               WHEN ck<=8 THEN 'w'||(ck+4)||'~Work '||(ck+4)||'~0~Work'
+               ELSE '' END AS d_parts,
+          CASE WHEN NOT vis THEN ''
+               WHEN ck BETWEEN 5 AND 8 THEN 'w'||(ck-4)||'~Work '||(ck-4)||'~1~'||
+                 (CASE ck-4 WHEN 2 THEN 'Series' WHEN 4 THEN 'Section' ELSE 'Work' END)
+               WHEN ck BETWEEN 9 AND 12 THEN
+                 (CASE WHEN ck>=10 THEN '-~Series S'||g||'~2~Series;' ELSE '' END)
+                 ||'w'||(ck-4)||'~Work '||(ck-4)||'~1~Work;w'||(ck-8)||'~Work '||(ck-8)||'~1~'||
+                 (CASE ck-8 WHEN 2 THEN 'Series' WHEN 4 THEN 'Section' ELSE 'Work' END)
+               ELSE '' END AS d_partof,
+          CASE WHEN NOT vis THEN '' ELSE 'w'||ck||';b'||ck
+               || CASE WHEN m4=0 THEN ';CR'||ck ELSE '' END END AS q_idents,
+          CASE WHEN NOT vis THEN ''
+               WHEN ck BETWEEN 5 AND 8 THEN 'Work '||(ck-4)
+               WHEN ck=9 THEN 'Work 1;Work 5'
+               WHEN ck BETWEEN 10 AND 12 THEN 'Series S'||g||';Work '||(ck-8)||';Work '||(ck-4)
+               ELSE '' END AS q_partof,
+          CASE WHEN NOT vis THEN ''
+               WHEN ck<=4 THEN 'P'||g
+               WHEN ck<=8 THEN 'P'||g||'/M'||g
+               WHEN ck<=12 THEN 'P'||g||'/M'||g||'/L'||g
+               ELSE '' END AS q_cpath,
+          CASE WHEN vis AND m3=0 THEN std_c ELSE '' END AS q_subj,
+          CASE WHEN vis AND m4=1 THEN std_g||';place x' ELSE '' END AS q_genre,
+          CASE WHEN vis AND m3=0 THEN 'S'||ck ELSE '' END AS q_shelf,
+          CASE WHEN vis AND m5=0 THEN 'London;d1' ELSE '' END AS q_prod,
+          CASE WHEN vis AND m5=0 THEN
+               CASE WHEN m25=0 THEN '-377705116800000'
+                    ELSE CAST(epoch_ms(CAST((1800+ck)||'-01-01 00:00:00' AS TIMESTAMP)) AS VARCHAR) END
+               ELSE '' END AS f_prod_from,
+          CASE WHEN vis AND m2=0 THEN
+               CASE m5 WHEN 0 THEN 'open' WHEN 1 THEN 'open-with-advisory'
+                    WHEN 2 THEN 'licensed-resources' WHEN 3 THEN 'restricted' ELSE '' END
+               ELSE '' END AS f_status,
+          CASE WHEN vis AND m2=0 THEN
+               CASE WHEN m4=0 THEN 'cc-by' ELSE 'cc-by-nc' END ELSE '' END AS f_license,
+          CASE WHEN NOT vis THEN ''
+               WHEN ck BETWEEN 5 AND 8 THEN 'w'||(ck-4)
+               WHEN ck BETWEEN 9 AND 12 THEN 'w'||(ck-8)||';w'||(ck-4)
+               ELSE '' END AS f_partof_id,
+          CASE WHEN NOT vis THEN '' ELSE 'closed-stores'
+               || CASE WHEN m2=0 THEN ';iiif-presentation' ELSE '' END
+               || CASE WHEN m7=0 THEN ';open-shelves' ELSE '' END END AS f_loctype,
+          CASE WHEN vis AND m3=0 THEN 'c'||(ck%5)||'~'||std_c ELSE '' END AS a_subjects,
+          CASE WHEN NOT vis THEN ''
+               WHEN m3=0 THEN 'eng~English' WHEN m3=1 THEN 'egy~Egyptian'
+               ELSE 'zzz~Weird' END AS a_langs,
+          CASE WHEN vis AND m2=0 THEN
+               CASE WHEN m4=0 THEN 'cc-by~Attribution 4.0 International (CC BY 4.0)'
+                    ELSE 'cc-by-nc~Attribution-NonCommercial 4.0 International (CC BY-NC 4.0)' END
+               ELSE '' END AS a_lic,
+          CASE WHEN NOT vis THEN '' ELSE concat_ws(';',
+               CASE WHEN online THEN 'online~Online' END,
+               CASE WHEN closed THEN 'closed-stores~Closed stores' END,
+               CASE WHEN open_sh THEN 'open-shelves~Open shelves' END) END AS a_avail,
+          CASE WHEN vis AND m5=0 THEN
+               CASE WHEN m25=0 THEN '-9999' ELSE CAST(1800+ck AS VARCHAR) END
+               ELSE '' END AS a_prod,
+          CASE WHEN NOT vis THEN '' WHEN m5=0 THEN 'a~Books'
+               WHEN m5=1 THEN 'k~Pictures' ELSE '' END AS a_worktype,
+          CASE WHEN ck>12 AND m10=7 THEN 'w'||(ck-1) ELSE '' END AS redirect_target
+        FROM d
+    """
+
+    # q76: the four J-family detection probes, normalized exactly like the
+    # Spark composite (value doubles integer-scaled to dodge float text)
+    sql["q76_cdc_detection_composite"] = f"""
+        SELECT 'q06' AS probe, CAST(user_id AS VARCHAR) AS k, '1' AS v
+        FROM ({sql["z06_insert_detection"]})
+        UNION ALL
+        SELECT 'q07', CAST(c_custkey AS VARCHAR), c_name || '#true'
+        FROM ({sql["z07_delete_detection"]})
+        UNION ALL
+        SELECT 'q08', user_id || '|' || event_type,
+               CAST(CAST(floor(first_value*1000000 + 0.5) AS BIGINT) AS VARCHAR) || '#' ||
+               CAST(CAST(floor(last_value*1000000 + 0.5) AS BIGINT) AS VARCHAR)
+        FROM ({sql["z08_update_detection"]})
+        UNION ALL
+        SELECT 'q09', user_id || '#' || event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+        FROM ({sql["z09_ts_gate"]})
     """
     return sql
