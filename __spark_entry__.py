@@ -4026,6 +4026,241 @@ def _q74_composite_probes(spark, sf_dir):
     return out
 
 
+def _q77_graph_works_composite(spark, sf_dir):
+    """Round-5 graph-works + document-builder promotion row: five probes
+    over ONE synthesized corpus (customer ck 1..60), all driver-oracled —
+
+      * node  — catalogue->graph work nodes (plans/graph_works.work_nodes:
+        Standard→Work type mapping, reference number, raw path);
+      * edge  — HAS_CONCEPT edges (work_concept_edges: subject type
+        promotion, contributor agents, first genre concept, first-seen
+        dedup);
+      * pid   — path-identifier derivation (path_identifier_graph: the
+        FULL-PATH case where the path equals a work identifier vs the
+        last-fragment case vs roots);
+      * conc  — the concepts-ingestor document builder
+        (plans/concept_graph.indexable_concepts) over the HAS_CONCEPT
+        edges from this corpus: priority label election across sources,
+        most-specific type, direct identifiers, shared-source same_as;
+      * img   — the images-ingestor path (plans/images.infer_features
+        deterministic hash-projection features + indexable_images
+        visible-parent join with orphan drop)."""
+    from catalogue_pipeline_spark.plans.concept_graph import indexable_concepts
+    from catalogue_pipeline_spark.plans.graph_works import (
+        path_identifier_graph,
+        work_concept_edges,
+        work_nodes,
+    )
+    from catalogue_pipeline_spark.plans.images import (
+        indexable_images,
+        infer_features,
+    )
+    from catalogue_pipeline_spark.plans.works_ingestor import WORK_SCHEMA
+
+    base = spark.read.parquet(_t(sf_dir, "customer")).filter(
+        (F.col("c_custkey") > 0) & (F.col("c_custkey") <= 60)
+    ).select(F.col("c_custkey").alias("ck"))
+
+    E = "cast(ck as string)"
+    raw = base.selectExpr(
+        f"'gw'||{E} as work_id",
+        "CASE WHEN ck%10=9 THEN 'Deleted' ELSE 'Visible' END as type",
+        "CASE WHEN ck%4=0 THEN 'Series' ELSE 'Standard' END as work_type",
+        "'sierra-system-number' as source_scheme",
+        f"'sb'||{E} as source_value",
+        f"CASE WHEN ck%6=0 THEN array(named_struct('scheme','calm-ref-no','value','CP/'||{E})) "
+        "ELSE array() END as other_identifiers",
+        f"'T '||{E} as title",
+        "array() as alternative_titles",
+        f"CASE WHEN ck%5=0 THEN 'RN'||{E} END as reference_number",
+        f"""CASE WHEN ck%6=0 THEN named_struct('path','CP/'||{E},'label','CP ref')
+            WHEN ck%6=1 THEN named_struct('path','A'||cast(ck%5 as string)||'/B'||{E},'label',cast(null as string))
+            WHEN ck%6=2 THEN named_struct('path','R'||{E},'label',cast(null as string))
+           END as collection_path""",
+        f"""CASE WHEN ck%3=0 THEN array(named_struct(
+              'concept_id','cc'||cast(ck%20 as string),'label','subj '||cast(ck%20 as string),
+              'identifiers',cast(array() as array<struct<scheme:string,value:string>>),
+              'concept_type','Subject',
+              'concepts', CASE WHEN ck%6=3 THEN array(named_struct(
+                  'concept_id','cc'||cast(ck%20 as string),'label','subj '||cast(ck%20 as string),
+                  'identifiers',cast(array() as array<struct<scheme:string,value:string>>),
+                  'concept_type','Person'))
+                ELSE cast(array() as array<struct<concept_id:string,label:string,
+                  identifiers:array<struct<scheme:string,value:string>>,concept_type:string>>) END))
+           ELSE array() END as subjects""",
+        f"""CASE WHEN ck%2=0 THEN array(named_struct(
+              'agent', named_struct('concept_id','ca'||cast(ck%10 as string),
+                'label','agent '||cast(ck%10 as string),
+                'identifiers',cast(array() as array<struct<scheme:string,value:string>>),
+                'concept_type','Agent'),
+              'roles',cast(array() as array<string>),'primary',false))
+           ELSE array() END as contributors""",
+        f"""CASE WHEN ck%5=0 THEN array(named_struct('label','G',
+            'concepts', array(
+              named_struct('concept_id','cg'||cast(ck%7 as string),'label','genre '||cast(ck%7 as string),
+                'identifiers',cast(array() as array<struct<scheme:string,value:string>>),
+                'concept_type','Genre'),
+              named_struct('concept_id','cx','label','extra',
+                'identifiers',cast(array() as array<struct<scheme:string,value:string>>),
+                'concept_type','Place'))))
+           ELSE array() END as genres""",
+    )
+    target = spark.createDataFrame([], WORK_SCHEMA).schema
+    present = set(raw.columns)
+    works = raw.select(
+        *[
+            (F.col(f.name).cast(f.dataType) if f.name in present
+             else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in target.fields
+        ]
+    )
+
+    nodes = work_nodes(works)
+    edges = work_concept_edges(works)
+    attach, pedges = path_identifier_graph(works)
+    p_node = nodes.select(
+        F.lit("node").alias("probe"),
+        F.col("id").alias("k"),
+        F.concat_ws(
+            "~", "label", "node_type",
+            F.coalesce("reference_number", F.lit("-")),
+            F.coalesce("collection_path", F.lit("-")),
+        ).alias("v"),
+    )
+    p_edge = edges.select(
+        F.lit("edge").alias("probe"),
+        F.concat_ws("#", "work_id", "concept_id").alias("k"),
+        F.concat_ws("~", "referenced_in", "referenced_type").alias("v"),
+    )
+    p_pid = attach.join(
+        pedges.withColumnsRenamed({"parent_pid": "_pp"}), "pid", "left"
+    ).select(
+        F.lit("pid").alias("probe"),
+        F.col("work_id").alias("k"),
+        F.concat_ws("~", "pid", F.coalesce("_pp", F.lit("-"))).alias("v"),
+    )
+
+    # concepts-ingestor over this corpus: concept cc0..cc19 nodes, source
+    # concepts L(k%10) (lc-subjects, shared by cc_k and cc_{k+10}) and M_k
+    # (nlm-mesh, only when k%3=0); no SAME_AS edges (closure covered by
+    # q58/q62); HAS_CONCEPT types from the edge probe above
+    ks = base.filter(F.col("ck") <= 20).selectExpr("cast(ck-1 as string) as k")
+    concepts = ks.selectExpr("'cc'||k as concept_id", "'raw '||k as label")
+    has_source = ks.selectExpr(
+        "'cc'||k as concept_id", "'L'||cast(cast(k as int)%10 as string) as source_id"
+    ).unionByName(
+        ks.filter(F.expr("cast(k as int)%3=0")).selectExpr(
+            "'cc'||k as concept_id", "'M'||k as source_id"
+        )
+    )
+    same_as = spark.createDataFrame([], "src string, dst string")
+    source_nodes = ks.selectExpr(
+        "'L'||k as id", "'lc label '||k as label", "'lc-subjects' as source"
+    ).unionByName(
+        ks.selectExpr("'M'||k as id", "'mesh label '||k as label", "'nlm-mesh' as source")
+    )
+    has_concept = edges.filter(F.col("concept_id").startswith("cc"))
+    docs = indexable_concepts(concepts, has_source, same_as, has_concept, source_nodes)
+    p_conc = docs.select(
+        F.lit("conc").alias("probe"),
+        F.col("concept_id").alias("k"),
+        F.concat_ws(
+            "~", "label", "display_label", "concept_type",
+            F.array_join("identifiers", ";"), F.array_join("same_as", ";"),
+        ).alias("v"),
+    )
+
+    # images: evens carry an image; ck%10=0 points at the DELETED work
+    # ck-1 → orphan-dropped by the visible-parent join
+    imgs = base.filter(F.expr("ck%2=0")).selectExpr(
+        f"'V'||{E} as image_id",
+        "CASE WHEN ck%10=0 THEN 'gw'||cast(ck-1 as string) ELSE 'gw'||cast(ck as string) END as work_id",
+    )
+    feats = infer_features(imgs.select("image_id"), dim=8)
+    aug = imgs.join(feats, "image_id")
+    idocs, _orphans = indexable_images(
+        aug, works.select("work_id", "type", "title")
+    )
+    p_img = idocs.select(
+        F.lit("img").alias("probe"),
+        F.col("image_id").alias("k"),
+        F.concat_ws(
+            "~", "work_id", "work_title",
+            F.round(F.element_at("features", 1).cast("double"), 4).cast("string"),
+            F.round(F.element_at("features", 8).cast("double"), 4).cast("string"),
+        ).alias("v"),
+    )
+
+    out = p_node
+    for p_ in [p_edge, p_pid, p_conc, p_img]:
+        out = out.unionByName(p_)
+    return _materialize(out, "q77")
+
+
+def _q78_deep_hierarchy(spark, sf_dir):
+    """Hierarchy stress row: a 12-deep fragment-style ancestor chain
+    (hop-doubled HAS_PARENT* past the 8-hop mark,
+    plans/graph_works.parent_closure), 13 children under one root (the
+    natural collection sort with multi-digit segments: K2 before K10),
+    and TWO works sharing one path identifier (both become children of
+    the same parent).  Collection-path expansion is checked along the
+    whole chain (N1/…/Nk).  Flattened to per-work id~parts CSVs plus the
+    expanded path; oracle in closed form via DuckDB range() lists."""
+    from catalogue_pipeline_spark.plans.works_ingestor import (
+        WORK_SCHEMA,
+        extract_works,
+        indexable_works,
+    )
+
+    base = spark.read.parquet(_t(sf_dir, "customer")).filter(
+        (F.col("c_custkey") > 0) & (F.col("c_custkey") <= 40)
+    ).select(F.col("c_custkey").alias("ck"))
+    E = "cast(ck as string)"
+    raw = base.selectExpr(
+        f"'h'||{E} as work_id",
+        "'Visible' as type",
+        "'Standard' as work_type",
+        "'sierra-system-number' as source_scheme",
+        f"'hb'||{E} as source_value",
+        f"'T'||{E} as title",
+        f"""CASE WHEN ck=1 THEN named_struct('path','N1','label',cast(null as string))
+            WHEN ck<=12 THEN named_struct('path','N'||cast(ck-1 as string)||'/N'||{E},'label',cast(null as string))
+            WHEN ck=13 THEN named_struct('path','S13','label',cast(null as string))
+            WHEN ck<=26 THEN named_struct('path','S13/K'||cast(ck-13 as string),'label',cast(null as string))
+            WHEN ck<=28 THEN named_struct('path','N5/X','label',cast(null as string))
+           END as collection_path""",
+    )
+    target = spark.createDataFrame([], WORK_SCHEMA).schema
+    present = set(raw.columns)
+    works = raw.select(
+        *[
+            (F.col(f.name).cast(f.dataType) if f.name in present
+             else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in target.fields
+        ]
+    )
+    docs = indexable_works(extract_works(works))
+    d = F.col("display")
+    rel_ids = lambda arr: F.coalesce(
+        F.array_join(
+            F.transform(arr, lambda r: F.concat_ws(
+                "~", r.getField("id"), r.getField("total_parts").cast("string"))),
+            ";",
+        ),
+        F.lit(""),
+    )
+    out = docs.select(
+        "work_id",
+        rel_ids(d.getField("parts")).alias("parts_ids"),
+        rel_ids(d.getField("part_of")).alias("partof_ids"),
+        F.coalesce(F.col("query").getField("collection_path_path"), F.lit("")).alias("cpath"),
+        F.coalesce(
+            F.array_join(F.col("filterable").getField("part_of_id"), ";"), F.lit("")
+        ).alias("f_partof_id"),
+    )
+    return _materialize(out, "q78")
+
+
 def _q76_cdc_detection_composite(spark, sf_dir):
     """Four J-family detection probes folded into ONE driver row (the same
     window-consolidation move as q74): J1 insert detection (q06), J4
@@ -4095,6 +4330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_related_concepts": _q62_related_concepts,
         "q73_pipeline_e2e": _q73_pipeline_e2e,
         "q75_indexable_works": _q75_indexable_works,
+        "q77_graph_works_composite": _q77_graph_works_composite,
+        "q78_deep_hierarchy": _q78_deep_hierarchy,
         "q42_lsh_near_dup": _q42_lsh_near_dup,
         "q26_cosine_topk": _q26_cosine_topk,
         "q35_lsh_topk": _q35_lsh_topk,
@@ -6302,5 +6539,104 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'q09', user_id || '#' || event_id,
                strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
         FROM ({sql["z09_ts_gate"]})
+    """
+
+    # q77: graph-works + concepts/images ingestor composite — each probe
+    # recomputed in closed form over the same ck-modular corpus.  The
+    # 'conc' probe's type derivation: exactly one of {k, k+20, k+40} is
+    # divisible by 3 (the contributing work); if that work is Deleted
+    # (ck%10=9) the concept has no HAS_CONCEPT types and falls back to
+    # 'Concept'; the subject-type promotion fires when ck%6=3.
+    sql["q77_graph_works_composite"] = """
+        WITH b AS (
+          SELECT c_custkey AS ck FROM customer
+          WHERE c_custkey>0 AND c_custkey<=60),
+        vis AS (SELECT ck FROM b WHERE ck%10<>9),
+        ks AS (
+          SELECT ck-1 AS kn,
+            CASE WHEN (ck-1)%3=0 THEN (CASE WHEN ck-1=0 THEN 60 ELSE ck-1 END)
+                 WHEN (ck-1+20)%3=0 THEN ck-1+20 ELSE ck-1+40 END AS ckc
+          FROM b WHERE ck<=20)
+        SELECT 'node' AS probe, 'gw'||ck AS k,
+               'T '||ck||'~'||(CASE WHEN ck%4=0 THEN 'Series' ELSE 'Work' END)
+               ||'~'||(CASE WHEN ck%5=0 THEN 'RN'||ck ELSE '-' END)
+               ||'~'||(CASE WHEN ck%6=0 THEN 'CP/'||ck
+                            WHEN ck%6=1 THEN 'A'||(ck%5)||'/B'||ck
+                            WHEN ck%6=2 THEN 'R'||ck ELSE '-' END) AS v
+        FROM vis
+        UNION ALL
+        SELECT 'edge', 'gw'||ck||'#cc'||(ck%20),
+               'subjects~'||(CASE WHEN ck%6=3 THEN 'Person' ELSE 'Subject' END)
+        FROM vis WHERE ck%3=0
+        UNION ALL
+        SELECT 'edge', 'gw'||ck||'#ca'||(ck%10), 'contributors~Agent'
+        FROM vis WHERE ck%2=0
+        UNION ALL
+        SELECT 'edge', 'gw'||ck||'#cg'||(ck%7), 'genres~Genre'
+        FROM vis WHERE ck%5=0
+        UNION ALL
+        SELECT 'pid', 'gw'||ck,
+               CASE WHEN ck%6=0 THEN 'CP/'||ck||'~CP'
+                    WHEN ck%6=1 THEN 'B'||ck||'~A'||(ck%5)
+                    ELSE 'R'||ck||'~-' END
+        FROM vis WHERE ck%6 IN (0,1,2)
+        UNION ALL
+        SELECT 'conc', 'cc'||kn,
+               (CASE WHEN kn%3=0 THEN 'Mesh label '||kn ELSE 'Lc label '||(kn%10) END)
+               ||'~'||
+               (CASE WHEN kn%3=0 THEN 'Mesh label '||kn ELSE 'Lc label '||(kn%10) END)
+               ||'~'||
+               (CASE WHEN ckc%10=9 THEN 'Concept'
+                     WHEN ckc%6=3 THEN 'Person' ELSE 'Subject' END)
+               ||'~lc-subjects:L'||(kn%10)
+               ||(CASE WHEN kn%3=0 THEN ';nlm-mesh:M'||kn ELSE '' END)
+               ||'~cc'||((kn+10)%20)
+        FROM ks
+        UNION ALL
+        SELECT 'img', 'V'||ck, 'gw'||ck||'~T '||ck||'~'||f0||'~'||f7
+        FROM (
+          SELECT ck,
+            CAST(round(raw[1]/nrm, 4) AS VARCHAR) AS f0,
+            CAST(round(raw[8]/nrm, 4) AS VARCHAR) AS f7
+          FROM (
+            SELECT ck, raw, sqrt(list_sum(list_transform(raw, x -> x*x))) AS nrm
+            FROM (
+              SELECT ck, list_transform(range(0, 8), j ->
+                CAST(concat('0x', substr(md5('V'||ck||':'||j), 1, 8)) AS BIGINT)
+                / 2147483648.0 - 1.0) AS raw
+              FROM vis WHERE ck%2=0 AND ck%10<>0)))
+    """
+
+    # q78: deep-hierarchy stress — chain/children/shared-pid relations in
+    # closed form via DuckDB range() lists (parts(N_j): N5 has two child
+    # identifiers {N6, X}, every other interior node one)
+    sql["q78_deep_hierarchy"] = """
+        SELECT 'h'||ck AS work_id,
+          CASE
+            WHEN ck=5 THEN 'h6~1;h27~0;h28~0'
+            WHEN ck=4 THEN 'h5~2'
+            WHEN ck<=10 THEN 'h'||(ck+1)||'~1'
+            WHEN ck=11 THEN 'h12~0'
+            WHEN ck=13 THEN array_to_string(list_transform(range(14,27), i -> 'h'||i||'~0'), ';')
+            ELSE '' END AS parts_ids,
+          CASE
+            WHEN ck BETWEEN 2 AND 12 THEN array_to_string(
+              list_transform(range(ck-1,0,-1),
+                i -> 'h'||i||'~'||(CASE WHEN i=5 THEN 2 ELSE 1 END)), ';')
+            WHEN ck BETWEEN 14 AND 26 THEN 'h13~13'
+            WHEN ck IN (27,28) THEN 'h5~2;h4~1;h3~1;h2~1;h1~1'
+            ELSE '' END AS partof_ids,
+          CASE
+            WHEN ck<=12 THEN 'N1'||coalesce(array_to_string(list_transform(range(2,ck+1), i -> '/N'||i), ''),'')
+            WHEN ck=13 THEN 'S13'
+            WHEN ck<=26 THEN 'S13/K'||(ck-13)
+            WHEN ck<=28 THEN 'N1/N2/N3/N4/N5/X'
+            ELSE '' END AS cpath,
+          CASE
+            WHEN ck BETWEEN 2 AND 12 THEN array_to_string(list_transform(range(1,ck), i -> 'h'||i), ';')
+            WHEN ck BETWEEN 14 AND 26 THEN 'h13'
+            WHEN ck IN (27,28) THEN 'h1;h2;h3;h4;h5'
+            ELSE '' END AS f_partof_id
+        FROM (SELECT c_custkey AS ck FROM customer WHERE c_custkey>0 AND c_custkey<=40)
     """
     return sql

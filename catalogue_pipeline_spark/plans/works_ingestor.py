@@ -581,7 +581,11 @@ def indexable_works(extracted: DataFrame) -> DataFrame:
         F.filter(anc, lambda a: a.getField("label").isNotNull()),
         lambda a: _std_title(a.getField("label")),
     )
-    series_kept = _series_part_of(F.col("series_ancestors"), anc_titles)
+    series = F.coalesce(
+        F.col("series_ancestors"),
+        _empty("struct<title:string,work_type:string,num_children:int>"),
+    )
+    series_kept = _series_part_of(series, anc_titles)
 
     # ---- staged helper columns (one projection barrier keeps the final
     # section select's expression tree shallow — the documented
