@@ -53,6 +53,9 @@ HEADLINE = [
     "q28_pricing_summary",
     "q29_top_orders",
     "q30_nation_volume",
+    # round-5 addition: the works-ingestor document builder (the §3.3
+    # final-stage plan: hierarchy joins + full HOF section build)
+    "q75_indexable_works",
 ]
 
 

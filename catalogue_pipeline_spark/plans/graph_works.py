@@ -270,3 +270,58 @@ def work_hierarchy(
         )
     )
     return anc, chi
+
+
+def incremental_reingest_set(
+    changed_ids: DataFrame, works: DataFrame, max_hops: int = 16
+) -> DataFrame:
+    """The works-index extractor's incremental related-works expansion
+    (ingestor/extractors/works/works_index_extractor.py:56-99): when a
+    work changes, every work document that embeds it in ``partOf`` /
+    ``parts`` must be re-ingested — so the re-ingest set is the changed
+    works plus ALL their descendants plus their closest-parent works
+    (the reference adds ``ancestors[0]``; relationally that is every
+    work attached to the minimal-hops ancestor identifier).
+
+    changed_ids(work_id) → (work_id, reason ∈ changed|descendant|parent),
+    one row per (work, reason), deduplicated on work_id at the end the
+    way ``related_ids.difference(streamed_ids)`` does.  Shape: the same
+    bounded closure as work_hierarchy — identifier-keyed equi-joins, no
+    driver-side sets."""
+    attach, edges = path_identifier_graph(works)
+    closure = parent_closure(edges, max_hops)
+    changed = changed_ids.select("work_id").distinct()
+    ch_pids = changed.join(attach, "work_id").select(
+        F.col("work_id").alias("_src"), "pid"
+    )
+    # descendants: works attached to identifiers BELOW a changed pid
+    desc = (
+        ch_pids.join(
+            closure.select(F.col("anc_pid").alias("pid"),
+                           F.col("pid").alias("_dpid")),
+            "pid",
+        )
+        .join(attach.select(F.col("pid").alias("_dpid"),
+                            F.col("work_id").alias("desc_id")), "_dpid")
+        .select(F.col("desc_id").alias("work_id"), F.lit("descendant").alias("reason"))
+    )
+    # closest parent: the minimal-hops ancestor identifier's works
+    min_anc = (
+        ch_pids.join(closure, "pid")
+        .groupBy("_src")
+        .agg(F.min_by("anc_pid", "hops").alias("anc_pid"))
+        .join(attach.withColumnsRenamed({"pid": "anc_pid"}), "anc_pid")
+        .select("work_id", F.lit("parent").alias("reason"))
+    )
+    out = (
+        changed.select("work_id", F.lit("changed").alias("reason"))
+        .unionByName(desc)
+        .unionByName(min_anc)
+    )
+    # a work already in the changed set is not re-ingested twice
+    w = F.when(F.col("reason") == "changed", 0).otherwise(1)
+    return (
+        out.groupBy("work_id")
+        .agg(F.min(F.struct(w.alias("_p"), F.col("reason").alias("r"))).alias("m"))
+        .select("work_id", F.col("m.r").alias("reason"))
+    )

@@ -113,3 +113,98 @@ def indexable_images(
     docs = augmented.join(visible, "work_id")
     n_orphans = augmented.count() - docs.count()
     return docs, n_orphans
+
+
+def indexable_image_documents(images: DataFrame, work_docs: DataFrame) -> DataFrame:
+    """The full images-ingestor document builder
+    (ingestor/models/indexable/image.py:35-44 + display/query/aggregate/
+    filter/vector image models): each image document embeds its PARENT
+    work's computed sections, so this is a join of the augmented image
+    against the indexable-works output (plans/works_ingestor.
+    indexable_works) rather than a re-derivation — the reference calls the
+    same Display/Query/Aggregate work transformers on the extracted work.
+
+    ``images``: (image_id, work_id, locations array<loc struct>,
+    aspect_ratio, average_color_hex, features, palette_embedding).
+    ``work_docs``: indexable_works output.  Faithful quirks kept:
+    aggregatable licenses come from the WORK's item locations
+    (aggregate/image.py:24-29 uses AggregateWorkTransformer) while
+    filterable ``locations_license_id`` uses the IMAGE's own locations
+    (filter/image.py:44-46); missing inferred data defaults to
+    aspect_ratio 1.0 / average color '#ffffff' (display/image.py:66-67).
+    Orphan images (no VISIBLE parent work) drop out on the inner join
+    (images_extractor.py:50-59)."""
+    from .works_ingestor import _display_location
+
+    w = work_docs.filter(F.col("type") == "Visible").select(
+        F.col("work_id"),
+        F.col("display").alias("_wd"),
+        F.col("query").alias("_wq"),
+        F.col("aggregatable").alias("_wa"),
+        F.col("filterable").alias("_wf"),
+    )
+    out = images.join(w, "work_id")
+    locs = F.transform(F.col("locations"), _display_location)
+    thumb = F.element_at(
+        F.filter(locs, lambda loc: loc.getField("location_type_id") == "iiif-image"),
+        1,
+    )
+    wd, wq, wa, wf = F.col("_wd"), F.col("_wq"), F.col("_wa"), F.col("_wf")
+    return out.select(
+        "image_id",
+        "work_id",
+        F.struct(
+            F.col("image_id").alias("id"),
+            locs.alias("locations"),
+            thumb.alias("thumbnail"),
+            F.coalesce(F.col("aspect_ratio"), F.lit(1.0)).alias("aspect_ratio"),
+            F.coalesce(F.col("average_color_hex"), F.lit("#ffffff")).alias(
+                "average_color"
+            ),
+            F.struct(
+                wd.getField("id").alias("id"),
+                wd.getField("title").alias("title"),
+                wd.getField("contributors").alias("contributors"),
+                wd.getField("subjects").alias("subjects"),
+                wd.getField("genres").alias("genres"),
+                wd.getField("languages").alias("languages"),
+                F.lit("Work").alias("type"),
+            ).alias("source"),
+            F.lit("Image").alias("type"),
+        ).alias("display"),
+        F.struct(F.col("image_id").alias("id"), wq.alias("source")).alias("query"),
+        F.struct(
+            wa.getField("item_licenses").alias("licenses"),
+            wa.getField("contributors").alias("contributors"),
+            wa.getField("genres").alias("genres"),
+            wa.getField("subjects").alias("subjects"),
+        ).alias("aggregatable"),
+        F.struct(
+            F.filter(
+                F.transform(F.col("locations"), lambda loc: loc.getField("license_id")),
+                lambda x: x.isNotNull(),
+            ).alias("locations_license_id"),
+            wf.getField("contributors_agent_label").alias("source_contributors_agent_label"),
+            wf.getField("contributors_agent_id").alias("source_contributors_agent_id"),
+            wf.getField("contributors_agent_source_identifier").alias(
+                "source_contributors_agent_source_identifier"
+            ),
+            wf.getField("genres_label").alias("source_genres_label"),
+            wf.getField("genres_concepts_id").alias("source_genres_concepts_id"),
+            wf.getField("genres_concepts_source_identifier").alias(
+                "source_genres_concepts_source_identifier"
+            ),
+            wf.getField("subjects_label").alias("source_subjects_label"),
+            wf.getField("subjects_concepts_id").alias("source_subjects_concepts_id"),
+            wf.getField("subjects_concepts_source_identifier").alias(
+                "source_subjects_concepts_source_identifier"
+            ),
+            wf.getField("production_dates_range_from").alias(
+                "source_production_dates_range_from"
+            ),
+        ).alias("filterable"),
+        F.struct(
+            F.col("features").alias("features"),
+            F.col("palette_embedding").alias("palette_embedding"),
+        ).alias("vector_values"),
+    )

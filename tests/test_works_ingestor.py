@@ -453,3 +453,102 @@ def test_part_of_ids_root_first(spark):
     assert r["leaf"]["filterable"]["part_of_id"] == ["root", "mid"]
     assert [p["id"] for p in r["leaf"]["display"]["part_of"]] == ["mid", "root"]
     assert r["leaf"]["query"]["part_of_title"] == ["Title root", "Title mid"]
+
+
+# ------------------------------------------- incremental re-ingest expansion
+def test_incremental_reingest_set(spark):
+    from catalogue_pipeline_spark.plans.graph_works import incremental_reingest_set
+
+    rows = [
+        work("r", collection_path={"path": "R", "label": None}),
+        work("a", collection_path={"path": "R/A", "label": None}),
+        work("b", collection_path={"path": "A/B", "label": None}),
+        work("c", collection_path={"path": "B/C", "label": None}),
+        work("x", collection_path={"path": "R/X", "label": None}),
+        work("lone", collection_path=None),
+    ]
+    works = spark.createDataFrame(rows, WORK_SCHEMA)
+    changed = spark.createDataFrame([("a",)], "work_id string")
+    got = {
+        r["work_id"]: r["reason"]
+        for r in incremental_reingest_set(changed, works).collect()
+    }
+    # a changed → its descendants b, c re-ingest (their partOf embeds a),
+    # its parent r re-ingests (its parts embeds a); x and lone untouched
+    assert got == {"a": "changed", "b": "descendant", "c": "descendant",
+                   "r": "parent"}
+
+
+# ------------------------------------------------- indexable image documents
+def test_indexable_image_documents(spark):
+    from catalogue_pipeline_spark.plans.images import (
+        indexable_image_documents,
+        infer_features,
+    )
+
+    subj = {"concept_id": "s1", "label": "malaria", "identifiers": [],
+            "concept_type": "Subject", "concepts": [concept("s1", "malaria")]}
+    wrows = [
+        work("wk1", subjects=[subj],
+             items=[{"id": None, "identifiers": [], "title": None, "note": None,
+                     "locations": [loc(kind="digital", lt="iiif-presentation",
+                                       url="https://w", license_id="cc-by")]}]),
+        work("wk2", type="Deleted"),
+    ]
+    wdocs = indexable_works(
+        extract_works(spark.createDataFrame(wrows, WORK_SCHEMA),
+                      concept_labels=spark.createDataFrame(
+                          [("s1", "Malaria")],
+                          "concept_id string, display_label string")))
+    img_loc = [loc(kind="digital", lt="iiif-image", url="https://img/1",
+                   license_id="cc-by-nc"),
+               loc(kind="digital", lt="iiif-presentation", url="https://p/1")]
+    imgs = spark.createDataFrame(
+        [("im1", "wk1", img_loc, 1.5, "#123456", [0.1, 0.2]),
+         ("im2", "wk2", img_loc, None, None, None),
+         ("im3", "nope", img_loc, None, None, None)],
+        "image_id string, work_id string, locations array<struct<kind:string,"
+        "location_type_id:string,location_type_label:string,label:string,"
+        "shelfmark:string,url:string,link_text:string,credit:string,"
+        "created_date:string,license_id:string,access_status:string,"
+        "access_relationship:string>>, aspect_ratio double, "
+        "average_color_hex string, palette_embedding array<float>",
+    )
+    imgs = infer_features(imgs, dim=4)
+    docs = indexable_image_documents(imgs, wdocs)
+    rows = {r["image_id"]: r for r in docs.collect()}
+    # orphan (im3) and deleted-parent (im2) images are dropped
+    assert set(rows) == {"im1"}
+    d = rows["im1"]["display"]
+    assert d["aspect_ratio"] == 1.5 and d["average_color"] == "#123456"
+    # thumbnail = the iiif-image location
+    assert d["thumbnail"]["url"] == "https://img/1"
+    assert d["source"]["id"] == "wk1"
+    assert d["source"]["subjects"][0]["label"] == "Malaria"
+    # filterable licenses from the IMAGE's locations; aggregatable from the
+    # WORK's item locations — the reference's asymmetry
+    assert rows["im1"]["filterable"]["locations_license_id"] == ["cc-by-nc"]
+    assert [tuple(x)[0] for x in rows["im1"]["aggregatable"]["licenses"]] == ["cc-by"]
+    assert len(rows["im1"]["vector_values"]["features"]) == 4
+    assert rows["im1"]["query"]["source"]["id"] == "wk1"
+
+
+def test_indexable_image_defaults(spark):
+    from catalogue_pipeline_spark.plans.images import indexable_image_documents
+
+    wdocs = indexable_works(
+        extract_works(spark.createDataFrame([work("wk1")], WORK_SCHEMA)))
+    imgs = spark.createDataFrame(
+        [("im1", "wk1", [loc(kind="digital", lt="iiif-image", url="https://i")],
+          None, None, None, None)],
+        "image_id string, work_id string, locations array<struct<kind:string,"
+        "location_type_id:string,location_type_label:string,label:string,"
+        "shelfmark:string,url:string,link_text:string,credit:string,"
+        "created_date:string,license_id:string,access_status:string,"
+        "access_relationship:string>>, aspect_ratio double, "
+        "average_color_hex string, features array<float>, "
+        "palette_embedding array<float>",
+    )
+    d = indexable_image_documents(imgs, wdocs).collect()[0]["display"]
+    # display/image.py:66-67 defaults
+    assert d["aspect_ratio"] == 1.0 and d["average_color"] == "#ffffff"
