@@ -169,6 +169,12 @@ def parent_closure(edges: DataFrame, max_hops: int = 16) -> DataFrame:
         F.col("pid"), F.col("parent_pid").alias("anc_pid"), F.lit(1).alias("hops")
     )
     for _ in range(max_hops.bit_length() - 1):
+        # materialization barrier per round: without it each self-join
+        # re-EXPANDS the whole lineage (2^rounds copies of the edge scan —
+        # measured 454 exchanges / 91 input re-scans in the un-barriered
+        # plan).  The closure is ~depth × identifiers rows, tiny relative
+        # to the works table, so checkpointing it is the 100 TB shape.
+        r = r.localCheckpoint(eager=False)
         hop2 = (
             r.alias("a")
             .join(r.alias("b"), F.col("a.anc_pid") == F.col("b.pid"))
@@ -207,6 +213,11 @@ def work_hierarchy(
     from .works_ingestor import natural_sort_key_expr  # local to avoid a cycle
 
     attach, edges = path_identifier_graph(works)
+    # one truncated-lineage copy each: attach/edges/nodes are consumed by
+    # several joins below and inside the closure — without the barrier the
+    # works scan is re-expanded once per reference
+    attach = attach.localCheckpoint(eager=False)
+    edges = edges.localCheckpoint(eager=False)
     nodes = work_nodes(works).select(
         F.col("id").alias("_nid"),
         F.col("label").alias("_label"),
