@@ -4191,8 +4191,43 @@ def _q77_graph_works_composite(spark, sf_dir):
         ).alias("v"),
     )
 
+    # HAS_SOURCE_CONCEPT edges (plans/concepts.concept_source_edges):
+    # label-derived main/alt matches, mesh identifier+substring gate with
+    # qualifier split, loc existence, weco-authority override
+    from catalogue_pipeline_spark.plans.concepts import concept_source_edges
+
+    cse_concepts = base.filter((F.col("ck") >= 21) & (F.col("ck") <= 44)).selectExpr(
+        "CASE WHEN ck%4=0 THEN 'wc'||cast(ck as string) ELSE 'k'||cast(ck as string) END as concept_id",
+        "CASE WHEN ck%4=1 THEN (CASE WHEN ck%8=1 THEN 'tacos' ELSE 'etching_s' END) "
+        "WHEN ck%4=2 THEN (CASE WHEN ck%8=2 THEN 'malaria care' ELSE 'other' END) "
+        "ELSE 'whatever' END as label",
+        "'Concept' as concept_type",
+        "CASE WHEN ck%4=1 THEN 'label-derived' WHEN ck%4=2 THEN 'nlm-mesh' "
+        "WHEN ck%4=3 THEN 'lc-subjects' ELSE 'viaf' END as source",
+        "CASE WHEN ck%4=2 THEN (CASE WHEN ck%8=2 THEN 'D008288Q000517' ELSE 'D008288' END) "
+        "WHEN ck%4=3 THEN (CASE WHEN ck%8=3 THEN 'sh00000002' ELSE 'sh99999999' END) "
+        "ELSE 'x' END as source_value",
+    )
+    cse_onto = spark.createDataFrame(
+        [("sh00000002", "Tacos", [], "lc-subjects"),
+         ("sh85045046", "Etching", ["etching_s"], "lc-subjects"),
+         ("D008288", "Malaria", [], "nlm-mesh"),
+         ("weco:wc24", "", [], "weco-authority"),
+         ("weco:wc32", "", [], "weco-authority"),
+         ("weco:wc40", "", [], "weco-authority")],
+        "id string, label string, alternative_labels array<string>, source string",
+    )
+    p_cse = concept_source_edges(cse_concepts, cse_onto).select(
+        F.lit("cse").alias("probe"),
+        F.col("concept_id").alias("k"),
+        F.concat_ws(
+            "~", "source_concept_id", "matched_by",
+            F.coalesce("qualifier", F.lit("-")),
+        ).alias("v"),
+    )
+
     out = p_node
-    for p_ in [p_edge, p_pid, p_conc, p_img]:
+    for p_ in [p_edge, p_pid, p_conc, p_img, p_cse]:
         out = out.unionByName(p_)
     return _materialize(out, "q77")
 
@@ -6592,6 +6627,16 @@ def oracle_sql() -> dict[str, str]:
                ||(CASE WHEN kn%3=0 THEN ';nlm-mesh:M'||kn ELSE '' END)
                ||'~cc'||((kn+10)%20)
         FROM ks
+        UNION ALL
+        SELECT 'cse',
+               CASE WHEN ck%4=0 THEN 'wc'||ck ELSE 'k'||ck END,
+               CASE WHEN ck%8=1 THEN 'sh00000002~label~-'
+                    WHEN ck%8=5 THEN 'sh85045046~label~-'
+                    WHEN ck%8=2 THEN 'D008288~identifier~Q000517'
+                    WHEN ck%8=3 THEN 'sh00000002~identifier~-'
+                    ELSE 'weco:wc'||ck||'~identifier~-' END
+        FROM b WHERE ck BETWEEN 21 AND 44
+          AND ck%8 IN (1,5,2,3,0)
         UNION ALL
         SELECT 'img', 'V'||ck, 'gw'||ck||'~T '||ck||'~'||f0||'~'||f7
         FROM (

@@ -252,3 +252,156 @@ def related_concepts(
         ),
     )
     return ranked.filter(F.col("rank") <= limit)
+
+
+# ---------------------------------------------- HAS_SOURCE_CONCEPT edges
+AGENT_TYPES = ("Person", "Agent", "Organisation")
+LABEL_MATCH_SOURCES_BY_PRIORITY = ["nlm-mesh", "lc-subjects", "lc-names"]
+AMBIGUITY_THRESHOLD = 1
+# catalogue/data/concept_label_deny_list.txt (2 entries, public)
+CONCEPT_LABEL_DENY_LIST = ["siamese", "consumption"]
+
+
+def concept_source_edges(concepts: DataFrame, ontology: DataFrame) -> DataFrame:
+    """Catalogue-concept → source-concept HAS_SOURCE_CONCEPT edges
+    (catalogue/concepts_transformer.py:45-96 + raw_concept.py:29-107 +
+    id_label_checker.py:37-160), re-expressed as joins against the
+    bulk-loaded ontology instead of driver-side dicts:
+
+      * **label-matched** (``matched_by='label'``): label-derived concepts
+        only; normalised (lowercased) label equality against MAIN ontology
+        labels first — walking nlm-mesh → lc-subjects → lc-names priority —
+        then against alternative labels, where a label matching more than
+        AMBIGUITY_THRESHOLD source ids within one source is discarded,
+        agents never match mesh/lc-subjects alternatives, non-agents never
+        match lc-names alternatives; deny-listed labels never match.
+        (Deviation: ties inside one source resolve to MIN(source_id) — the
+        reference keeps CSV insertion order, which is not reproducible
+        relationally.)
+      * **identifier-matched** (``matched_by='identifier'``): the concept's
+        own source id must exist in the ontology; MeSH additionally demands
+        a source label (main or alternative) be a SUBSTRING of the
+        concept's lowercased label, and carries the ``Q\\d+`` qualifier
+        split out of the raw value.
+      * **weco authority**: an edge to ``weco:<canonical id>`` whenever the
+        name authority has a record keyed by this concept's canonical id.
+
+    concepts(concept_id, label, concept_type, source, source_value);
+    ontology(id, label, alternative_labels array, source).  Output:
+    (concept_id, source_concept_id, matched_by, qualifier).  Every stage
+    is an equi-join on a label or id; the ontology side is dimension-sized
+    (broadcastable)."""
+    norm = F.lower(F.col("label"))
+    onto = ontology.select(
+        F.col("id").alias("sid"),
+        F.lower(F.col("label")).alias("olabel"),
+        F.transform(
+            F.coalesce("alternative_labels", F.array().cast("array<string>")),
+            F.lower,
+        ).alias("oalts"),
+        F.col("source").alias("osource"),
+    )
+    pri = F.coalesce(
+        *[
+            F.when(F.col("osource") == s, F.lit(i))
+            for i, s in enumerate(LABEL_MATCH_SOURCES_BY_PRIORITY)
+        ]
+    )
+
+    # ---- label matching (label-derived concepts only)
+    ld = concepts.filter(
+        (F.col("source") == "label-derived") & ~norm.isin(*CONCEPT_LABEL_DENY_LIST)
+    ).select("concept_id", norm.alias("nlabel"), "concept_type")
+    main_lab = onto.filter(pri.isNotNull()).select(
+        F.col("olabel").alias("nlabel"), "sid", pri.alias("pri")
+    )
+    best_main = (
+        ld.join(main_lab, "nlabel")
+        .groupBy("concept_id")
+        .agg(F.min(F.struct("pri", "sid")).alias("m"))
+        .select("concept_id", F.col("m.sid").alias("source_concept_id"))
+    )
+    # alternative labels: per (source, label) ambiguity gate FIRST, then
+    # the type gates, then priority election
+    alts = (
+        onto.filter(pri.isNotNull())
+        .select("sid", pri.alias("pri"), F.col("osource"),
+                F.explode("oalts").alias("nlabel"))
+        .filter(F.col("nlabel") != "")
+    )
+    alt_uniq = (
+        alts.groupBy("osource", "pri", "nlabel")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("sid").alias("sid"))
+        .filter(F.col("n") <= AMBIGUITY_THRESHOLD)
+    )
+    is_agent = F.col("concept_type").isin(*AGENT_TYPES)
+    alt_match = (
+        ld.join(alt_uniq, "nlabel")
+        .filter(
+            ~(is_agent & F.col("osource").isin("nlm-mesh", "lc-subjects"))
+            & ~(~is_agent & (F.col("osource") == "lc-names"))
+        )
+        .groupBy("concept_id")
+        .agg(F.min(F.struct("pri", "sid")).alias("m"))
+        .select("concept_id", F.col("m.sid").alias("source_concept_id"))
+    )
+    label_edges = (
+        best_main.withColumn("rank", F.lit(0))
+        .unionByName(alt_match.withColumn("rank", F.lit(1)))
+        .groupBy("concept_id")
+        .agg(F.min(F.struct("rank", "source_concept_id")).alias("m"))
+        .select(
+            "concept_id",
+            F.col("m.source_concept_id").alias("source_concept_id"),
+            F.lit("label").alias("matched_by"),
+            F.lit(None).cast("string").alias("qualifier"),
+        )
+    )
+
+    # ---- identifier matching
+    qual = F.when(
+        F.col("source") == "nlm-mesh",
+        F.regexp_extract(F.col("source_value"), "Q\\d+", 0),
+    )
+    qual = F.when(qual.isNotNull() & (qual != ""), qual)
+    sid_val = F.when(
+        qual.isNotNull(), F.replace(F.col("source_value"), qual, F.lit(""))
+    ).otherwise(F.col("source_value"))
+    ided = concepts.filter(
+        F.col("source").isin("nlm-mesh", "lc-subjects", "lc-names")
+    ).select(
+        "concept_id", norm.alias("nlabel"), "source",
+        sid_val.alias("sid"), qual.alias("qualifier"),
+    )
+    id_join = ided.join(
+        onto.withColumnsRenamed({"osource": "source"}), ["sid", "source"]
+    )
+    mesh_ok = F.exists(
+        F.concat(F.array(F.col("olabel")), F.col("oalts")),
+        lambda lab: (lab != "") & F.col("nlabel").contains(lab),
+    )
+    id_edges = id_join.filter(
+        (F.col("source") != "nlm-mesh") | mesh_ok
+    ).select(
+        "concept_id",
+        F.col("sid").alias("source_concept_id"),
+        F.lit("identifier").alias("matched_by"),
+        "qualifier",
+    )
+
+    # ---- weco authority override
+    weco = onto.filter(F.col("osource") == "weco-authority").select(
+        F.col("sid").alias("source_concept_id")
+    )
+    weco_edges = concepts.join(
+        weco,
+        F.concat(F.lit("weco:"), F.col("concept_id"))
+        == weco.source_concept_id,
+    ).select(
+        "concept_id",
+        "source_concept_id",
+        F.lit("identifier").alias("matched_by"),
+        F.lit(None).cast("string").alias("qualifier"),
+    )
+
+    return label_edges.unionByName(id_edges).unionByName(weco_edges)

@@ -373,3 +373,25 @@ def transform_wikidata_edges(raw_edges: DataFrame) -> DataFrame:
         "relationship",
     )
     return typed.unionByName(back)
+
+
+# ------------------------------------------------------- weco authority
+def transform_weco(records: DataFrame) -> DataFrame:
+    """Wellcome name-authority CSV rows → SourceConcept nodes
+    (graph/transformers/weco_concepts/concepts_transformer.py:29-37):
+    ids prefixed ``weco:`` (the raw id doubles as the canonical id of the
+    catalogue concept the record overrides), trimmed label/description,
+    ``||``-split image urls.  HAS_SOURCE_CONCEPT edges for these start at
+    catalogue concepts and are produced by ``plans/concepts.
+    concept_source_edges`` instead (the transformer raises
+    NotImplementedError for edges, concepts_transformer.py:39-44)."""
+    img = F.coalesce(F.col("image_url"), F.lit(""))
+    return records.select(
+        F.concat(F.lit("weco:"), F.trim(F.col("id"))).alias("id"),
+        F.trim(F.col("label")).alias("label"),
+        F.lit("weco-authority").alias("source"),
+        F.trim(F.coalesce(F.col("description"), F.lit(""))).alias("description"),
+        F.when(img == "", F.array().cast("array<string>")).otherwise(
+            F.split(img, "\\|\\|")
+        ).alias("image_urls"),
+    )
