@@ -361,3 +361,39 @@ def indexable_concepts(
         F.coalesce(F.col("identifiers"), empty).alias("identifiers"),
         F.coalesce(F.col("same_as"), empty).alias("same_as"),
     )
+
+
+def inconsistent_concept_types(
+    concepts: DataFrame, has_concept: DataFrame
+) -> DataFrame:
+    """The graph data-quality check (graph/data_validation/
+    concept_types.py:21-60): a concept's combination of HAS_CONCEPT
+    referenced types is consistent when — after dropping the
+    always-compatible 'Concept' and 'Subject' — at most one type remains,
+    or the remainder is exactly {Agent, Organisation} or {Agent, Person}.
+    Returns the inconsistent rows (concept_id, concept_label,
+    concept_types '||'-joined, SORTED for determinism where the
+    reference keeps graph-return order).  One groupBy + one join — no
+    paging loop; the reference's SKIP/LIMIT scan is the shuffle."""
+    types = has_concept.groupBy("concept_id").agg(
+        F.array_sort(F.collect_set("referenced_type")).alias("_types")
+    )
+    rest = F.array_except(F.col("_types"), F.array(F.lit("Concept"), F.lit("Subject")))
+    ok = (
+        (F.size(rest) <= 1)
+        | (rest == F.array(F.lit("Agent"), F.lit("Organisation")))
+        | (rest == F.array(F.lit("Agent"), F.lit("Person")))
+    )
+    return (
+        concepts.join(types, "concept_id", "left")
+        .withColumn(
+            "_types",
+            F.coalesce(F.col("_types"), F.array().cast("array<string>")),
+        )
+        .filter(~ok)
+        .select(
+            "concept_id",
+            F.col("label").alias("concept_label"),
+            F.array_join("_types", "||").alias("concept_types"),
+        )
+    )

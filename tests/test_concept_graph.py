@@ -245,3 +245,31 @@ def test_cross_source_collection_paths(spark):
     # one tree, one query
     assert ("u2", "u1") in pairs
     assert ("9175i", "WA") in pairs
+
+
+def test_inconsistent_concept_types(spark):
+    from catalogue_pipeline_spark.plans.concept_graph import (
+        inconsistent_concept_types,
+    )
+
+    concepts = spark.createDataFrame(
+        [("c1", "ok single"), ("c2", "agent org"), ("c3", "agent person"),
+         ("c4", "person place"), ("c5", "untyped"), ("c6", "genre person"),
+         ("c7", "subject noise ok")],
+        "concept_id string, label string",
+    )
+    hc = spark.createDataFrame(
+        [("c1", "Person"), ("c1", "Concept"),
+         ("c2", "Agent"), ("c2", "Organisation"),
+         ("c3", "Agent"), ("c3", "Person"), ("c3", "Subject"),
+         ("c4", "Person"), ("c4", "Place"),
+         ("c6", "Genre"), ("c6", "Person"),
+         ("c7", "Subject"), ("c7", "Concept"), ("c7", "Genre")],
+        "concept_id string, referenced_type string",
+    )
+    got = {r["concept_id"]: r["concept_types"]
+           for r in inconsistent_concept_types(concepts, hc).collect()}
+    # only incompatible combinations are flagged; Concept/Subject never count
+    assert set(got) == {"c4", "c6"}
+    assert got["c4"] == "Person||Place"
+    assert got["c6"] == "Genre||Person"
