@@ -336,3 +336,40 @@ def incremental_reingest_set(
         .agg(F.min(F.struct(w.alias("_p"), F.col("reason").alias("r"))).alias("m"))
         .select("work_id", F.col("m.r").alias("reason"))
     )
+
+
+def image_nodes_and_edges(images: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Catalogue→graph IMAGE nodes + WorkHasImage edges
+    (graph/transformers/catalogue/images_transformer.py:25-59): each
+    augmented image's iiif-image location becomes the node's
+    location_type/url; a missing iiif-image location or an access
+    condition other than a single ViewOnline/Open is flagged instead of
+    raised (``error`` column — the engine's no-exceptions-on-executors
+    policy; the reference raises per record).
+
+    images(image_id, work_id, locations array<loc struct with
+    access_status/access_relationship as elected condition>).  Returns
+    (nodes, edges); nodes carry ``error`` for the reference's ValueError
+    cases."""
+    iiif = F.try_element_at(
+        F.filter(
+            F.col("locations"),
+            lambda loc: loc.getField("location_type_id") == "iiif-image",
+        ),
+        F.lit(1),
+    )
+    ok_access = iiif.isNotNull() & (
+        F.coalesce(iiif.getField("access_status"), F.lit("")) == "Open"
+    )
+    nodes = images.select(
+        F.col("image_id").alias("id"),
+        iiif.getField("location_type_id").alias("location_type"),
+        iiif.getField("url").alias("location_url"),
+        F.when(iiif.isNull(), F.lit("no-iiif-image-location"))
+        .when(~ok_access, F.lit("unexpected-access-conditions"))
+        .alias("error"),
+    )
+    edges = images.select(
+        F.col("work_id").alias("from_id"), F.col("image_id").alias("to_id")
+    )
+    return nodes, edges

@@ -145,9 +145,9 @@ def indexable_image_documents(images: DataFrame, work_docs: DataFrame) -> DataFr
     )
     out = images.join(w, "work_id")
     locs = F.transform(F.col("locations"), _display_location)
-    thumb = F.element_at(
+    thumb = F.try_element_at(
         F.filter(locs, lambda loc: loc.getField("location_type_id") == "iiif-image"),
-        1,
+        F.lit(1),
     )
     wd, wq, wa, wf = F.col("_wd"), F.col("_wq"), F.col("_wa"), F.col("_wf")
     return out.select(

@@ -552,3 +552,28 @@ def test_indexable_image_defaults(spark):
     d = indexable_image_documents(imgs, wdocs).collect()[0]["display"]
     # display/image.py:66-67 defaults
     assert d["aspect_ratio"] == 1.0 and d["average_color"] == "#ffffff"
+
+
+def test_image_nodes_and_edges(spark):
+    from catalogue_pipeline_spark.plans.graph_works import image_nodes_and_edges
+
+    imgs = spark.createDataFrame(
+        [("im1", "wk1", [loc(kind="digital", lt="iiif-image", url="https://i/1",
+                             access_status="Open"),
+                         loc(kind="digital", lt="iiif-presentation", url="https://p")]),
+         ("im2", "wk1", [loc(kind="digital", lt="iiif-presentation", url="https://p")]),
+         ("im3", "wk2", [loc(kind="digital", lt="iiif-image", url="https://i/3",
+                             access_status="Restricted")])],
+        "image_id string, work_id string, locations array<struct<kind:string,"
+        "location_type_id:string,location_type_label:string,label:string,"
+        "shelfmark:string,url:string,link_text:string,credit:string,"
+        "created_date:string,license_id:string,access_status:string,"
+        "access_relationship:string>>",
+    )
+    nodes, edges = image_nodes_and_edges(imgs)
+    n = {r["id"]: r.asDict() for r in nodes.collect()}
+    assert n["im1"]["location_url"] == "https://i/1" and n["im1"]["error"] is None
+    assert n["im2"]["error"] == "no-iiif-image-location"
+    assert n["im3"]["error"] == "unexpected-access-conditions"
+    e = {(r["from_id"], r["to_id"]) for r in edges.collect()}
+    assert ("wk1", "im1") in e and len(e) == 3
