@@ -4006,6 +4006,22 @@ def _q74_composite_probes(spark, sf_dir):
     q16 = _q16_chunking(spark, sf_dir)
     q19 = _q19_trace_ids(spark, sf_dir)
     q36 = _q36_conflict_detection(spark, sf_dir)
+    z79 = _z79_axiell_transform(spark, sf_dir)
+    _ax_fields = [
+        "type", "deleted_reason", "error", "title", "work_type", "ref_no",
+        "alt_ref_no", "predecessor_id", "ids_csv", "format_id",
+        "format_label", "access_status", "description", "subj_csv",
+        "sid_csv", "contrib_csv", "langs_csv", "notes_csv", "terms_of_use",
+        "production_label", "prod_csv", "source_modified_time", "version",
+        "mc_csv", "arrangement",
+    ]
+    v79 = F.concat_ws(
+        "#",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+            for c in _ax_fields
+        ],
+    )
     parts = [
         rows("q04", q04, F.col("user_id"),
              F.concat_ws(":", F.date_format("max_ts", ts_fmt), F.col("n_events"))),
@@ -4019,6 +4035,7 @@ def _q74_composite_probes(spark, sf_dir):
         rows("q36", q36, F.concat_ws("|", "user_id", "event_type"),
              F.concat_ws("#", F.date_format("day", "yyyy-MM-dd"),
                          F.col("n_variants"))),
+        rows("q79", z79, F.col("id"), v79),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -4330,6 +4347,134 @@ def _q76_cdc_detection_composite(spark, sf_dir):
     return out
 
 
+def _z79_axiell_transform(spark, sf_dir):
+    """Axiell MARCXML transformer slice (plans/axiell_transform.py) driver-
+    oracled: records are GENERATED deterministically from customer (ck
+    1..400), exercising catalogue-status/publish-to-web/AMSG suppression,
+    the 351 level table with an unknown-level error, 035 origin-code
+    identifiers (Bibliographic Number dot-strip, Library Reference Number
+    split), 907 predecessor UUIDs, 506 access status + terms-of-use
+    composition, 546 separator-split languages, 653/720 concepts, 655
+    born-digital format, 046/264 production dates, arrangement notes and
+    the deleted flag; the oracle recomputes every field in CLOSED FORM
+    from c_custkey (reference scenarios: tests/adapters/transformers/
+    axiell/).  Folded into q74 as probe 'q79' for the driver window."""
+    from catalogue_pipeline_spark.plans.axiell_transform import transform_axiell
+
+    ck = F.col("c_custkey")
+    cks = ck.cast("string")
+    sf = lambda c, v: F.concat(  # noqa: E731
+        F.lit(f'<subfield code="{c}">'), v, F.lit("</subfield>")
+    )
+    df_ = lambda tag, *subs: F.concat(  # noqa: E731
+        F.lit(f'<datafield tag="{tag}">'), *subs, F.lit("</datafield>")
+    )
+    opt = lambda cond, col: F.when(cond, col).otherwise(F.lit(""))  # noqa: E731
+
+    level = (
+        F.when(ck % 17 == 9, F.lit("shoebox"))
+        .when(ck % 4 == 0, F.lit("collection"))
+        .when(ck % 4 == 1, F.lit("series"))
+        .when(ck % 4 == 2, F.lit("item"))
+        .otherwise(F.lit("file"))
+    )
+    status_field = (
+        F.when(ck % 5 == 0, F.lit("catalogued"))
+        .when(ck % 5 == 1, F.lit("partially complete"))
+        .when(ck % 5 == 2, F.lit("draft"))
+        .when(ck % 5 == 4, F.lit("mangled"))
+    )
+    uuid = F.concat(
+        F.lpad(F.lower(F.hex(ck)), 8, "0"), F.lit("-0000-4000-8000-000000000000")
+    )
+    content = F.concat(
+        F.lit("<record>"),
+        F.concat(F.lit('<controlfield tag="001">ax'), cks, F.lit("</controlfield>")),
+        F.lit('<controlfield tag="005">20240101120000.0</controlfield>'),
+        df_("245", sf("a", F.concat(F.lit("Axiell Work "), cks))),
+        opt(ck % 13 != 7, df_("035", sf("a", F.concat(F.lit("(Calm RefNo)REF/"), cks)))),
+        opt(ck % 3 == 0, df_("035", sf("a", F.concat(F.lit("(Bibliographic Number).b00"), cks)))),
+        opt(ck % 4 == 0, df_("035", sf("a", F.concat(F.lit("(Library Reference Number)20385i."), cks)))),
+        opt((ck % 9 == 0) & (ck % 11 != 5), df_("035", sf("a", F.concat(F.lit("(Library Reference Number)AA/"), cks)))),
+        opt(ck % 11 == 5, df_("035", sf("a", F.concat(F.lit("(AltRefNo)AMSG-G"), cks)))),
+        df_("351", sf("c", level)),
+        opt(ck % 14 == 2, df_("351", sf("b", F.lit("Arranged by year.")))),
+        opt(
+            status_field.isNotNull(),
+            F.concat(
+                F.lit('<datafield tag="583" ind1="0" ind2=" ">'),
+                sf("l", F.coalesce(status_field, F.lit(""))),
+                F.lit("</datafield>"),
+            ),
+        ),
+        opt(ck % 7 == 3, df_("981", sf("a", F.lit("no")))),
+        opt(ck % 8 == 1, df_("907", sf("a", uuid))),
+        opt(ck % 5 == 0, df_("506", sf("f", F.lit("CLOSED")), sf("g", F.lit("2999-01-01")))),
+        opt(ck % 8 == 7, df_("506", sf("a", F.concat(F.lit("Cond "), cks)))),
+        opt(ck % 8 == 5, df_("520", sf("a", F.concat(F.lit("Desc "), cks, F.lit("."))))),
+        opt(ck % 6 == 2, df_("653", sf("a", F.concat(F.lit("Subject "), cks, F.lit("."))))),
+        opt(ck % 7 == 0, df_("720", sf("a", F.concat(F.lit("Person "), cks)))),
+        opt(ck % 9 == 4, df_("546", sf("a", F.lit("English; French")))),
+        opt(
+            ck % 12 == 6,
+            F.concat(
+                F.lit('<datafield tag="655" ind1=" " ind2="7">'),
+                sf("a", F.lit("Archives - Digital")),
+                sf("2", F.lit("local")),
+                F.lit("</datafield>"),
+            ),
+        ),
+        opt(
+            ck % 10 == 3,
+            F.concat(
+                F.lit('<datafield tag="264" ind1=" " ind2="0">'),
+                sf("c", F.lit("1930s")),
+                F.lit("</datafield>"),
+                df_("046", sf("k", F.lit("1930")), sf("l", F.lit("1939"))),
+            ),
+        ),
+        F.lit("</record>"),
+    )
+    records = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .filter((ck > 0) & (ck <= 400))
+        .select(
+            F.concat(F.lit("ax"), cks).alias("id"),
+            content.alias("content"),
+            (ck % 10 == 0).alias("deleted"),
+        )
+    )
+    out = transform_axiell(records, today="2025-01-01")
+    return out.select(
+        "id",
+        "type",
+        "deleted_reason",
+        "error",
+        "title",
+        "work_type",
+        "ref_no",
+        "alt_ref_no",
+        "predecessor_id",
+        F.concat_ws(",", "other_identifiers").alias("ids_csv"),
+        "format_id",
+        "format_label",
+        "access_status",
+        "description",
+        F.concat_ws(",", "subjects").alias("subj_csv"),
+        F.concat_ws(",", "subject_ids").alias("sid_csv"),
+        F.concat_ws(",", "contributors").alias("contrib_csv"),
+        F.concat_ws(",", "languages").alias("langs_csv"),
+        F.concat_ws("|", "notes").alias("notes_csv"),
+        "terms_of_use",
+        "production_label",
+        F.concat_ws(",", "production_dates").alias("prod_csv"),
+        "source_modified_time",
+        "version",
+        F.concat_ws(",", "merge_candidates").alias("mc_csv"),
+        "arrangement",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver registry.  The FIRST 50 entries (also the 50 first names in
     sorted order — every windowed name is q-prefixed, every demoted probe is
@@ -4418,6 +4563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "z34_simhash": _q34_simhash,
         "z36_conflict_detection": _q36_conflict_detection,
         "z41_conversation_docs": _q41_conversation_docs,
+        "z79_axiell_transform": _z79_axiell_transform,
     }
 
 
@@ -6410,6 +6556,77 @@ def oracle_sql() -> dict[str, str]:
                NULL, TRUE
         FROM f WHERE has_calm
     """
+    # z79: the Axiell transformer slice — every generated record's work
+    # fields recomputed in closed form from c_custkey (suppression order,
+    # error precedence, identifier schemes, access/terms composition).
+    sql["z79_axiell_transform"] = """
+        WITH b AS (
+          SELECT c_custkey AS ck,
+                 c_custkey % 10 = 0 AS del,
+                 c_custkey % 5 AS st,
+                 (c_custkey % 7 = 3) AS pubno,
+                 (c_custkey % 11 = 5) AS amsg,
+                 (c_custkey % 13 = 7) AS noref,
+                 (c_custkey % 17 = 9) AS badlvl
+          FROM customer WHERE c_custkey > 0 AND c_custkey <= 400),
+        c AS (
+          SELECT *, (st IN (2,3) OR pubno OR amsg) AS sup,
+            CASE WHEN del THEN NULL
+                 WHEN st = 4 THEN 'Unexpected Axiell catalogue status (record progress) value ''mangled'' on record ''ax' || ck || '''.'
+                 WHEN (st IN (2,3) OR pubno OR amsg) THEN NULL
+                 WHEN noref THEN 'Missing RefNo on work ''ax' || ck || '''.'
+                 WHEN badlvl THEN 'Unknown hierarchical level ''shoebox'' on record ''ax' || ck || '''.'
+                 END AS err
+          FROM b),
+        d AS (
+          SELECT *,
+            CASE WHEN err IS NOT NULL THEN 'Error'
+                 WHEN del OR sup THEN 'Deleted' ELSE 'Visible' END AS typ,
+            CASE WHEN ck % 5 = 0 AND ck % 8 = 7 THEN 'Cond ' || ck || '. Closed until 1 January 2999.'
+                 WHEN ck % 5 = 0 THEN 'Closed until 1 January 2999.'
+                 WHEN ck % 8 = 7 THEN 'Cond ' || ck || '.' END AS tou_raw
+          FROM c),
+        e AS (SELECT *, (typ = 'Visible') AS vis FROM d)
+        SELECT 'ax' || ck AS id,
+          typ AS type,
+          CASE WHEN err IS NULL AND del THEN 'deleted-from-source'
+               WHEN err IS NULL AND sup THEN 'suppressed: Axiell' END AS deleted_reason,
+          err AS error,
+          CASE WHEN vis THEN 'Axiell Work ' || ck END AS title,
+          CASE WHEN vis THEN CASE ck % 4 WHEN 0 THEN 'Collection' WHEN 1 THEN 'Series' ELSE 'Standard' END END AS work_type,
+          CASE WHEN vis THEN 'REF/' || ck END AS ref_no,
+          CASE WHEN vis AND ck % 9 = 0 AND NOT amsg THEN 'AA/' || ck END AS alt_ref_no,
+          CASE WHEN vis AND ck % 8 = 1 THEN lpad(lower(hex(ck)), 8, '0') || '-0000-4000-8000-000000000000' END AS predecessor_id,
+          CASE WHEN vis THEN concat_ws(',',
+              'calm-ref-no:REF/' || ck,
+              CASE WHEN ck % 3 = 0 THEN 'sierra-system-number:b00' || ck END,
+              CASE WHEN ck % 4 = 0 THEN 'iconographic-number:20385i.' || ck END,
+              CASE WHEN ck % 9 = 0 AND NOT amsg THEN 'calm-altref-no:AA/' || ck END)
+            ELSE '' END AS ids_csv,
+          CASE WHEN vis THEN CASE WHEN ck % 12 = 6 THEN 'hdig' ELSE 'h' END END AS format_id,
+          CASE WHEN vis THEN CASE WHEN ck % 12 = 6 THEN 'Born-digital archives' ELSE 'Archives and manuscripts' END END AS format_label,
+          CASE WHEN vis AND ck % 5 = 0 THEN 'closed' END AS access_status,
+          CASE WHEN vis AND ck % 8 = 5 THEN 'Desc ' || ck || '.' END AS description,
+          CASE WHEN vis AND ck % 6 = 2 THEN 'Subject ' || ck ELSE '' END AS subj_csv,
+          CASE WHEN vis AND ck % 6 = 2 THEN 'subject ' || ck ELSE '' END AS sid_csv,
+          CASE WHEN vis AND ck % 7 = 0 THEN 'Person ' || ck ELSE '' END AS contrib_csv,
+          CASE WHEN vis AND ck % 9 = 4 THEN 'eng~English,fre~French' ELSE '' END AS langs_csv,
+          CASE WHEN vis THEN concat_ws('|',
+              CASE WHEN ck % 14 = 2 THEN 'arrangement-note~Arranged by year.' END,
+              CASE WHEN tou_raw IS NOT NULL THEN 'terms-of-use~' || tou_raw END)
+            ELSE '' END AS notes_csv,
+          CASE WHEN vis THEN tou_raw END AS terms_of_use,
+          CASE WHEN vis AND ck % 10 = 3 THEN '1930s' END AS production_label,
+          CASE WHEN vis AND ck % 10 = 3 THEN '1930-01-01T00:00:00Z..1939-12-31T23:59:59.999999999Z' ELSE '' END AS prod_csv,
+          CASE WHEN err IS NULL THEN '2024-01-01T12:00:00Z' END AS source_modified_time,
+          CASE WHEN err IS NULL THEN CAST(1704110400 AS BIGINT) END AS version,
+          CASE WHEN vis THEN concat_ws(',',
+              'Archivematica work~calm-ref-no:REF/' || ck,
+              CASE WHEN ck % 3 = 0 THEN 'CALM/Sierra harvest work~sierra-system-number:b00' || ck END)
+            ELSE '' END AS mc_csv,
+          CASE WHEN vis AND ck % 14 = 2 THEN 'Arranged by year.' END AS arrangement
+        FROM e
+    """
     # q74: the folded single-aggregate probes — each branch reuses the
     # demoted query's own oracle verbatim, normalized to (probe, k, v).
     sql["q74_composite_probes"] = f"""
@@ -6437,6 +6654,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'q36', CAST(user_id AS VARCHAR) || '|' || event_type,
                strftime(day, '%Y-%m-%d') || '#' || CAST(n_variants AS VARCHAR)
         FROM ({sql['z36_conflict_detection']})
+        UNION ALL
+        SELECT 'q79', id, concat_ws('#',
+               coalesce(CAST(type AS VARCHAR), '<null>'),
+               coalesce(CAST(deleted_reason AS VARCHAR), '<null>'),
+               coalesce(CAST(error AS VARCHAR), '<null>'),
+               coalesce(CAST(title AS VARCHAR), '<null>'),
+               coalesce(CAST(work_type AS VARCHAR), '<null>'),
+               coalesce(CAST(ref_no AS VARCHAR), '<null>'),
+               coalesce(CAST(alt_ref_no AS VARCHAR), '<null>'),
+               coalesce(CAST(predecessor_id AS VARCHAR), '<null>'),
+               coalesce(CAST(ids_csv AS VARCHAR), '<null>'),
+               coalesce(CAST(format_id AS VARCHAR), '<null>'),
+               coalesce(CAST(format_label AS VARCHAR), '<null>'),
+               coalesce(CAST(access_status AS VARCHAR), '<null>'),
+               coalesce(CAST(description AS VARCHAR), '<null>'),
+               coalesce(CAST(subj_csv AS VARCHAR), '<null>'),
+               coalesce(CAST(sid_csv AS VARCHAR), '<null>'),
+               coalesce(CAST(contrib_csv AS VARCHAR), '<null>'),
+               coalesce(CAST(langs_csv AS VARCHAR), '<null>'),
+               coalesce(CAST(notes_csv AS VARCHAR), '<null>'),
+               coalesce(CAST(terms_of_use AS VARCHAR), '<null>'),
+               coalesce(CAST(production_label AS VARCHAR), '<null>'),
+               coalesce(CAST(prod_csv AS VARCHAR), '<null>'),
+               coalesce(CAST(source_modified_time AS VARCHAR), '<null>'),
+               coalesce(CAST(version AS VARCHAR), '<null>'),
+               coalesce(CAST(mc_csv AS VARCHAR), '<null>'),
+               coalesce(CAST(arrangement AS VARCHAR), '<null>'))
+        FROM ({sql['z79_axiell_transform']})
     """
 
     # q75: the works-ingestor document builder — every synthesized work's
