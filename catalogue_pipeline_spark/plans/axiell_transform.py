@@ -367,14 +367,25 @@ def _last_of_scheme(ids: Column, scheme: str) -> Column:
     return F.try_element_at(matches, F.lit(-1))["value"]
 
 
-def _predecessor(content: Column) -> Column:
-    """907 $a → struct(value, error): distinct dot-stripped values; >1 or a
-    non-UUID value is a record error (marc/predecessor_identifier.py)."""
+def _predecessor_raw(content: Column) -> Column:
+    """907 $a distinct dot-stripped values + the single candidate — the
+    shared half of marc/predecessor_identifier.py; the CALM (UUID) and
+    Sierra (b-number) format gates sit on top (here and in
+    folio_transform._sierra_predecessor)."""
     vals = _ordered_distinct(
         F.transform(_nonempty_subs(content, "907", "a"),
                     lambda v: F.regexp_replace(v, r"^\.+", ""))
     )
-    one = F.try_element_at(vals, F.lit(1))
+    return F.struct(
+        vals.alias("vals"), F.try_element_at(vals, F.lit(1)).alias("one")
+    )
+
+
+def _predecessor(content: Column) -> Column:
+    """907 $a → struct(value, error): distinct dot-stripped values; >1 or a
+    non-UUID value is a record error (marc/predecessor_identifier.py)."""
+    raw = _predecessor_raw(content)
+    vals, one = raw["vals"], raw["one"]
     uuid_ok = one.rlike(
         "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
     )
