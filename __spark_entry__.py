@@ -4007,6 +4007,18 @@ def _q74_composite_probes(spark, sf_dir):
     q19 = _q19_trace_ids(spark, sf_dir)
     q36 = _q36_conflict_detection(spark, sf_dir)
     z79 = _z79_axiell_transform(spark, sf_dir)
+    z80 = _z80_folio_transform(spark, sf_dir)
+    _fo_fields = [
+        "type", "deleted_reason", "error", "title", "alt_csv", "description",
+        "ids_csv", "predecessor_id", "parents_csv", "work_type", "items_csv",
+    ]
+    v80 = F.concat_ws(
+        "#",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+            for c in _fo_fields
+        ],
+    )
     _ax_fields = [
         "type", "deleted_reason", "error", "title", "work_type", "ref_no",
         "alt_ref_no", "predecessor_id", "ids_csv", "format_id",
@@ -4036,6 +4048,7 @@ def _q74_composite_probes(spark, sf_dir):
              F.concat_ws("#", F.date_format("day", "yyyy-MM-dd"),
                          F.col("n_variants"))),
         rows("q79", z79, F.col("id"), v79),
+        rows("q80", z80.select("id", v80.alias("_v")), F.col("id"), F.col("_v")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -4475,6 +4488,108 @@ def _z79_axiell_transform(spark, sf_dir):
     )
 
 
+def _z80_folio_transform(spark, sf_dir):
+    """W9 driver probe: the FOLIO transformer slice (plans/
+    folio_transform.py — shared MARC-XML base, 999$t discovery-flag
+    suppression, Sierra b-number predecessor gate over the shared 907
+    walk, enrichment-store item join with transformer purity) over 300
+    generated MARCXML records + a generated enrichment-store frame; every
+    output field recomputed in CLOSED FORM from c_custkey (reference
+    scenarios: adapters/transformers/builders/folio_work_builder.py
+    tests).  Folded into q74 as probe 'q80' for the driver window."""
+    from catalogue_pipeline_spark.plans.folio_transform import transform_folio
+
+    ck = F.col("c_custkey")
+    cks = ck.cast("string")
+    sf_ = lambda c, v: F.concat(  # noqa: E731
+        F.lit(f'<subfield code="{c}">'), v, F.lit("</subfield>")
+    )
+    df_ = lambda tag, *subs: F.concat(  # noqa: E731
+        F.lit(f'<datafield tag="{tag}">'), *subs, F.lit("</datafield>")
+    )
+    opt = lambda cond, col: F.when(cond, col).otherwise(F.lit(""))  # noqa: E731
+
+    bnum = F.concat(F.lit("b"), F.lpad(cks, 7, "0"), F.lit("x"))
+    content = F.concat(
+        F.lit("<record>"),
+        opt(ck % 19 != 11,
+            F.concat(F.lit('<controlfield tag="001">fi'), cks,
+                     F.lit("</controlfield>"))),
+        opt(ck % 23 != 17, df_("245", sf_("a", F.concat(F.lit("Folio Work "), cks)))),
+        opt(ck % 6 == 1, df_("246", sf_("a", F.concat(F.lit("Alt "), cks)))),
+        opt(ck % 8 == 5, df_("520", sf_("a", F.concat(F.lit("Desc "), cks, F.lit("."))))),
+        opt(ck % 13 != 7, df_("035", sf_("a", F.concat(F.lit("(Calm RefNo)REF/"), cks)))),
+        opt(ck % 3 == 0, df_("035", sf_("a", F.concat(F.lit("(Bibliographic Number).b00"), cks)))),
+        opt(ck % 4 == 0, df_("035", sf_("a", F.concat(F.lit("(Library Reference Number)20385i."), cks)))),
+        opt(ck % 11 == 1, df_("907", sf_("a", F.concat(F.lit("."), bnum)))),
+        opt(ck % 11 == 4, df_("907", sf_("a", F.lit("xbadval")))),
+        opt(ck % 11 == 7,
+            F.concat(df_("907", sf_("a", F.lit("b0000001x"))),
+                     df_("907", sf_("a", F.lit("b0000002x"))))),
+        opt(ck % 7 == 2, df_("999", sf_("t", F.lit("1")))),
+        opt(ck % 7 == 5, df_("999", sf_("t", F.lit("0")))),
+        opt(ck % 5 == 2, df_("490", sf_("a", F.concat(F.lit("Ser "), cks, F.lit(";"))))),
+        opt(ck % 10 == 6, df_("830", sf_("a", F.concat(F.lit("Eight "), cks, F.lit(","))))),
+        F.lit("</record>"),
+    )
+    records = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .filter((ck > 0) & (ck <= 300))
+        .select(
+            F.concat(F.lit("fi"), cks).alias("id"),
+            content.alias("content"),
+            (ck % 10 == 0).alias("deleted"),
+        )
+    )
+    items = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .filter((ck > 0) & (ck <= 300) & (ck % 3 == 0))
+        .select(
+            F.concat(F.lit("fi"), cks).alias("instance_id"),
+            F.when(
+                ck % 9 == 0,
+                F.array(
+                    F.struct(
+                        F.concat(F.lit("u"), cks, F.lit("a")).alias("id"),
+                        F.lit("v.1").alias("enumeration"),
+                        F.lit(None).cast("string").alias("volume"),
+                    ),
+                    F.struct(
+                        F.concat(F.lit("u"), cks, F.lit("b")).alias("id"),
+                        F.lit(None).cast("string").alias("enumeration"),
+                        F.lit("vol 2").alias("volume"),
+                    ),
+                ),
+            )
+            .otherwise(
+                F.array(
+                    F.struct(
+                        F.concat(F.lit("u"), cks).alias("id"),
+                        F.lit(None).cast("string").alias("enumeration"),
+                        F.lit(None).cast("string").alias("volume"),
+                    )
+                )
+            )
+            .alias("items"),
+        )
+    )
+    out = transform_folio(records, enriched_items=items, broadcast_items=True)
+    return out.select(
+        "id",
+        "type",
+        "deleted_reason",
+        "error",
+        "title",
+        F.concat_ws(",", "alternative_titles").alias("alt_csv"),
+        "description",
+        F.concat_ws(",", "other_identifiers").alias("ids_csv"),
+        "predecessor_id",
+        F.concat_ws(",", "parents").alias("parents_csv"),
+        "work_type",
+        F.concat_ws(",", "items").alias("items_csv"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver registry.  The FIRST 50 entries (also the 50 first names in
     sorted order — every windowed name is q-prefixed, every demoted probe is
@@ -4564,6 +4679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "z36_conflict_detection": _q36_conflict_detection,
         "z41_conversation_docs": _q41_conversation_docs,
         "z79_axiell_transform": _z79_axiell_transform,
+        "z80_folio_transform": _z80_folio_transform,
     }
 
 
@@ -6627,6 +6743,55 @@ def oracle_sql() -> dict[str, str]:
           CASE WHEN vis AND ck % 14 = 2 THEN 'Arranged by year.' END AS arrangement
         FROM e
     """
+    sql["z80_folio_transform"] = """
+        WITH b AS (
+          SELECT c_custkey AS ck,
+                 c_custkey % 10 = 0 AS del,
+                 c_custkey % 7 = 2 AS sup,
+                 c_custkey % 19 = 11 AS no001,
+                 c_custkey % 23 = 17 AS no245,
+                 c_custkey % 11 AS p11
+          FROM customer WHERE c_custkey > 0 AND c_custkey <= 300),
+        c AS (
+          SELECT *,
+            CASE WHEN no001 THEN 'missing mandatory field 001 (id)'
+                 WHEN del OR sup THEN NULL
+                 WHEN no245 THEN 'missing mandatory field 245 (title)'
+                 WHEN p11 = 7 THEN 'Multiple distinct instances of varfield with tag 907'
+                 WHEN p11 = 4 THEN 'Predecessor identifier does not match Sierra system number format'
+            END AS err
+          FROM b),
+        d AS (
+          SELECT *,
+            CASE WHEN err IS NOT NULL THEN 'Error'
+                 WHEN del OR sup THEN 'Deleted' ELSE 'Visible' END AS typ
+          FROM c),
+        e AS (SELECT *, (typ = 'Visible') AS vis FROM d)
+        SELECT 'fi' || ck AS id,
+          typ AS type,
+          CASE WHEN err IS NULL AND del THEN 'deleted-from-source'
+               WHEN err IS NULL AND sup THEN 'suppressed: Folio' END AS deleted_reason,
+          err AS error,
+          CASE WHEN vis THEN 'Folio Work ' || ck END AS title,
+          CASE WHEN vis AND ck % 6 = 1 THEN 'Alt ' || ck ELSE '' END AS alt_csv,
+          CASE WHEN vis AND ck % 8 = 5 THEN '<p>Desc ' || ck || '.</p>' END AS description,
+          CASE WHEN vis THEN concat_ws(',',
+              CASE WHEN ck % 13 <> 7 THEN 'calm-ref-no:REF/' || ck END,
+              CASE WHEN ck % 3 = 0 THEN 'sierra-system-number:b00' || ck END,
+              CASE WHEN ck % 4 = 0 THEN 'iconographic-number:20385i.' || ck END)
+            ELSE '' END AS ids_csv,
+          CASE WHEN vis AND ck % 11 = 1 THEN 'b' || lpad(CAST(ck AS VARCHAR), 7, '0') || 'x' END AS predecessor_id,
+          CASE WHEN vis THEN concat_ws(',',
+              CASE WHEN ck % 5 = 2 THEN 'Ser ' || ck END,
+              CASE WHEN ck % 10 = 6 THEN 'Eight ' || ck END)
+            ELSE '' END AS parents_csv,
+          CASE WHEN vis THEN 'Standard' END AS work_type,
+          CASE WHEN vis AND ck % 3 = 0 THEN
+              CASE WHEN ck % 9 = 0 THEN 'folio-item:u' || ck || 'a~v.1,folio-item:u' || ck || 'b~vol 2'
+                   ELSE 'folio-item:u' || ck || '~' END
+            ELSE '' END AS items_csv
+        FROM e
+    """
     # q74: the folded single-aggregate probes — each branch reuses the
     # demoted query's own oracle verbatim, normalized to (probe, k, v).
     sql["q74_composite_probes"] = f"""
@@ -6682,6 +6847,20 @@ def oracle_sql() -> dict[str, str]:
                coalesce(CAST(mc_csv AS VARCHAR), '<null>'),
                coalesce(CAST(arrangement AS VARCHAR), '<null>'))
         FROM ({sql['z79_axiell_transform']})
+        UNION ALL
+        SELECT 'q80', id, concat_ws('#',
+               coalesce(CAST(type AS VARCHAR), '<null>'),
+               coalesce(CAST(deleted_reason AS VARCHAR), '<null>'),
+               coalesce(CAST(error AS VARCHAR), '<null>'),
+               coalesce(CAST(title AS VARCHAR), '<null>'),
+               coalesce(CAST(alt_csv AS VARCHAR), '<null>'),
+               coalesce(CAST(description AS VARCHAR), '<null>'),
+               coalesce(CAST(ids_csv AS VARCHAR), '<null>'),
+               coalesce(CAST(predecessor_id AS VARCHAR), '<null>'),
+               coalesce(CAST(parents_csv AS VARCHAR), '<null>'),
+               coalesce(CAST(work_type AS VARCHAR), '<null>'),
+               coalesce(CAST(items_csv AS VARCHAR), '<null>'))
+        FROM ({sql['z80_folio_transform']})
     """
 
     # q75: the works-ingestor document builder — every synthesized work's
