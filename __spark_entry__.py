@@ -4256,8 +4256,96 @@ def _q77_graph_works_composite(spark, sf_dir):
         ).alias("v"),
     )
 
+    # per-entity incremental graph removers (plans/graph_removers.py — W10):
+    # six closed-form sub-probes over a second synthesized corpus.  Every
+    # removal set is a pure join (semi+anti) behind the 20%/5% valves; the
+    # corpus is sized so each valve passes with margin.
+    from catalogue_pipeline_spark.plans.graph_removers import (
+        index_deletions,
+        remove_disconnected_images,
+        remove_path_identifier_entities,
+        remove_works_edges,
+        remove_works_nodes,
+    )
+
+    rbase = spark.read.parquet(_t(sf_dir, "customer")).filter(
+        (F.col("c_custkey") > 0) & (F.col("c_custkey") <= 400)
+    ).select(F.col("c_custkey").alias("ck"))
+    r200 = rbase.filter("ck <= 200")
+    merged = r200.selectExpr(
+        "'w'||cast(ck as string) as work_id",
+        "CASE WHEN ck%10=7 THEN 'Redirected' ELSE 'Visible' END as type",
+    )
+    gw_nodes = r200.filter("ck <= 180").selectExpr(
+        "'w'||cast(ck as string) as node_id"
+    )
+    rm_wn = remove_works_nodes(merged, gw_nodes)
+
+    mw_conc = r200.filter("ck%2=0").selectExpr(
+        "'w'||cast(ck as string) as work_id",
+        "'c'||cast(ck%20 as string) as concept_id",
+    )
+    g_conc = r200.filter("ck%2=0").selectExpr(
+        "'w'||cast(ck as string) as from_id",
+        "'c'||cast(ck%20 as string) as to_id",
+    ).unionByName(
+        r200.filter("ck%16=2").selectExpr(
+            "'w'||cast(ck as string) as from_id", "'cOLD' as to_id"
+        )
+    )
+    rm_we = remove_works_edges(mw_conc, merged.select("work_id"), g_conc)
+
+    r120 = rbase.filter("ck <= 120")
+    im_nodes = r120.selectExpr("'im'||cast(ck as string) as node_id")
+    im_edges = r120.filter("ck%6!=0").selectExpr(
+        "'w'||cast(ck as string) as from_id",
+        "'im'||cast(ck as string) as to_id",
+    )
+    rm_im = remove_disconnected_images(im_nodes, im_edges)
+
+    r100 = rbase.filter("ck <= 100")
+    m_pids = r100.selectExpr(
+        "'w'||cast(ck as string) as work_id",
+        "CASE WHEN ck%9!=4 THEN 'p'||cast(ck%25 as string) END as path_identifier",
+    )
+    pid_nodes = (
+        rbase.filter("ck <= 25").selectExpr("'p'||cast(ck-1 as string) as node_id")
+        .unionByName(
+            r100.filter("ck%31=4").selectExpr("'pold'||cast(ck as string) as node_id")
+        )
+        .unionByName(spark.createDataFrame([("pnever1",)], "node_id string"))
+    )
+    pid_edges = r100.filter("ck%9!=4").selectExpr(
+        "'w'||cast(ck as string) as from_id",
+        "'p'||cast(ck%25 as string) as to_id",
+    ).unionByName(
+        r100.filter("ck%31=4").selectExpr(
+            "'w'||cast(ck as string) as from_id",
+            "'pold'||cast(ck as string) as to_id",
+        )
+    )
+    rm_pe, rm_pn = remove_path_identifier_entities(m_pids, pid_nodes, pid_edges)
+
+    index_ids = rbase.selectExpr("'w'||cast(ck as string) as node_id")
+    rm_del = index_deletions(rm_wn, index_ids)
+
+    one = F.lit("1").alias("v")
+    p_rem = (
+        rm_wn.select(F.lit("rem_wn").alias("probe"), F.col("node_id").alias("k"), one)
+        .unionByName(rm_we.select(F.lit("rem_we").alias("probe"),
+                                  F.col("edge_id").alias("k"), one))
+        .unionByName(rm_im.select(F.lit("rem_im").alias("probe"),
+                                  F.col("node_id").alias("k"), one))
+        .unionByName(rm_pe.select(F.lit("rem_pe").alias("probe"),
+                                  F.col("edge_id").alias("k"), one))
+        .unionByName(rm_pn.select(F.lit("rem_pn").alias("probe"),
+                                  F.col("node_id").alias("k"), one))
+        .unionByName(rm_del.select(F.lit("rem_del").alias("probe"),
+                                   F.col("node_id").alias("k"), one))
+    )
+
     out = p_node
-    for p_ in [p_edge, p_pid, p_conc, p_img, p_cse]:
+    for p_ in [p_edge, p_pid, p_conc, p_img, p_cse, p_rem]:
         out = out.unionByName(p_)
     return _materialize(out, "q77")
 
@@ -7074,6 +7162,26 @@ def oracle_sql() -> dict[str, str]:
                 CAST(concat('0x', substr(md5('V'||ck||':'||j), 1, 8)) AS BIGINT)
                 / 2147483648.0 - 1.0) AS raw
               FROM vis WHERE ck%2=0 AND ck%10<>0)))
+        UNION ALL
+        SELECT 'rem_wn', 'w'||c_custkey, '1' FROM customer
+        WHERE c_custkey BETWEEN 1 AND 180 AND c_custkey%10=7
+        UNION ALL
+        SELECT 'rem_we', 'w'||c_custkey||'--cOLD', '1' FROM customer
+        WHERE c_custkey BETWEEN 1 AND 200 AND c_custkey%16=2
+        UNION ALL
+        SELECT 'rem_im', 'im'||c_custkey, '1' FROM customer
+        WHERE c_custkey BETWEEN 1 AND 120 AND c_custkey%6=0
+        UNION ALL
+        SELECT 'rem_pe', 'w'||c_custkey||'--pold'||c_custkey, '1' FROM customer
+        WHERE c_custkey BETWEEN 1 AND 100 AND c_custkey%31=4
+        UNION ALL
+        SELECT 'rem_pn', 'pold'||c_custkey, '1' FROM customer
+        WHERE c_custkey BETWEEN 1 AND 100 AND c_custkey%31=4
+        UNION ALL
+        SELECT 'rem_pn', 'pnever1', '1'
+        UNION ALL
+        SELECT 'rem_del', 'w'||c_custkey, '1' FROM customer
+        WHERE c_custkey BETWEEN 1 AND 180 AND c_custkey%10=7
     """
 
     # q78: deep-hierarchy stress — chain/children/shared-pid relations in
