@@ -4049,6 +4049,7 @@ def _q74_composite_probes(spark, sf_dir):
                          F.col("n_variants"))),
         rows("q79", z79, F.col("id"), v79),
         rows("q80", z80.select("id", v80.alias("_v")), F.col("id"), F.col("_v")),
+        _z81_folio_sync(spark, sf_dir),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -4678,6 +4679,134 @@ def _z80_folio_transform(spark, sf_dir):
     )
 
 
+def _z81_folio_sync(spark, sf_dir):
+    """W8 driver probe: the Axiell→FOLIO sync action plan (plans/
+    folio_sync.py — harvest-flag+item-level selection, MARC_SOURCE
+    extraction, Instance/Holdings/Item payloads with broadcast tenant
+    reference data, hrid-keyed create-vs-update, advisory tombstones,
+    reconciler cascades child-first with live-GUID anti-join, report
+    rollup) over 200 generated records + 30 deletion facts; every plan row
+    and report metric recomputed in CLOSED FORM from c_custkey.  Payload
+    checking decodes the JSON contracts via get_json_object so the
+    material/loan/location resolution tables are oracle-checked without
+    replicating the serializer.  Folded into q74 as probes 'q81'/'q81r'."""
+    from catalogue_pipeline_spark.plans.folio_sync import (
+        default_ref_data,
+        folio_sync_plan,
+        folio_sync_report,
+    )
+
+    ck = F.col("c_custkey")
+    cks = ck.cast("string")
+    sf_ = lambda c, v: F.concat(  # noqa: E731
+        F.lit(f'<subfield code="{c}">'), v, F.lit("</subfield>")
+    )
+    df_ = lambda tag, *subs: F.concat(  # noqa: E731
+        F.lit(f'<datafield tag="{tag}">'), *subs, F.lit("</datafield>")
+    )
+    opt = lambda cond, col: F.when(cond, col).otherwise(F.lit(""))  # noqa: E731
+
+    loc = F.when(ck % 6 == 0, F.lit("Closed stores")).when(
+        ck % 23 == 7, F.lit("BadLoc")
+    )
+    body = F.concat(
+        F.lit("<record>"),
+        opt(ck % 29 != 13,
+            F.concat(F.lit('<controlfield tag="001">g'), cks, F.lit("</controlfield>"))),
+        opt(ck % 17 != 6, df_("245", sf_("a", F.concat(F.lit("Sync Title "), cks)))),
+        opt(ck % 5 != 1, df_("980", sf_("a", F.lit("harvest")))),
+        opt(ck % 4 != 2, df_("351", sf_("c", F.when(ck % 8 < 4, F.lit("ITEM")).otherwise(F.lit("item"))))),
+        opt(ck % 4 == 2, df_("351", sf_("c", F.lit("Collection")))),
+        opt(loc.isNotNull(), df_("852", sf_("b", F.coalesce(loc, F.lit(""))))),
+        opt(ck % 2 == 0, df_("852", sf_("h", F.concat(F.lit("CN"), cks)))),
+        opt(ck % 7 == 2, df_("949", sf_("c", F.lit("Sound only")))),
+        opt(ck % 7 == 4, df_("949", sf_("c", F.lit("Published Material")))),
+        opt(ck % 8 == 3, df_("949", sf_("l", F.lit("Non-Circulating")))),
+        opt(ck % 3 == 0, df_("949", sf_("a", F.concat(F.lit("BC"), cks)))),
+        opt(ck % 9 == 5, df_("876", sf_("p", F.concat(F.lit("c"), cks)))),
+        opt(ck % 9 == 8, df_("876", sf_("t", F.concat(F.lit("v"), cks)))),
+        opt(ck % 10 == 4, df_("856", sf_("u", F.concat(F.lit("http://x/"), cks)))),
+        F.lit("</record>"),
+    )
+    content = F.when(ck % 31 == 17, F.lit("")).otherwise(body)
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    records = cust.filter((ck > 0) & (ck <= 200)).select(
+        F.concat(F.lit("r"), cks).alias("id"),
+        content.alias("content"),
+        (ck % 20 == 9).alias("deleted"),
+    )
+
+    ent3 = F.explode(
+        F.array(F.lit("instance"), F.lit("holdings"), F.lit("item"))
+    ).alias("entity")
+    prefix = F.create_map(
+        F.lit("instance"), F.lit("AxC-instance-"),
+        F.lit("holdings"), F.lit("AxC-holding-"),
+        F.lit("item"), F.lit("AxC-item-"),
+    )
+    ex_up = (
+        cust.filter((ck > 0) & (ck <= 200) & (ck % 2 == 0))
+        .select(cks.alias("n"), ent3)
+        .select(
+            F.concat(F.element_at(prefix, F.col("entity")), F.lit("g"), F.col("n")).alias("hrid"),
+            F.concat(F.lit("f"), F.col("n"), F.lit("-"), F.col("entity")).alias("folio_id"),
+        )
+    )
+    ex_inst = cust.filter((ck > 0) & (ck <= 200) & (ck % 14 == 5)).select(
+        F.concat(F.lit("AxC-instance-g"), cks).alias("hrid"),
+        F.concat(F.lit("f"), cks, F.lit("-instance")).alias("folio_id"),
+    )
+    ex_rec = (
+        cust.filter((ck > 0) & (ck <= 30) & (ck % 2 == 0))
+        .select(cks.alias("n"), ent3)
+        .select(
+            F.concat(F.element_at(prefix, F.col("entity")), F.lit("d"), F.col("n")).alias("hrid"),
+            F.concat(F.lit("fd"), F.col("n"), F.lit("-"), F.col("entity")).alias("folio_id"),
+        )
+    )
+    existing = ex_up.unionByName(ex_inst).unionByName(ex_rec)
+
+    facts = cust.filter((ck > 0) & (ck <= 30)).select(
+        F.concat(F.lit("d"), cks).alias("guid")
+    )
+    live = cust.filter((ck > 0) & (ck <= 30) & (ck % 3 == 1)).select(
+        F.concat(F.lit("d"), cks).alias("guid")
+    )
+    plan = folio_sync_plan(
+        records,
+        default_ref_data(spark),
+        deletion_facts=facts,
+        live_mappings=live,
+        existing=existing,
+    )
+    j = lambda p: F.get_json_object(F.col("payload_json"), p)  # noqa: E731
+    rows = plan.select(
+        F.concat_ws("#", "pass", "source_id", F.col("seq").cast("string")).alias("k"),
+        F.concat_ws(
+            "~",
+            *[
+                F.coalesce(c.cast("string"), F.lit("-"))
+                for c in [
+                    F.col("entity"), F.col("action"), F.col("folio_id"),
+                    F.col("error"), F.col("hrid"),
+                    j("$.title"), j("$.callNumber"),
+                    j("$.materialType.id"), j("$.permanentLoanType.id"),
+                    j("$.permanentLocation.id"), j("$.barcode"),
+                    j("$.copyNumber"), j("$.volume"),
+                    j("$.electronicAccess[0].uri"), j("$.staffSuppress"),
+                    j("$.hrid"),
+                ]
+            ],
+        ).alias("v"),
+    )
+    report = folio_sync_report(plan).select(
+        F.col("metric").alias("k"), F.col("n").cast("string").alias("v")
+    )
+    return rows.select(F.lit("q81").alias("probe"), "k", "v").unionByName(
+        report.select(F.lit("q81r").alias("probe"), "k", "v")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver registry.  The FIRST 50 entries (also the 50 first names in
     sorted order — every windowed name is q-prefixed, every demoted probe is
@@ -4768,6 +4897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "z41_conversation_docs": _q41_conversation_docs,
         "z79_axiell_transform": _z79_axiell_transform,
         "z80_folio_transform": _z80_folio_transform,
+        "z81_folio_sync": _z81_folio_sync,
     }
 
 
@@ -6880,6 +7010,130 @@ def oracle_sql() -> dict[str, str]:
             ELSE '' END AS items_csv
         FROM e
     """
+    sql["z81_folio_sync"] = """
+        WITH b AS (
+          SELECT c_custkey AS ck FROM customer
+          WHERE c_custkey > 0 AND c_custkey <= 200),
+        r AS (
+          SELECT ck,
+            ck % 31 = 17 AS empty,
+            ck % 20 = 9 AS del,
+            (ck % 5 <> 1 AND ck % 4 <> 2) AS sel,
+            ck % 29 = 13 AS no001,
+            ck % 17 = 6 AS no245,
+            (ck % 23 = 7 AND ck % 6 <> 0) AS badloc
+          FROM b),
+        s AS (
+          SELECT *,
+            CASE WHEN empty OR no001 THEN 'r' || ck ELSE 'g' || ck END AS source_id,
+            CASE WHEN empty THEN 'empty_content'
+                 WHEN del OR NOT sel THEN NULL
+                 WHEN no001 THEN 'Missing MARC 001 — cannot identify record'
+                 WHEN no245 THEN 'Missing 245$a (title) for source_id=g' || ck
+                 WHEN badloc THEN 'Unresolved location ''BadLoc'' — add it to the FOLIO tenant or fix the MARC'
+            END AS err
+          FROM r),
+        t AS (
+          SELECT *,
+            CASE WHEN empty THEN 'error'
+                 WHEN del THEN 'tombstone'
+                 WHEN NOT sel THEN 'skip'
+                 WHEN err IS NOT NULL THEN 'error'
+                 ELSE 'mapped' END AS disp
+          FROM s),
+        ent(seq, entity, prefix) AS (
+          VALUES (1,'instance','AxC-instance-'), (2,'holdings','AxC-holding-'),
+                 (3,'item','AxC-item-')),
+        up_mapped AS (
+          SELECT 'upsert' AS pass, source_id, entity, seq,
+            prefix || source_id AS hrid,
+            CASE WHEN ck%2=0 OR (ck%14=5 AND entity='instance')
+                 THEN 'update' ELSE 'create' END AS action,
+            CASE WHEN ck%2=0 THEN 'f'||ck||'-'||entity
+                 WHEN ck%14=5 AND entity='instance' THEN 'f'||ck||'-instance' END AS folio_id,
+            CAST(NULL AS VARCHAR) AS error,
+            CASE WHEN entity='instance' THEN 'Sync Title '||ck END AS j_title,
+            CASE WHEN entity='holdings' AND ck%2=0 THEN 'CN'||ck END AS j_callnum,
+            CASE WHEN entity='item' THEN
+              CASE WHEN ck%7=2 THEN 'uuid-material_type-sound-recording'
+                   ELSE 'uuid-material_type-book' END END AS j_mat,
+            CASE WHEN entity='item' THEN
+              CASE WHEN ck%8=3 THEN 'uuid-loan_type-non-circulating'
+                   ELSE 'uuid-loan_type-can-circulate' END END AS j_loan,
+            CASE WHEN entity='item' THEN
+              CASE WHEN ck%6=0 THEN 'uuid-location-closed-stores'
+                   ELSE 'uuid-location-history-of-medicine' END END AS j_loc,
+            CASE WHEN entity='item' AND ck%3=0 THEN 'BC'||ck END AS j_barcode,
+            CASE WHEN entity='item' AND ck%9=5 THEN 'c'||ck END AS j_copy,
+            CASE WHEN entity='item' AND ck%9=8 THEN 'v'||ck END AS j_vol,
+            CASE WHEN entity='item' AND ck%10=4 THEN 'http://x/'||ck END AS j_uri,
+            CAST(NULL AS VARCHAR) AS j_staff,
+            prefix || source_id AS j_hrid
+          FROM t CROSS JOIN ent WHERE disp='mapped'),
+        up_other AS (
+          SELECT 'upsert' AS pass, source_id, CAST(NULL AS VARCHAR) AS entity,
+            0 AS seq, CAST(NULL AS VARCHAR) AS hrid, disp AS action,
+            CAST(NULL AS VARCHAR) AS folio_id, err AS error,
+            NULL AS j_title, NULL AS j_callnum, NULL AS j_mat, NULL AS j_loan,
+            NULL AS j_loc, NULL AS j_barcode, NULL AS j_copy, NULL AS j_vol,
+            NULL AS j_uri, CAST(NULL AS VARCHAR) AS j_staff,
+            CAST(NULL AS VARCHAR) AS j_hrid
+          FROM t WHERE disp <> 'mapped'),
+        recg AS (
+          SELECT c_custkey AS ck FROM customer
+          WHERE c_custkey BETWEEN 1 AND 30 AND c_custkey % 3 <> 1),
+        ent2(seq, entity, prefix) AS (
+          VALUES (1,'item','AxC-item-'), (2,'holdings','AxC-holding-'),
+                 (3,'instance','AxC-instance-')),
+        rec_rows AS (
+          SELECT 'reconcile' AS pass, 'd'||ck AS source_id, entity, seq,
+            prefix||'d'||ck AS hrid,
+            CASE WHEN ck%2=0 THEN 'suppress' ELSE 'skip' END AS action,
+            CASE WHEN ck%2=0 THEN 'fd'||ck||'-'||entity END AS folio_id,
+            CAST(NULL AS VARCHAR) AS error,
+            NULL AS j_title, NULL AS j_callnum, NULL AS j_mat, NULL AS j_loan,
+            NULL AS j_loc, NULL AS j_barcode, NULL AS j_copy, NULL AS j_vol,
+            NULL AS j_uri,
+            CASE WHEN entity='instance' THEN 'true' END AS j_staff,
+            CAST(NULL AS VARCHAR) AS j_hrid
+          FROM recg CROSS JOIN ent2),
+        allrows AS (
+          SELECT * FROM up_mapped UNION ALL
+          SELECT * FROM up_other UNION ALL
+          SELECT * FROM rec_rows),
+        plan_probe AS (
+          SELECT 'q81' AS probe,
+            pass || '#' || source_id || '#' || seq AS k,
+            concat_ws('~',
+              coalesce(entity,'-'), coalesce(action,'-'), coalesce(folio_id,'-'),
+              coalesce(error,'-'), coalesce(hrid,'-'), coalesce(j_title,'-'),
+              coalesce(j_callnum,'-'), coalesce(j_mat,'-'), coalesce(j_loan,'-'),
+              coalesce(j_loc,'-'), coalesce(j_barcode,'-'), coalesce(j_copy,'-'),
+              coalesce(j_vol,'-'), coalesce(j_uri,'-'), coalesce(j_staff,'-'),
+              coalesce(j_hrid,'-')) AS v
+          FROM allrows),
+        report AS (
+          SELECT 'synced' AS k, CAST(count(*) AS VARCHAR) AS v FROM t WHERE disp='mapped'
+          UNION ALL
+          SELECT 'failed', CAST(count(*) AS VARCHAR) FROM t WHERE disp='error'
+          UNION ALL
+          SELECT 'skipped', CAST(count(*) AS VARCHAR) FROM t WHERE disp='skip'
+          UNION ALL
+          SELECT 'tombstone', CAST(count(*) AS VARCHAR) FROM t WHERE disp='tombstone'
+          UNION ALL
+          SELECT 'deletions', CAST(count(*) AS VARCHAR) FROM recg
+          UNION ALL
+          SELECT 'total', CAST(count(*) AS VARCHAR) FROM t
+          UNION ALL
+          SELECT 'created', CAST(count(*) AS VARCHAR) FROM up_mapped WHERE action='create'
+          UNION ALL
+          SELECT 'updated', CAST(count(*) AS VARCHAR) FROM up_mapped WHERE action='update'
+          UNION ALL
+          SELECT 'suppressed', CAST(count(*) AS VARCHAR) FROM rec_rows WHERE action='suppress')
+        SELECT probe, k, v FROM plan_probe
+        UNION ALL
+        SELECT 'q81r', k, v FROM report
+    """
     # q74: the folded single-aggregate probes — each branch reuses the
     # demoted query's own oracle verbatim, normalized to (probe, k, v).
     sql["q74_composite_probes"] = f"""
@@ -6949,6 +7203,8 @@ def oracle_sql() -> dict[str, str]:
                coalesce(CAST(work_type AS VARCHAR), '<null>'),
                coalesce(CAST(items_csv AS VARCHAR), '<null>'))
         FROM ({sql['z80_folio_transform']})
+        UNION ALL
+        SELECT probe, k, v FROM ({sql['z81_folio_sync']})
     """
 
     # q75: the works-ingestor document builder — every synthesized work's
