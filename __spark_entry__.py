@@ -4345,8 +4345,64 @@ def _q77_graph_works_composite(spark, sf_dir):
                                    F.col("node_id").alias("k"), one))
     )
 
+    # W7 driver promotion: the works-index incremental re-ingest expansion
+    # (changed + descendants + closest-parent works over the pid closure)
+    # and the graph data-quality check (inconsistent concept types)
+    from catalogue_pipeline_spark.plans.concept_graph import (
+        inconsistent_concept_types,
+    )
+    from catalogue_pipeline_spark.plans.graph_works import (
+        incremental_reingest_set,
+    )
+
+    hbase = rbase.filter("ck <= 30 AND ck != 21").selectExpr(
+        "'h'||cast(ck as string) as work_id",
+        "'Visible' as type",
+        "'Standard' as work_type",
+        "'sierra-system-number' as source_scheme",
+        "'sv'||cast(ck as string) as source_value",
+        "'HT'||cast(ck as string) as title",
+        """CASE WHEN ck=1 THEN named_struct('path','N1','label',cast(null as string))
+            WHEN ck<=10 THEN named_struct('path','N'||cast(ck-1 as string)||'/N'||cast(ck as string),'label',cast(null as string))
+            WHEN ck<=20 THEN named_struct('path','N5/M'||cast(ck as string),'label',cast(null as string))
+            ELSE named_struct('path','N'||cast(ck-21 as string)||'/N'||cast(ck-20 as string),'label',cast(null as string))
+           END as collection_path""",
+    )
+    hpresent = set(hbase.columns)
+    hworks = hbase.select(
+        *[
+            (F.col(f.name).cast(f.dataType) if f.name in hpresent
+             else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in target.fields
+        ]
+    )
+    changed = spark.createDataFrame([("h4",)], "work_id string")
+    p_reing = incremental_reingest_set(changed, hworks).select(
+        F.lit("reing").alias("probe"),
+        F.col("work_id").alias("k"),
+        F.col("reason").alias("v"),
+    )
+
+    dq_conc = rbase.filter("ck <= 40").selectExpr(
+        "'k'||cast(ck as string) as concept_id",
+        "'lbl '||cast(ck as string) as label",
+    )
+    dq_types = rbase.filter("ck <= 40").selectExpr(
+        "'k'||cast(ck as string) as concept_id",
+        """CASE ck%5 WHEN 0 THEN array('Concept','Subject')
+             WHEN 1 THEN array('Agent','Person','Subject')
+             WHEN 2 THEN array('Agent','Organisation')
+             WHEN 3 THEN array('Genre','Person')
+             ELSE array('Agent','Place','Concept') END as ts""",
+    ).select("concept_id", F.explode("ts").alias("referenced_type"))
+    p_dq = inconsistent_concept_types(dq_conc, dq_types).select(
+        F.lit("dq").alias("probe"),
+        F.col("concept_id").alias("k"),
+        F.concat_ws("~", "concept_label", "concept_types").alias("v"),
+    )
+
     out = p_node
-    for p_ in [p_edge, p_pid, p_conc, p_img, p_cse, p_rem]:
+    for p_ in [p_edge, p_pid, p_conc, p_img, p_cse, p_rem, p_reing, p_dq]:
         out = out.unionByName(p_)
     return _materialize(out, "q77")
 
@@ -7438,6 +7494,21 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'rem_del', 'w'||c_custkey, '1' FROM customer
         WHERE c_custkey BETWEEN 1 AND 180 AND c_custkey%10=7
+        UNION ALL
+        SELECT 'reing', 'h4', 'changed'
+        UNION ALL
+        SELECT 'reing', 'h'||c_custkey, 'descendant' FROM customer
+        WHERE (c_custkey BETWEEN 5 AND 20) OR (c_custkey BETWEEN 25 AND 30)
+        UNION ALL
+        SELECT 'reing', 'h'||c_custkey, 'parent' FROM customer
+        WHERE c_custkey IN (3, 23)
+        UNION ALL
+        SELECT 'dq', 'k'||c_custkey,
+               'lbl '||c_custkey||'~'||
+               CASE WHEN c_custkey%5=3 THEN 'Genre||Person'
+                    ELSE 'Agent||Concept||Place' END
+        FROM customer
+        WHERE c_custkey BETWEEN 1 AND 40 AND c_custkey%5 IN (3,4)
     """
 
     # q78: deep-hierarchy stress — chain/children/shared-pid relations in
