@@ -5692,7 +5692,7 @@ def oracle_sql() -> dict[str, str]:
                     WHEN ck % 15 = 0 THEN
                       'Publication|City ' || ck || ' : Pub ' || ck || ', 1991.|City '
                       || ck || '|Pub ' || ck || '|1991'
-                    ELSE '' END AS prod_csv,
+                    ELSE '|1991|Massachusetts||1991' END AS prod_csv,
                CASE WHEN del OR t IN (5, 6) THEN NULL ELSE '1991' END AS date_range_008,
                CASE WHEN del OR t IN (5, 6) THEN NULL ELSE '1991-01-01' END AS prod_from,
                CASE WHEN del OR t IN (5, 6) THEN NULL ELSE '1991-12-31' END AS prod_to,

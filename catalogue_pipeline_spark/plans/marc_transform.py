@@ -475,7 +475,28 @@ def _production_expr(content: Column) -> Column:
         return F.filter(F.transform(blocks, fmt), lambda e: e.isNotNull())
 
     e260, e264 = events("260"), events("264")
-    return F.when(F.size(e260) > 0, e260).otherwise(e264)
+    # the standalone 008 production event (ebsco/production.py:30-71):
+    # used only when neither 260 nor 264 yields an event — label and date
+    # are the 008 maximal date range, the place resolves from 008 chars
+    # 15-17 through the MARC country-code table (field008.py:69-80,
+    # lookups/places.py), agents empty, no function
+    from ..functions.marc_places import place_label_expr
+
+    rng = _date_range_008_expr(content)
+    place = place_label_expr(F.substring(_control_raw(content, "008"), 16, 3))
+    e008 = F.when(
+        rng.isNotNull(),
+        F.array(
+            F.concat_ws(
+                "|", F.lit(""), rng, F.coalesce(place, F.lit("")), F.lit(""), rng
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        F.when(F.size(e260) > 0, e260)
+        .when(F.size(e264) > 0, e264)
+        .otherwise(e008)
+    )
 
 
 def _date_range_008_expr(content: Column) -> Column:

@@ -442,3 +442,38 @@ def test_retransform_is_noop_through_merge_path(spark, tmp_path):
     assert sid2 is None  # V3: no commit at all
     assert m2.noop_updates == 3 and m2.events_applied == 0
     assert table.current_snapshot_id() == sid1
+
+
+def test_008_fallback_production_event_with_place(spark):
+    """ebsco/production.py:30-71 + parsers/field008.py:69-80: with no 260/
+    264 event, the 008 maximal date range becomes a standalone production
+    event whose place resolves from 008 chars 15-17 through the MARC
+    country-code table (lookups/places.py); an unresolvable code ('|||' or
+    'xx ') yields a place-less event; dtype 'n'/'|' yields NO event; a
+    present 260 suppresses the 008 event entirely."""
+    def rec8(rid, data, extra=""):
+        return _rec(
+            rid,
+            _cf001(rid)
+            + f'<controlfield tag="008">{data}</controlfield>'
+            + _df("245", ("a", "T"))
+            + extra,
+        )
+
+    got = run(spark, [rec8("e1", "900716s1991    mau")])
+    assert got["e1"]["production"] == ["|1991|Massachusetts||1991"]
+    # Scotland place code per the reference doctest (field008.py:72-73)
+    got2 = run(spark, [rec8("e2", "900716s1979uuuustk")])
+    assert got2["e2"]["production"] == ["|1979|Scotland||1979"]
+    # unresolvable place code -> event without a place
+    got3 = run(spark, [rec8("e3", "900716s1979uuuu|||")])
+    assert got3["e3"]["production"] == ["|1979|||1979"]
+    # dtype '|' (no attempt to code) / 'n' (unknown) -> no range -> no event
+    got4 = run(spark, [rec8("e4", "||||||n1979uuuu")])
+    assert got4["e4"]["production"] == []
+    got4b = run(spark, [rec8("e4b", "|||||||1979uuuustk")])
+    assert got4b["e4b"]["production"] == []
+    # a 260 event wins over the 008 fallback
+    f260 = _df("260", ("a", "London :"), ("c", "1850."))
+    got5 = run(spark, [rec8("e5", "900716s1991    mau", f260)])
+    assert got5["e5"]["production"] == ["|London : 1850.|London||1850"]
