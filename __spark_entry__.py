@@ -2631,6 +2631,21 @@ def _q65_calm_transform(spark, sf_dir):
                 ck % 28 == 0,
                 F.struct(L("Date").alias("k"), F.array(L("1901"), L("1905-1910")).alias("v")),
             ).otherwise(entry("Date", ck % 14 == 0, L("1901"))),
+            # round-5 CALM field families (plans/calm_fields.py)
+            entry(
+                "Language", ck % 5 == 1,
+                F.when(ck % 15 == 1, L("English; French"))
+                .when(ck % 15 == 6, L("Norweigan"))
+                .otherwise(L("Mostly in German, some English.")),
+            ),
+            entry("Notes", ck % 7 == 2, F.concat(L("Note "), cks, L("."))),
+            entry("Arrangement", ck % 9 == 4, L("By year.")),
+            entry(
+                "AccessStatus", ck % 4 == 2,
+                F.when(ck % 8 == 2, L("Closed")).otherwise(L("Open")),
+            ),
+            entry("AccessConditions", ck % 6 == 2, F.concat(L("Cond "), cks, L("."))),
+            entry("ClosedUntil", ck % 8 == 2, L("01/01/2030")),
         ),
         lambda e: e.isNotNull(),
     )
@@ -2662,6 +2677,11 @@ def _q65_calm_transform(spark, sf_dir):
         F.concat_ws("~", "merge_candidates").alias("merge_csv"),
         "prod_from",
         "prod_to",
+        F.concat_ws(",", "languages").alias("langs_csv"),
+        F.concat_ws("|", "notes").alias("notes_csv"),
+        "terms_of_use",
+        "access_status",
+        F.concat_ws(",", "items").alias("items_csv"),
     )
 
 
@@ -6385,7 +6405,37 @@ def oracle_sql() -> dict[str, str]:
                     ], x -> x IS NOT NULL), '~'), '') ELSE '' END AS merge_csv,
                CASE WHEN vis AND ck % 14 = 0 THEN '1901-01-01' END AS prod_from,
                CASE WHEN vis AND ck % 28 = 0 THEN '1910-12-31'
-                    WHEN vis AND ck % 14 = 0 THEN '1901-12-31' END AS prod_to
+                    WHEN vis AND ck % 14 = 0 THEN '1901-12-31' END AS prod_to,
+               CASE WHEN vis AND ck % 5 = 1 THEN
+                 CASE WHEN ck % 15 = 1 THEN 'eng~English,fre~French'
+                      WHEN ck % 15 = 6 THEN 'nor~Norwegian'
+                      ELSE 'ger~German,eng~English' END
+                 ELSE '' END AS langs_csv,
+               CASE WHEN NOT vis THEN '' ELSE concat_ws('|',
+                 CASE WHEN ck % 9 = 4 THEN 'arrangement-note~By year.' END,
+                 CASE WHEN ck % 7 = 2 THEN 'general-note~Note ' || cks || '.' END,
+                 CASE WHEN ck % 5 = 1 AND ck % 15 = 11
+                      THEN 'language-note~Mostly in German, some English.' END,
+                 CASE WHEN ck % 8 = 2 THEN
+                        (CASE WHEN ck % 6 = 2
+                              THEN 'terms-of-use~Cond ' || cks || '. Closed until 1 January 2030.'
+                              ELSE 'terms-of-use~Closed until 1 January 2030.' END)
+                      WHEN ck % 6 = 2 THEN 'terms-of-use~Cond ' || cks || '.' END)
+                 END AS notes_csv,
+               CASE WHEN vis THEN
+                 CASE WHEN ck % 8 = 2 THEN
+                        (CASE WHEN ck % 6 = 2
+                              THEN 'Cond ' || cks || '. Closed until 1 January 2030.'
+                              ELSE 'Closed until 1 January 2030.' END)
+                      WHEN ck % 6 = 2 THEN 'Cond ' || cks || '.' END
+                 END AS terms_of_use,
+               CASE WHEN vis AND ck % 4 = 2 THEN
+                 CASE WHEN ck % 8 = 2 THEN 'Closed' ELSE 'Open' END
+                 END AS access_status,
+               CASE WHEN vis THEN 'ClosedStores~Closed stores~NotRequestable~'
+                 || (CASE WHEN ck % 8 = 2 THEN 'Closed'
+                          WHEN ck % 8 = 6 THEN 'Open' ELSE '' END)
+                 ELSE '' END AS items_csv
         FROM e
     """
     # q66: closed-form Miro expectation (title/description templates,

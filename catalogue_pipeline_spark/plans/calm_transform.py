@@ -287,7 +287,24 @@ def transform_calm(records: DataFrame) -> DataFrame:
         darr(dates).alias("production_dates"),
         darr(merge).alias("merge_candidates"),
         F.col("retrieved_at"),
+        *_calm_field_columns(data, dstr, darr),
     )
+
+
+def _calm_field_columns(data, dstr, darr):
+    """The round-5 CALM field families (plans/calm_fields.py — notes,
+    languages, terms-of-use, access status, items), masked to Visible rows
+    like every other transformed field (CalmTransformer.scala:144-165)."""
+    from .calm_fields import with_calm_fields
+
+    cols = with_calm_fields(data)
+    return [
+        darr(cols["languages"]).alias("languages"),
+        darr(cols["notes"]).alias("notes"),
+        dstr(cols["terms_of_use"]).alias("terms_of_use"),
+        dstr(cols["access_status"]).alias("access_status"),
+        darr(cols["items"]).alias("items"),
+    ]
 
 
 def with_parsed_production(works: DataFrame) -> DataFrame:
