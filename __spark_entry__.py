@@ -2969,7 +2969,9 @@ def _q68_tei_transform(spark, sf_dir):
     )
     items = F.concat(
         L('<msItem xml:id="i'), cks, L('_1"><title>Item Title '), cks,
-        L("</title>"), child, L("</msItem>"),
+        L("</title>"),
+        F.concat(L('<author key="person_'), cks, L('">Auth '), cks, L("</author>")),
+        child, L("</msItem>"),
         L('<msItem xml:id="i'), cks, L('_2">'
           '<title type="original">Orig '), cks, L("</title>"
           "<title>Alt "), cks, L("</title></msItem>"),
@@ -2990,8 +2992,42 @@ def _q68_tei_transform(spark, sf_dir):
         sierra,
         L("</msIdentifier><msContents>"),
         summary,
+        # round-5 fields: textLang under msContents
+        F.when(ck % 7 == 1, L('<textLang mainLang="ar">Arabic</textLang>')).otherwise(L("")),
+        F.when(ck % 7 == 3, L("<textLang>Funny dialect</textLang>")).otherwise(L("")),
         nested_items,
         L("</msContents>"),
+        # desc-level physDesc (handNotes + supportDesc) and history
+        F.when(
+            ck % 11 == 2,
+            L("<physDesc><handDesc><handNote>Neat hand.</handNote></handDesc></physDesc>"),
+        )
+        .when(
+            ck % 11 == 5,
+            F.concat(
+                L('<physDesc><handDesc><handNote scope="sole"><persName role="scr">Scriba '),
+                cks, L("</persName></handNote></handDesc></physDesc>"),
+            ),
+        )
+        .when(
+            ck % 12 == 7,
+            L("<physDesc><objectDesc><supportDesc><support>Paper.</support>"
+              "<extent>3 pages</extent></supportDesc></objectDesc></physDesc>"),
+        )
+        .otherwise(L("")),
+        F.when(
+            ck % 8 == 5,
+            L("<history><origin><origPlace><country>India</country></origPlace>"
+              '<origDate calendar="Gregorian">1850</origDate></origin></history>'),
+        ).otherwise(L("")),
+        F.when(
+            ck % 6 == 4,
+            F.concat(
+                L('<profileDesc><textClass><keywords scheme="#LCSH"><list><item>'
+                  '<term ref="subject_sh'), cks, L('">Topic '), cks,
+                L("</term></item></list></keywords></textClass></profileDesc>"),
+            ),
+        ).otherwise(L("")),
         nested_parts,
         L("</msDesc></sourceDesc></fileDesc></teiHeader></TEI>"),
     )
@@ -3015,6 +3051,13 @@ def _q68_tei_transform(spark, sf_dir):
         "description",
         F.concat_ws("~", "merge_candidates").alias("merge_csv"),
         F.concat_ws("&&", "internal_works").alias("internal_csv"),
+        F.concat_ws(",", "languages").alias("langs_csv"),
+        F.concat_ws(";", "notes").alias("notes_csv"),
+        "physical_description",
+        F.concat_ws(";", "subjects").alias("subj_csv"),
+        F.concat_ws(";", "contributors").alias("contrib_csv"),
+        "production",
+        F.concat_ws("&&", "internal_fields").alias("ifields_csv"),
     )
 
 
@@ -6643,7 +6686,38 @@ def oracle_sql() -> dict[str, str]:
                            '&&p' || cks || '_1_i1|WMS_' || cks
                            || ' part 1 item 1||2|p' || cks || '_1' ELSE '' END
                       || '&&p' || cks || '_2|WMS_' || cks || ' part 2||1|-'
-               END AS internal_csv
+               END AS internal_csv,
+               CASE WHEN NOT del AND err IS NULL AND ck % 7 = 1
+                    THEN 'ara~Arabic' ELSE '' END AS langs_csv,
+               CASE WHEN del OR err IS NOT NULL THEN '' ELSE concat_ws(';',
+                 CASE WHEN ck % 7 = 3 THEN 'language-note~Funny dialect' END,
+                 CASE WHEN ck % 11 = 2 THEN 'hand-note~Neat hand.' END)
+               END AS notes_csv,
+               CASE WHEN NOT del AND err IS NULL AND ck % 12 = 7
+                         AND ck % 11 NOT IN (2, 5)
+                    THEN 'Paper.; 3 pages' END AS physical_description,
+               CASE WHEN NOT del AND err IS NULL AND ck % 6 = 4
+                    THEN 'Topic ' || cks || '~lc-subjects~sh' || cks
+                    ELSE '' END AS subj_csv,
+               CASE WHEN NOT del AND err IS NULL AND ck % 11 = 5
+                    THEN 'Scriba ' || cks || '~scribe~label-derived~scriba ' || cks
+                    ELSE '' END AS contrib_csv,
+               CASE WHEN NOT del AND err IS NULL AND ck % 8 = 5
+                    THEN 'India, 1850~India~~1850' END AS production,
+               CASE WHEN del OR err IS NOT NULL THEN ''
+                    WHEN ck % 2 = 0 THEN
+                      'i' || cks || '_1|||Auth ' || cks || '~author~'
+                      || CASE WHEN ck % 9 = 0 THEN 'fihrist' ELSE 'viaf' END
+                      || '~person_' || cks || '|-|-'
+                      || CASE WHEN ck % 9 <> 0 THEN
+                           '&&i' || cks || '_1_1||||-|-' ELSE '' END
+                      || '&&i' || cks || '_2||||-|-'
+                    ELSE
+                      'p' || cks || '_1||||-|-'
+                      || CASE WHEN ck % 9 <> 0 THEN
+                           '&&p' || cks || '_1_i1||||-|-' ELSE '' END
+                      || '&&p' || cks || '_2||||-|-'
+               END AS ifields_csv
         FROM e
     """
     # q69: closed-form chain probes — 200 keys; batch 3 changes titles on

@@ -288,4 +288,41 @@ def transform_tei(records: DataFrame) -> DataFrame:
         )
         .otherwise(F.array().cast("array<string>"))
         .alias("internal_works"),
+        *_tei_field_columns(content, live),
     )
+
+
+def _tei_field_columns(content, live):
+    """The round-5 TEI field families (plans/tei_fields.py): the top-level
+    work's languages/notes/physical-description/subjects/contributors/
+    production plus per-nested-work rows, masked to live rows like every
+    other transformed field (TeiXml.scala:20-37, TeiNestedData.scala)."""
+    from .tei_fields import tei_fields_udf
+
+    f = tei_fields_udf()(content)
+    empty = F.array().cast("array<string>")
+    arr = lambda c: F.when(live, c).otherwise(empty)  # noqa: E731
+    return [
+        arr(f.getField("languages")).alias("languages"),
+        arr(f.getField("notes")).alias("notes"),
+        F.when(live, f.getField("physical_description")).alias(
+            "physical_description"
+        ),
+        arr(f.getField("subjects")).alias("subjects"),
+        arr(f.getField("contributors")).alias("contributors"),
+        F.when(live, f.getField("production")).alias("production"),
+        arr(
+            F.transform(
+                f.getField("items"),
+                lambda i: F.concat_ws(
+                    "|",
+                    i.getField("id"),
+                    F.array_join(i.getField("languages"), ";"),
+                    F.array_join(i.getField("notes"), ";"),
+                    F.array_join(i.getField("contributors"), ";"),
+                    F.coalesce(i.getField("physical_description"), F.lit("-")),
+                    F.coalesce(i.getField("production"), F.lit("-")),
+                ),
+            )
+        ).alias("internal_fields"),
+    ]
