@@ -1396,7 +1396,11 @@ def _q55_id_minter(spark, sf_dir):
     (identifiers.py:1-39), a re-mint returns byte-identical ids (idempotent
     re-run), and keys minted in an EARLIER batch keep their ids when later
     batches add more (stability across batches)."""
-    from catalogue_pipeline_spark.plans.id_minter import create_minter_table, mint_ids
+    from catalogue_pipeline_spark.plans.id_minter import (
+        create_minter_table,
+        mint_ids,
+        mint_ids_with_predecessors,
+    )
 
     work = tempfile.mkdtemp(prefix="cps-q55-")
     try:
@@ -1426,6 +1430,45 @@ def _q55_id_minter(spark, sf_dir):
             (
                 "n_early_batch_stable",
                 a.join(b, ["source_key", "canonical_id"]).count(),
+            ),
+        ]
+        # predecessor inheritance (minting_resolver.py:124-300): 100
+        # migrated keys inherit their predecessors' canonical ids, 50
+        # brand-new keys mint fresh
+        cks = ck.cast("string")
+        pred_req = (
+            cust.filter(ck <= 100)
+            .select(
+                F.concat(F.lit("mig-"), cks).alias("source_key"),
+                F.concat(F.lit("key-"), cks).alias("predecessor_key"),
+            )
+            .unionByName(
+                cust.filter((ck > 100) & (ck <= 150)).select(
+                    F.concat(F.lit("brand-"), cks).alias("source_key"),
+                    F.lit(None).cast("string").alias("predecessor_key"),
+                )
+            )
+        )
+        d = mint_ids_with_predecessors(spark, t1, pred_req, "b3")
+        inh = d.filter(F.col("method") == "inherited")
+        pred_map = b.select(
+            F.concat(F.lit("mig-"), F.regexp_extract("source_key", r"key-(\d+)", 1)).alias(
+                "source_key"
+            ),
+            F.col("canonical_id").alias("_want"),
+        )
+        probes += [
+            ("n_inherited", inh.count()),
+            (
+                "n_inherited_match",
+                inh.join(pred_map, "source_key")
+                .filter(F.col("canonical_id") == F.col("_want"))
+                .count(),
+            ),
+            ("n_new_minted", d.filter(F.col("method") == "minted").count()),
+            (
+                "n_pred_ids_distinct",
+                d.select("canonical_id").distinct().count(),
             ),
         ]
         return spark.createDataFrame(probes, "probe string, n long")
@@ -5788,6 +5831,10 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 'n_format_ok', 500
         UNION ALL SELECT 'n_replay_identical', 500
         UNION ALL SELECT 'n_early_batch_stable', 300
+        UNION ALL SELECT 'n_inherited', 100
+        UNION ALL SELECT 'n_inherited_match', 100
+        UNION ALL SELECT 'n_new_minted', 50
+        UNION ALL SELECT 'n_pred_ids_distinct', 150
     """
     # q56: the expected normalized projection in closed form — v1 rows get a
     # typed-null tool, narrow turn_idx widens to BIGINT, canonical order.

@@ -124,3 +124,86 @@ def mint_ids(
             sort_cols=["source_key"],
         )
     return existing.unionByName(out) if out is not None else existing
+
+
+def mint_ids_with_predecessors(
+    spark: SparkSession,
+    table: LakeTable,
+    requests: DataFrame,
+    changeset_id: str,
+    length: int = 8,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """MintingResolver.mint_ids with predecessor inheritance
+    (catalogue_graph/src/id_minter/resolvers/minting_resolver.py:124-300):
+    ``requests(source_key, predecessor_key nullable)`` → (source_key,
+    canonical_id, method ∈ looked_up|inherited|minted).
+
+    Rules, matched to the reference:
+
+    * a source key that already has an id returns it — the idempotent
+      lookup path; its predecessor (if any) is ignored;
+    * conflicting predecessors for one source key within a batch raise
+      ValueError (the reference's per-work fallback trigger);
+    * a missing source key WITH a predecessor inherits the predecessor's
+      canonical id — the predecessor MUST already be in the table (fail
+      fast otherwise: migrations ingest predecessors first), so external
+      URLs stay valid across source-system migrations (Sierra→FOLIO);
+    * a missing source key with no predecessor gets a fresh deterministic
+      mint (the pool-claim path → this engine's salted hash fold).
+
+    Scale shape: two left-semi/anti joins against the bucketed minter
+    table plus the existing mint loop; the two integrity gates are scalar
+    aggregates (the A8 pattern), never driver-side row sets.
+    """
+    req = requests.select(
+        F.col("source_key").cast("string").alias("source_key"),
+        F.col("predecessor_key").cast("string").alias("predecessor_key"),
+    ).distinct()
+
+    # conflicting predecessors: >1 distinct (incl. null-vs-value) per key
+    conflicts = (
+        req.groupBy("source_key")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
+    )
+    c = conflicts.limit(1).collect()
+    if c:
+        k = c[0]["source_key"]
+        raise ValueError(f"Conflicting predecessors for {k}")
+
+    stored = table.read(spark).select("source_key", "canonical_id")
+    looked_up = req.join(stored, "source_key").select(
+        "source_key", "canonical_id", F.lit("looked_up").alias("method")
+    )
+    missing = req.join(stored.select("source_key"), "source_key", "left_anti")
+
+    with_pred = missing.filter(F.col("predecessor_key").isNotNull())
+    # fail fast when a named predecessor has no id yet
+    pred_lookup = stored.select(
+        F.col("source_key").alias("predecessor_key"),
+        F.col("canonical_id").alias("_pred_id"),
+    )
+    joined = with_pred.join(pred_lookup, "predecessor_key", "left")
+    bad = joined.filter(F.col("_pred_id").isNull()).limit(1).collect()
+    if bad:
+        raise ValueError(f"Predecessor not found: {bad[0]['predecessor_key']}")
+    inherited = joined.select(
+        "source_key",
+        F.col("_pred_id").alias("canonical_id"),
+        F.lit("inherited").alias("method"),
+    )
+    n_inherited = inherited.count()
+    if n_inherited:
+        table.append(
+            inherited.select("source_key", "canonical_id"),
+            changeset_id=f"{changeset_id}-inherit",
+            sort_cols=["source_key"],
+        )
+
+    fresh = missing.filter(F.col("predecessor_key").isNull()).select("source_key")
+    minted = mint_ids(
+        spark, table, fresh, changeset_id, length=length, max_rounds=max_rounds
+    ).select("source_key", "canonical_id", F.lit("minted").alias("method"))
+
+    return looked_up.unionByName(inherited).unionByName(minted)

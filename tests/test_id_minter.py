@@ -54,3 +54,63 @@ def test_mint_deterministic_across_tables(spark, tmp_path):
         outs.append({r["source_key"]: r["canonical_id"] for r in
                      mint_ids(spark, t, keys_df(spark, ks), "b", length=2, max_rounds=32).collect()})
     assert outs[0] == outs[1]
+
+
+def req_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "source_key string, predecessor_key string"
+    )
+
+
+def test_predecessor_inheritance(spark, table):
+    """minting_resolver.py:124-300: a migrated record inherits its
+    predecessor's canonical id; predecessors must pre-exist; lookups win
+    over inheritance; fresh keys without predecessors mint normally."""
+    from catalogue_pipeline_spark.plans.id_minter import (
+        mint_ids_with_predecessors,
+    )
+
+    base = {r["source_key"]: r["canonical_id"] for r in
+            mint_ids(spark, table, keys_df(spark, ["sierra:b1", "sierra:b2"]),
+                     "b1").collect()}
+    got = {r["source_key"]: (r["canonical_id"], r["method"]) for r in
+           mint_ids_with_predecessors(
+               spark, table,
+               req_df(spark, [
+                   ("folio:f1", "sierra:b1"),   # migrate → inherit
+                   ("sierra:b2", None),          # exists → looked_up
+                   ("axiell:a1", None),          # new → minted
+               ]),
+               "b2",
+           ).collect()}
+    assert got["folio:f1"] == (base["sierra:b1"], "inherited")
+    assert got["sierra:b2"] == (base["sierra:b2"], "looked_up")
+    assert got["axiell:a1"][1] == "minted"
+    assert got["axiell:a1"][0] not in {v for v, _ in got.values() if v != got["axiell:a1"][0]}
+    # the inherited mapping persists: a plain re-mint returns the same id
+    again = {r["source_key"]: r["canonical_id"] for r in
+             mint_ids(spark, table, keys_df(spark, ["folio:f1"]), "b3").collect()}
+    assert again["folio:f1"] == base["sierra:b1"]
+    # an EXISTING key's predecessor is ignored (lookup path wins)
+    got2 = {r["source_key"]: (r["canonical_id"], r["method"]) for r in
+            mint_ids_with_predecessors(
+                spark, table,
+                req_df(spark, [("folio:f1", "sierra:b2")]), "b4").collect()}
+    assert got2["folio:f1"] == (base["sierra:b1"], "looked_up")
+
+
+def test_predecessor_failures(spark, table):
+    from catalogue_pipeline_spark.plans.id_minter import (
+        mint_ids_with_predecessors,
+    )
+
+    mint_ids(spark, table, keys_df(spark, ["s:1"]), "b1")
+    with pytest.raises(ValueError, match="Predecessor not found"):
+        mint_ids_with_predecessors(
+            spark, table, req_df(spark, [("f:9", "s:missing")]), "b2"
+        )
+    with pytest.raises(ValueError, match="Conflicting predecessors"):
+        mint_ids_with_predecessors(
+            spark, table,
+            req_df(spark, [("f:9", "s:1"), ("f:9", None)]), "b3",
+        )
