@@ -812,7 +812,107 @@ def _q43_merger_field_rules(spark, sf_dir):
             F.lit(False).alias("restricted"),
         )
     )
-    out = fold_components(works.unionByName(triples), dt.datetime(2024, 6, 1, 12, 0, 0))
+    # Image-rule components (ImageDataRule/ImagesRule, round-5): groups of
+    # (role0 target, role1 mets-or-sierra, role2/3 miro) cycling six scenario
+    # kinds k = g%6: k0 plain sierra picture + mets + 2 miro (licence copy vs
+    # m2 ambiguity), k1 digmiro sierra 2-item target (miro matched-unmerged),
+    # k2 non-picture sierra (mets images ignored), k3 calm target + digaids
+    # sierra source (elected suppresses miro), k4 calm + plain sierra source
+    # WITH own images (elected images lead the flat-rule lists), k5 no sierra
+    # at all (no election → no images anywhere).
+    gi = F.floor((ck - 461) / 4)
+    irole = (ck - 461) % 4
+    kk = gi % 6
+    m2 = (gi % 12) >= 6
+    cks = ck.cast("string")
+
+    def _img(idexpr, lic):
+        return F.struct(idexpr.alias("image_id"), F.lit(lic).alias("licence"))
+
+    mets_imgs = F.when(
+        m2,
+        F.array(
+            _img(F.concat(F.lit("img-"), cks, F.lit("a")), "L1"),
+            _img(F.concat(F.lit("img-"), cks, F.lit("b")), "L2"),
+        ),
+    ).otherwise(F.array(_img(F.concat(F.lit("img-"), cks, F.lit("a")), "L1")))
+    imgblock = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .filter((ck >= 461) & (ck <= 560))
+        .filter(~((irole == 3) & ~kk.isin(0, 5)))
+        .select(
+            F.concat(F.lit("w"), cks).alias("work_id"),
+            F.concat(F.lit("img"), gi.cast("string")).alias("component"),
+            F.when(
+                irole == 0,
+                F.when(kk.isin(3, 4, 5), F.lit("calm")).otherwise(F.lit("sierra")),
+            )
+            .when(
+                irole == 1,
+                F.when(kk.isin(3, 4), F.lit("sierra")).otherwise(F.lit("mets")),
+            )
+            .otherwise(F.lit("miro"))
+            .alias("source_type"),
+            F.lit(False).alias("suppressed"),
+            F.when(
+                (irole == 0) & (kk == 1),
+                F.array(F.concat(F.lit("i1-"), cks), F.concat(F.lit("i2-"), cks)),
+            )
+            .otherwise(F.array(F.concat(F.lit("i1-"), cks)))
+            .alias("items"),
+            F.array(F.concat(F.lit("id-"), cks)).alias("identifiers"),
+            F.concat(F.lit("th-"), cks).alias("thumbnail"),
+            F.when((irole == 0) & kk.isin(0, 1), F.lit("picture")).alias("format"),
+            F.lit(False).alias("restricted"),
+            F.when((irole == 0) & (kk == 1), F.array(F.lit("digmiro")))
+            .when((irole == 1) & (kk == 3), F.array(F.lit("digaids"), F.lit("digicon")))
+            .when((irole == 1) & (kk == 4), F.array(F.lit("digicon")))
+            .alias("digcodes"),
+            F.when(irole >= 2, F.array(_img(F.concat(F.lit("img-"), cks), "L0")))
+            .when((irole == 1) & kk.isin(0, 1, 2, 5), mets_imgs)
+            .when((irole == 1) & (kk == 4), F.array(_img(F.concat(F.lit("img-"), cks), "LS")))
+            .alias("images"),
+        )
+    )
+    # TargetOnlyMergeResult standalone images: lone Miro works — odd ck
+    # single-digital (emits own images), even ck two items (emits nothing).
+    solo = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .filter((ck >= 561) & (ck <= 580))
+        .select(
+            F.concat(F.lit("w"), cks).alias("work_id"),
+            F.concat(F.lit("solo"), cks).alias("component"),
+            F.lit("miro").alias("source_type"),
+            F.lit(False).alias("suppressed"),
+            F.when(ck % 2 == 1, F.array(F.concat(F.lit("i1-"), cks)))
+            .otherwise(F.array(F.concat(F.lit("i1-"), cks), F.concat(F.lit("i2-"), cks)))
+            .alias("items"),
+            F.array(F.concat(F.lit("id-"), cks)).alias("identifiers"),
+            F.concat(F.lit("th-"), cks).alias("thumbnail"),
+            F.lit(None).cast("string").alias("format"),
+            F.lit(False).alias("restricted"),
+            F.lit(None).cast("array<string>").alias("digcodes"),
+            F.array(_img(F.concat(F.lit("img-"), cks), "L0")).alias("images"),
+        )
+    )
+    allw = (
+        works.unionByName(triples)
+        .unionByName(imgblock, allowMissingColumns=True)
+        .unionByName(solo, allowMissingColumns=True)
+    )
+    out = fold_components(allw, dt.datetime(2024, 6, 1, 12, 0, 0))
+
+    def _icsv(c):
+        return F.concat_ws(
+            ",",
+            F.transform(
+                F.col(c),
+                lambda x: F.concat(
+                    x["image_id"], F.lit(":"), F.coalesce(x["licence"], F.lit(""))
+                ),
+            ),
+        )
+
     return out.select(
         "work_id",
         "type",
@@ -820,6 +920,8 @@ def _q43_merger_field_rules(spark, sf_dir):
         F.concat_ws(",", "items").alias("items_csv"),
         F.concat_ws(",", "identifiers").alias("ids_csv"),
         "thumbnail",
+        _icsv("image_data").alias("image_data_csv"),
+        _icsv("emitted_images").alias("emitted_csv"),
     )
 
 
@@ -5430,11 +5532,15 @@ def oracle_sql() -> dict[str, str]:
                       WHEN ((t_type = 'sierra' AND len(t_items) <= 1)
                             OR (t_type = 'calm' AND len(t_items) = 1)
                             OR t_type = 'tei') AND s_type = 'miro' THEN TRUE
-                      ELSE FALSE END AS thumb_merged
+                      ELSE FALSE END AS thumb_merged,
+                 -- ImageDataRule: a single-digital Miro source under an
+                 -- elected sierra (the target here; no digcodes in this
+                 -- block) joins the redirect set regardless of item counts
+                 coalesce(t_type = 'sierra' AND s_type = 'miro', FALSE) AS img_merged
           FROM pairs),
         calc AS (
           SELECT *,
-                 items_merged OR thumb_merged AS merged,
+                 items_merged OR thumb_merged OR img_merged AS merged,
                  CASE WHEN NOT items_merged THEN []::VARCHAR[]
                       WHEN t_type = 'sierra' AND len(t_items) = 1 THEN []::VARCHAR[]
                       ELSE s_items END AS contrib,
@@ -5453,7 +5559,8 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN t_ck IS NULL THEN (CASE WHEN s_restr THEN NULL ELSE s_thumb END)
                     WHEN any_restr THEN NULL
                     WHEN thumb_merged THEN s_thumb
-                    ELSE t_thumb END AS thumbnail
+                    ELSE t_thumb END AS thumbnail,
+               '' AS image_data_csv, '' AS emitted_csv
         FROM calc
         UNION ALL
         SELECT s_wid AS work_id,
@@ -5461,7 +5568,8 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN merged THEN t_wid END AS redirect_target,
                CASE WHEN merged THEN '' ELSE array_to_string(s_items, ',') END AS items_csv,
                CASE WHEN merged THEN '' ELSE s_ident END AS ids_csv,
-               CASE WHEN merged THEN NULL ELSE s_thumb END AS thumbnail
+               CASE WHEN merged THEN NULL ELSE s_thumb END AS thumbnail,
+               '' AS image_data_csv, '' AS emitted_csv
         FROM calc WHERE paired
         -- multi-source triples (ck 401..460): sierra-picture 0-item target +
         -- METS + Miro (even g) or Miro only (odd g). Closed-form expectation:
@@ -5476,20 +5584,85 @@ def oracle_sql() -> dict[str, str]:
                     'id-' || CAST(401 + 3*g AS VARCHAR) || ',id-' || CAST(402 + 3*g AS VARCHAR) || ',id-' || CAST(403 + 3*g AS VARCHAR)
                     ELSE 'id-' || CAST(401 + 3*g AS VARCHAR) || ',id-' || CAST(403 + 3*g AS VARCHAR) END,
                CASE WHEN g % 2 = 0 THEN 'th-' || CAST(402 + 3*g AS VARCHAR)
-                    ELSE 'th-' || CAST(403 + 3*g AS VARCHAR) END
+                    ELSE 'th-' || CAST(403 + 3*g AS VARCHAR) END,
+               '', ''
         FROM (SELECT DISTINCT (c_custkey - 401) // 3 AS g FROM customer
               WHERE c_custkey BETWEEN 401 AND 460)
         UNION ALL
         SELECT 'w' || CAST(402 + 3*g AS VARCHAR), 'Redirected',
-               'w' || CAST(401 + 3*g AS VARCHAR), '', '', NULL
+               'w' || CAST(401 + 3*g AS VARCHAR), '', '', NULL, '', ''
         FROM (SELECT DISTINCT (c_custkey - 401) // 3 AS g FROM customer
               WHERE c_custkey BETWEEN 401 AND 460)
         WHERE g % 2 = 0
         UNION ALL
         SELECT 'w' || CAST(403 + 3*g AS VARCHAR), 'Redirected',
-               'w' || CAST(401 + 3*g AS VARCHAR), '', '', NULL
+               'w' || CAST(401 + 3*g AS VARCHAR), '', '', NULL, '', ''
         FROM (SELECT DISTINCT (c_custkey - 401) // 3 AS g FROM customer
               WHERE c_custkey BETWEEN 401 AND 460)
+        -- image-rule block (ck 461..560): closed-form expectations per
+        -- scenario kind k = g%6 (see the Spark-side comment); m2 = the METS
+        -- member carries two images with DISTINCT licences (copy ambiguity)
+        UNION ALL
+        SELECT 'w' || a, 'Visible', NULL,
+               CASE k WHEN 0 THEN 'i1-' || a
+                      WHEN 1 THEN 'i1-' || a || ',i2-' || a || ',i1-' || b
+                      WHEN 2 THEN 'i1-' || a
+                      WHEN 5 THEN 'i1-' || b || ',i1-' || c || ',i1-' || d
+                      ELSE 'i1-' || b || ',i1-' || c END,
+               CASE WHEN k IN (0, 5) THEN 'id-'||a||',id-'||b||',id-'||c||',id-'||d
+                    WHEN k = 1 THEN 'id-'||a||',id-'||b
+                    ELSE 'id-'||a||',id-'||b||',id-'||c END,
+               CASE WHEN k IN (3, 4) THEN 'th-'||c ELSE 'th-'||b END,
+               CASE k WHEN 0 THEN 'img-'||c||':L0,img-'||d||':L0'
+                      WHEN 2 THEN 'img-'||c||':L0'
+                      WHEN 4 THEN 'img-'||b||':LS,img-'||c||':L0'
+                      ELSE '' END,
+               CASE k WHEN 0 THEN
+                      CASE WHEN m2 THEN 'img-'||b||'a:L1,img-'||b||'b:L2,img-'||c||':L0,img-'||d||':L0'
+                           ELSE 'img-'||b||'a:L1,img-'||c||':L1,img-'||d||':L1' END
+                      WHEN 1 THEN
+                      CASE WHEN m2 THEN 'img-'||b||'a:L1,img-'||b||'b:L2'
+                           ELSE 'img-'||b||'a:L1' END
+                      WHEN 2 THEN 'img-'||c||':L0'
+                      WHEN 4 THEN 'img-'||b||':LS,img-'||c||':L0'
+                      ELSE '' END
+        FROM (SELECT g, g % 6 AS k, (g % 12) >= 6 AS m2,
+                     CAST(461 + 4*g AS VARCHAR) AS a, CAST(462 + 4*g AS VARCHAR) AS b,
+                     CAST(463 + 4*g AS VARCHAR) AS c, CAST(464 + 4*g AS VARCHAR) AS d
+              FROM (SELECT DISTINCT (c_custkey - 461) // 4 AS g FROM customer
+                    WHERE c_custkey BETWEEN 461 AND 560))
+        UNION ALL
+        SELECT 'w' || CAST(462 + 4*g AS VARCHAR), 'Redirected',
+               'w' || CAST(461 + 4*g AS VARCHAR), '', '', NULL, '', ''
+        FROM (SELECT DISTINCT (c_custkey - 461) // 4 AS g FROM customer
+              WHERE c_custkey BETWEEN 461 AND 560)
+        UNION ALL
+        SELECT 'w' || CAST(463 + 4*g AS VARCHAR),
+               CASE WHEN g % 6 = 1 THEN 'Visible' ELSE 'Redirected' END,
+               CASE WHEN g % 6 = 1 THEN NULL ELSE 'w' || CAST(461 + 4*g AS VARCHAR) END,
+               CASE WHEN g % 6 = 1 THEN 'i1-' || CAST(463 + 4*g AS VARCHAR) ELSE '' END,
+               CASE WHEN g % 6 = 1 THEN 'id-' || CAST(463 + 4*g AS VARCHAR) ELSE '' END,
+               CASE WHEN g % 6 = 1 THEN 'th-' || CAST(463 + 4*g AS VARCHAR) END,
+               CASE WHEN g % 6 = 1 THEN 'img-' || CAST(463 + 4*g AS VARCHAR) || ':L0' ELSE '' END,
+               ''
+        FROM (SELECT DISTINCT (c_custkey - 461) // 4 AS g FROM customer
+              WHERE c_custkey BETWEEN 461 AND 560)
+        UNION ALL
+        SELECT 'w' || CAST(464 + 4*g AS VARCHAR), 'Redirected',
+               'w' || CAST(461 + 4*g AS VARCHAR), '', '', NULL, '', ''
+        FROM (SELECT DISTINCT (c_custkey - 461) // 4 AS g FROM customer
+              WHERE c_custkey BETWEEN 461 AND 560)
+        WHERE g % 6 IN (0, 5)
+        -- standalone singleton Miro works (ck 561..580)
+        UNION ALL
+        SELECT 'w' || CAST(c_custkey AS VARCHAR), 'Visible', NULL,
+               CASE WHEN c_custkey % 2 = 1 THEN 'i1-' || CAST(c_custkey AS VARCHAR)
+                    ELSE 'i1-' || CAST(c_custkey AS VARCHAR) || ',i2-' || CAST(c_custkey AS VARCHAR) END,
+               'id-' || CAST(c_custkey AS VARCHAR),
+               'th-' || CAST(c_custkey AS VARCHAR),
+               'img-' || CAST(c_custkey AS VARCHAR) || ':L0',
+               CASE WHEN c_custkey % 2 = 1 THEN 'img-' || CAST(c_custkey AS VARCHAR) || ':L0' ELSE '' END
+        FROM customer WHERE c_custkey BETWEEN 561 AND 580
     """
     # q44: final effective edges (batch2 overrides batch1 for ck≤60; the
     # stale batch3 is rejected by the V1 gate) → recursive-CTE min-label

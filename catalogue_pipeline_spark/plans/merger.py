@@ -49,6 +49,35 @@ optional scalar columns):
   OtherIdentifiersRule (OtherIdentifiersRule.scala): target identifiers ++
     identifiers of MERGED sources only, distinct.
 
+  ImageDataRule / ImagesRule (ImageDataRule.scala:28-123, round-5): images
+    merge into an elected *sierra image target* — the first participant
+    (target-first, then sources in deterministic (score, id) order)
+    satisfying ``sierraDigitisedMiro`` (a sierra work carrying the digaids /
+    digmiro digcode, WorkPredicates.scala:113-121), else the first plain
+    sierra work — "regardless of whether this is the principal target",
+    though the result is applied to the ACTUAL target.
+      * target ``image_data`` (ImageDataRule): Miro images ONLY — elected's
+        own images ++ single-digital-item Miro sources' images, and only
+        when the elected work is NOT digitised-miro (re-digitised Miro
+        content is superseded by METS); empty on every other merged target.
+      * emitted images (ImagesRule, the separate ImageDataWithSource stream
+        feeding the image pipeline): METS images when the elected work is a
+        sierra picture/ephemera ++ the Miro images with the METS licence
+        COPIED into them when the METS side carries exactly ONE distinct
+        licence (ImageDataOps.scala:10-42); parent = the actual target.
+      * standalone images (TargetOnlyMergeResult, MergeResult.scala:18-37):
+        an UNMATCHED single-digital-item Miro work emits its own images
+        with itself as parent; matched-but-unmerged works emit nothing.
+      * sources matched by either image rule join the redirect set
+        (PlatformMerger redirectSources, Merger.scala:217-224) — so a
+        single-digital Miro source under ANY non-digitised-miro sierra
+        target redirects even when ItemsRule left its items alone.
+
+  withItemsInInternalWorks (WorkMergingOps.scala:23-40): the merged target's
+    items are copied into every internal (TEI nested) work stub, which also
+    inherit the wrapper's merged thumbnail — exposed as
+    ``propagate_to_internal_works``.
+
 G5 matters: "we cannot rely on the modified times of the individual works —
 this may cause us to drop updates if works get unlinked" (RFC 038 via
 MergeProcessor.scala:41-65) — so all derived rows carry ``batch_ts``.
@@ -66,7 +95,16 @@ from ..operators.precedence import precedence_score
 
 DEFAULT_PRECEDENCE = ["ebsco", "tei", "calm", "sierra-digital", "sierra-physical", "sierra"]
 
-_OPTIONAL_COLS = {"format": "string", "restricted": "boolean"}
+# Flat image model: one struct per image; ``licence`` rides along so the
+# ImagesRule METS-licence copy (ImageDataOps.scala:10-42) is expressible.
+IMAGE_ARRAY_T = "array<struct<image_id:string,licence:string>>"
+
+_OPTIONAL_COLS = {
+    "format": "string",
+    "restricted": "boolean",
+    "digcodes": "array<string>",
+    "images": IMAGE_ARRAY_T,
+}
 
 
 def _with_optional_cols(works: DataFrame) -> DataFrame:
@@ -139,6 +177,9 @@ def match_and_merge(
         "items",
         "identifiers",
         "thumbnail",
+        "is_target",
+        "image_data",
+        "emitted_images",
         "batch_ts",
     )
 
@@ -241,7 +282,63 @@ def fold_components(
         ),
     )
     s = s.withColumn("_thumb_merged", F.col("_thumb_pick").isNotNull())
-    s = s.withColumn("_merged", F.col("_items_merged") | F.col("_thumb_merged"))
+
+    # ---------------- image rules (ImageDataRule.scala:28-123) --------------
+    # Elect the *sierra image target* over all visible participants in
+    # (target-first, score, id) order: first satisfying sierraDigitisedMiro
+    # (digaids/digmiro digcode, WorkPredicates.scala:113-121), else the first
+    # plain sierra work. One window min over an ordered struct — the elected
+    # work's predicate flags and images ride along in the struct's tail.
+    empty_imgs = F.array().cast(IMAGE_ARRAY_T)
+    imgs = F.coalesce(F.col("images"), empty_imgs)
+    digs = F.coalesce(F.col("digcodes"), F.array().cast("array<string>"))
+    row_sierra = _is_sierra(F.col("source_type"))
+    row_digmiro = row_sierra & F.arrays_overlap(
+        digs, F.array(F.lit("digaids"), F.lit("digmiro"))
+    )
+    row_pic_eph = row_sierra & F.col("format").isin("picture", "ephemera")
+    elkey = F.struct(
+        (F.col("_rn") != 1).cast("int").alias("o_src"),
+        F.col("_score").alias("o_score"),
+        F.col("work_id").alias("o_id"),
+        row_digmiro.alias("digmiro"),
+        row_pic_eph.alias("pic_eph"),
+        imgs.alias("images"),
+    )
+    electable = ~F.col("suppressed")
+    el = F.coalesce(
+        F.min(F.when(row_digmiro & electable, elkey)).over(comp_w),
+        F.min(F.when(row_sierra & electable, elkey)).over(comp_w),
+    )
+    s = s.withColumn("_el", el)
+    # PartialRule source matches: getPairedMiroImages (elected sierra-and-NOT-
+    # digitised-miro × single-digital Miro) and getMetsPictureAndEphemera
+    # (elected sierra picture/ephemera × single-digital METS).
+    s = s.withColumn(
+        "_img_miro_src",
+        is_src & src_miro & F.col("_el").isNotNull() & ~F.col("_el.digmiro"),
+    )
+    s = s.withColumn(
+        "_img_mets_src",
+        is_src & src_mets & F.col("_el").isNotNull() & F.col("_el.pic_eph"),
+    )
+    s = s.withColumn(
+        "_miro_src_imgs",
+        F.when(F.col("_img_miro_src"), F.struct("_score", "work_id", imgs.alias("images"))),
+    )
+    s = s.withColumn(
+        "_mets_src_imgs",
+        F.when(F.col("_img_mets_src"), F.struct("_score", "work_id", imgs.alias("images"))),
+    )
+    # Sources matched by either image rule join the redirect set
+    # (PlatformMerger redirectSources, Merger.scala:217-224).
+    s = s.withColumn(
+        "_merged",
+        F.col("_items_merged")
+        | F.col("_thumb_merged")
+        | F.col("_img_miro_src")
+        | F.col("_img_mets_src"),
+    )
 
     folded = s.groupBy("component").agg(
         # items the rules pull from sources, in deterministic (score, id) order
@@ -276,7 +373,58 @@ def fold_components(
         F.min("_thumb_pick").alias("_thumb_struct"),
         F.max(F.coalesce(F.col("restricted"), F.lit(False))).alias("_any_restricted"),
         F.count(F.lit(1)).alias("n_members"),
+        # image rules: elected participant (constant per component) + the
+        # matched sources' images in deterministic (score, id) order
+        F.min("_el").alias("_el_c"),
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list("_miro_src_imgs")), lambda st: st["images"]
+            )
+        ).alias("_miro_imgs"),
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list("_mets_src_imgs")), lambda st: st["images"]
+            )
+        ).alias("_mets_imgs"),
+        F.max("_img_miro_src").alias("_any_miro_img"),
+        F.max("_img_mets_src").alias("_any_mets_img"),
     )
+
+    # -------- post-agg image expressions (target-row semantics) -------------
+    # FlatImageMergeRule result = (elected :: matched sources).flatMap(images)
+    # — the elected's own images lead both lists when the rule is defined.
+    el_imgs = F.coalesce(F.col("_el_c.images"), empty_imgs)
+    miro_flat = F.when(
+        F.col("_any_miro_img"), F.concat(el_imgs, F.col("_miro_imgs"))
+    ).otherwise(empty_imgs)
+    mets_flat = F.when(
+        F.col("_any_mets_img"), F.concat(el_imgs, F.col("_mets_imgs"))
+    ).otherwise(empty_imgs)
+    # ImagesRule licence copy: exactly ONE distinct METS licence → overwrite
+    # every Miro image's licence; ambiguity or none → leave untouched.
+    licences = F.array_distinct(
+        F.filter(
+            F.transform(mets_flat, lambda x: x["licence"]), lambda l: l.isNotNull()
+        )
+    )
+    adj_miro = F.when(
+        F.size(licences) == 1,
+        F.transform(
+            miro_flat,
+            lambda x: F.struct(
+                x["image_id"].alias("image_id"),
+                F.element_at(licences, 1).alias("licence"),
+            ),
+        ),
+    ).otherwise(miro_flat)
+    own_imgs = F.coalesce(F.col("images"), empty_imgs)
+    # TargetOnlyMergeResult (MergeResult.scala:18-37): an unmatched
+    # single-digital-item Miro work emits its own images with itself as
+    # parent; everything else standalone emits nothing.
+    standalone = F.when(
+        (F.col("source_type") == "miro") & (F.col("_n_items") == 1) & ~F.col("suppressed"),
+        own_imgs,
+    ).otherwise(empty_imgs)
 
     out = (
         s.join(folded, "component")
@@ -318,7 +466,76 @@ def fold_components(
             )
             .when((F.col("_rn") != 1) & ~F.col("_merged"), F.col("thumbnail"))
             .alias("thumbnail"),
+            (F.col("_rn") == 1).alias("is_target"),
+            # ImageDataRule: the merged target's imageData is REPLACED by the
+            # rule result (Miro images only; Nil when no elected sierra or
+            # digitised-miro) — PlatformMerger data.copy(imageData = ...).
+            # Singleton targets and pass-through works keep their own images;
+            # redirect stubs carry none.
+            F.when((F.col("_rn") == 1) & (F.col("n_members") > 1), miro_flat)
+            .when(F.col("_rn") == 1, own_imgs)
+            .when(F.col("_merged"), empty_imgs)
+            .otherwise(own_imgs)
+            .alias("image_data"),
+            # ImagesRule: the ImageDataWithSource stream rows, parented by the
+            # ACTUAL target — METS picture/ephemera images ++ licence-adjusted
+            # Miro images; standalone Miro singletons emit their own.
+            F.when(
+                (F.col("_rn") == 1) & (F.col("n_members") > 1),
+                F.concat(mets_flat, adj_miro),
+            )
+            .when(F.col("_rn") == 1, standalone)
+            .otherwise(empty_imgs)
+            .alias("emitted_images"),
             F.lit(batch_ts).alias("batch_ts"),
         )
     )
     return out
+
+
+def merged_image_stream(merged: DataFrame) -> DataFrame:
+    """The ImageDataWithSource stream (ImageDataWithSource.scala,
+    MergerOutcome.imagesWithSources): one row per emitted image, parented by
+    the work that emitted it. Narrow explode over the fold output — no extra
+    shuffle; at scale this is the frame the image pipeline ingests."""
+    return (
+        merged.filter(F.size("emitted_images") > 0)
+        .select(
+            F.col("work_id").alias("parent_work_id"),
+            F.explode("emitted_images").alias("img"),
+            "batch_ts",
+        )
+        .select(
+            "parent_work_id",
+            F.col("img.image_id").alias("image_id"),
+            F.col("img.licence").alias("licence"),
+            "batch_ts",
+        )
+    )
+
+
+def propagate_to_internal_works(merged: DataFrame, stubs: DataFrame) -> DataFrame:
+    """withItemsInInternalWorks (WorkMergingOps.scala:23-40) + the internal-
+    works emission (Merger.scala:126-146): every internal (TEI nested) work
+    stub of a merge TARGET becomes a full Visible work carrying the wrapper's
+    MERGED items and MERGED thumbnail. Redirected sources drop their stubs
+    (redirectSourceToTarget sets internalWorkStubs = Nil) and pass-through
+    sources never expand theirs — both fall out of the is_target filter.
+
+    ``stubs``: (work_id = wrapper, stub_work_id, ...passthrough cols).
+    Broadcast-friendly: stubs are tiny relative to works; the join key is the
+    wrapper id so no wide shuffle of the merged frame is needed beyond the
+    existing component partitioning."""
+    targets = merged.filter(F.col("is_target") & (F.col("type") == "Visible")).select(
+        "work_id", "items", "thumbnail", "batch_ts"
+    )
+    passthrough = [c for c in stubs.columns if c not in ("work_id", "stub_work_id")]
+    return stubs.join(targets, "work_id").select(
+        F.col("stub_work_id").alias("work_id"),
+        F.col("work_id").alias("wrapper_work_id"),
+        F.lit("Visible").alias("type"),
+        "items",
+        "thumbnail",
+        "batch_ts",
+        *passthrough,
+    )

@@ -111,18 +111,21 @@ def test_sierra_single_item_absorbs_miro(spark):
     assert sorted(got["S"]["identifiers"]) == ["idM", "idS"]
 
 
-def test_sierra_multi_item_leaves_miro_unmerged(spark):
-    """'When there are multiple Sierra items … we leave the works unmerged'
-    (ItemsRule.scala mergeSingleMiroIntoSingleOrZeroItemSierraTarget)."""
+def test_sierra_multi_item_redirects_miro_via_image_rule(spark):
+    """'does not merge a sierra work with multiple items with a linked Miro
+    work' (PlatformMergerTest.scala:304-343): ItemsRule leaves the items
+    alone ('we leave the works unmerged' is items-only), but ImageDataRule
+    still matches the single-digital Miro source — it joins the redirect set
+    and the merged target's imageData becomes the Miro images."""
     rows = [
         ("S", "sierra", ["M"], False, ["i1", "i2"], ["idS"], None, "picture"),
         ("M", "miro", [], False, ["iM"], ["idM"], "thumbM", None),
     ]
     got = run(spark, rows, schema=SCHEMA_FMT)
-    assert got["M"]["type"] == "Visible"  # NOT redirected
-    assert got["M"]["items"] == ["iM"]
-    assert got["S"]["items"] == ["i1", "i2"]
+    assert got["M"]["type"] == "Redirected" and got["M"]["redirect_target"] == "S"
+    assert got["S"]["items"] == ["i1", "i2"]  # items untouched
     assert got["S"]["thumbnail"] is None  # miro thumb rule needs ≤1 item
+    assert sorted(got["S"]["identifiers"]) == ["idM", "idS"]
 
 
 def test_sierra_and_mets_matched(spark):
