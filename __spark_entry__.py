@@ -4191,6 +4191,90 @@ def _q75_indexable_works(spark, sf_dir):
     return _materialize(out, "q75")
 
 
+def _z82_internal_works(spark, sf_dir):
+    """Round-5 merger additions driver-probed inside q74: the merged
+    target's items/thumbnail propagated into TEI internal work stubs
+    (withItemsInInternalWorks, WorkMergingOps.scala:23-40 + the internal-
+    works emission Merger.scala:126-146) and the ImageDataWithSource stream
+    (merged_image_stream).  Twenty components of (tei wrapper, sierra
+    source — two items on odd h, miro source with one image): the tei
+    target's items are replaced by the sources' in (score, id) order, the
+    miro thumbnail wins, and the elected plain sierra routes the miro image
+    into the stream parented by the WRAPPER; each wrapper carries two
+    internal stubs that inherit the merged items + thumbnail."""
+    import datetime as dt
+
+    from catalogue_pipeline_spark.plans.merger import (
+        match_and_merge,
+        merged_image_stream,
+        propagate_to_internal_works,
+    )
+
+    ck = F.col("c_custkey")
+    cks = ck.cast("string")
+    h = F.floor((ck - 601) / 3)
+    role = (ck - 601) % 3
+    base = spark.read.parquet(_t(sf_dir, "customer")).filter((ck >= 601) & (ck <= 660))
+    works = base.select(
+        F.concat(F.lit("w"), cks).alias("work_id"),
+        F.when(role == 0, F.lit("tei"))
+        .when(role == 1, F.lit("sierra"))
+        .otherwise(F.lit("miro"))
+        .alias("source_type"),
+        F.when(
+            role == 0,
+            F.array(
+                F.concat(F.lit("w"), (ck + 1).cast("string")),
+                F.concat(F.lit("w"), (ck + 2).cast("string")),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("merge_candidate_ids"),
+        F.lit(False).alias("suppressed"),
+        F.when(role == 0, F.array().cast("array<string>"))
+        .when(
+            (role == 1) & (h % 2 == 1),
+            F.array(F.concat(F.lit("i1-"), cks), F.concat(F.lit("i2-"), cks)),
+        )
+        .otherwise(F.array(F.concat(F.lit("i1-"), cks)))
+        .alias("items"),
+        F.array(F.concat(F.lit("id-"), cks)).alias("identifiers"),
+        F.when(role == 2, F.concat(F.lit("th-"), cks)).alias("thumbnail"),
+        F.when(
+            role == 2,
+            F.array(
+                F.struct(
+                    F.concat(F.lit("img-"), cks).alias("image_id"),
+                    F.lit("L0").alias("licence"),
+                )
+            ),
+        ).alias("images"),
+    )
+    merged = match_and_merge(works, dt.datetime(2024, 6, 1, 12, 0, 0))
+    stubs = base.filter(role == 0).select(
+        F.concat(F.lit("w"), cks).alias("work_id"),
+        F.explode(
+            F.array(
+                F.concat(F.lit("w"), cks, F.lit("/1")),
+                F.concat(F.lit("w"), cks, F.lit("/2")),
+            )
+        ).alias("stub_work_id"),
+    )
+    out_i = propagate_to_internal_works(merged, stubs).select(
+        F.lit("q82i").alias("probe"),
+        F.col("work_id").alias("k"),
+        F.concat_ws(
+            "#", F.concat_ws(",", "items"), F.coalesce("thumbnail", F.lit("<null>"))
+        ).alias("v"),
+    )
+    out_s = merged_image_stream(merged).select(
+        F.lit("q82s").alias("probe"),
+        F.col("parent_work_id").alias("k"),
+        F.concat(F.col("image_id"), F.lit(":"), F.coalesce("licence", F.lit(""))).alias("v"),
+    )
+    return out_i.unionByName(out_s)
+
+
 def _q74_composite_probes(spark, sf_dir):
     """Seven single-aggregate probes folded into ONE driver row so the
     driver's 50-query correctness window spends its slots on whole operator
@@ -4258,6 +4342,7 @@ def _q74_composite_probes(spark, sf_dir):
         rows("q79", z79, F.col("id"), v79),
         rows("q80", z80.select("id", v80.alias("_v")), F.col("id"), F.col("_v")),
         _z81_folio_sync(spark, sf_dir),
+        _z82_internal_works(spark, sf_dir),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -7605,6 +7690,24 @@ def oracle_sql() -> dict[str, str]:
         FROM ({sql['z80_folio_transform']})
         UNION ALL
         SELECT probe, k, v FROM ({sql['z81_folio_sync']})
+        -- q82: internal-works propagation + the emitted-image stream over
+        -- twenty (tei wrapper, sierra, miro+image) components in closed form
+        UNION ALL
+        SELECT 'q82i',
+               'w' || CAST(601 + 3*h AS VARCHAR) || '/' || CAST(s AS VARCHAR),
+               CASE WHEN h % 2 = 1
+                    THEN 'i1-' || b || ',i2-' || b || ',i1-' || c
+                    ELSE 'i1-' || b || ',i1-' || c END || '#th-' || c
+        FROM (SELECT h, CAST(602 + 3*h AS VARCHAR) AS b,
+                     CAST(603 + 3*h AS VARCHAR) AS c
+              FROM (SELECT DISTINCT (c_custkey - 601) // 3 AS h FROM customer
+                    WHERE c_custkey BETWEEN 601 AND 660)),
+             (SELECT 1 AS s UNION ALL SELECT 2)
+        UNION ALL
+        SELECT 'q82s', 'w' || CAST(601 + 3*h AS VARCHAR),
+               'img-' || CAST(603 + 3*h AS VARCHAR) || ':L0'
+        FROM (SELECT DISTINCT (c_custkey - 601) // 3 AS h FROM customer
+              WHERE c_custkey BETWEEN 601 AND 660)
     """
 
     # q75: the works-ingestor document builder — every synthesized work's
