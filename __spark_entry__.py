@@ -3053,7 +3053,73 @@ def _q67_mets_transform(spark, sf_dir):
         .filter((ck > 0) & (ck <= 300))
         .select(rid.alias("id"), content.alias("content"), (ck % 10 == 0).alias("deleted"))
     )
-    out = transform_mets(records)
+    # Archivematica/Premis block (round-5, ck 301..400), m = ck%8 scenario:
+    # m0 Copyright basis + non-use grant ignored, m1 License basis routes the
+    # licenseNote, m2 missing basis prefers copyright, m3 empty statement (no
+    # conditions, no error), m4 missing rightsMD errors, m5 multiple / m6
+    # missing dublincore identifiers error, m7 unmatchable copyrightNote.
+    m = ck % 8
+
+    def _grant(act, note):
+        return (f"<premis:rightsGranted><premis:act>{act}</premis:act>"
+                f"<premis:rightsGrantedNote>{note}</premis:rightsGrantedNote>"
+                "</premis:rightsGranted>")
+
+    def _cp(note):
+        return ("<premis:copyrightInformation>"
+                "<premis:copyrightStatus>copyrighted</premis:copyrightStatus>"
+                "<premis:copyrightStatusDeterminationDate />"
+                f"<premis:copyrightNote>{note}</premis:copyrightNote>"
+                "</premis:copyrightInformation>")
+
+    def _lic(note):
+        return ("<premis:licenseInformation>"
+                f"<premis:licenseNote>{note}</premis:licenseNote>"
+                "</premis:licenseInformation>")
+
+    _basis_c = "<premis:rightsBasis>Copyright</premis:rightsBasis>"
+    rights_inner = (
+        F.when(m == 1, L("<premis:rightsBasis>License</premis:rightsBasis>"
+                         + _lic("CC-BY-NC") + _grant("use", "Requires registration")))
+        .when(m == 2, L(_cp("In copyright") + _lic("CC-BY")))
+        .when(m == 3, L(""))
+        .when(m == 7, L(_basis_c + _cp("Mystery") + _grant("use", "Open")))
+        .otherwise(L(_basis_c + _cp("In copyright")
+                     + _grant("replicate", "Closed") + _grant("use", "Open")))
+    )
+    rights_md = F.when(m == 4, L("")).otherwise(
+        F.concat(
+            L('<mets:rightsMD ID="r1"><mets:mdWrap MDTYPE="PREMIS:RIGHTS">'
+              '<mets:xmlData><premis:rightsStatement xmlns:premis="http://www.loc.gov/premis/v3">'),
+            rights_inner,
+            L("</premis:rightsStatement></mets:xmlData></mets:mdWrap></mets:rightsMD>"),
+        )
+    )
+    one_ident = F.concat(L("<dc:identifier>AR/CH/"), cks, L("</dc:identifier>"))
+    idents = (
+        F.when(m == 5, F.concat(one_ident, L("<dc:identifier>XX</dc:identifier>")))
+        .when(m == 6, L(""))
+        .otherwise(one_ident)
+    )
+    arch_content = F.concat(
+        L("<mets:mets><mets:amdSec>"
+          '<mets:digiprovMD ID="d1"><mets:mdWrap><mets:xmlData>'
+          "<premis:agent><premis:agentName>Archivematica</premis:agentName>"
+          "</premis:agent></mets:xmlData></mets:mdWrap></mets:digiprovMD>"),
+        rights_md,
+        L('</mets:amdSec><mets:dmdSec ID="dm1"><mets:mdWrap MDTYPE="OTHER">'
+          "<mets:xmlData><dublincore>"),
+        idents,
+        L("</dublincore></mets:xmlData></mets:mdWrap></mets:dmdSec></mets:mets>"),
+    )
+    arch_records = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .filter((ck >= 301) & (ck <= 400))
+        .select(
+            rid.alias("id"), arch_content.alias("content"), (ck % 10 == 0).alias("deleted")
+        )
+    )
+    out = transform_mets(records.unionByName(arch_records))
     return out.select(
         "id",
         "type",
@@ -6941,6 +7007,45 @@ def oracle_sql() -> dict[str, str]:
                  END
                END AS thumbnail_url
         FROM e
+        -- Archivematica/Premis block (ck 301..400), m = ck%8 scenarios
+        UNION ALL
+        SELECT CASE WHEN del OR m IN (5, 6) THEN
+                      CASE WHEN uuid THEN uid ELSE bnum END
+                    ELSE 'ar/ch/' || cks END AS id,
+               CASE WHEN del THEN 'Deleted'
+                    WHEN m IN (4, 5, 6, 7) THEN 'Error'
+                    ELSE 'Invisible' END AS type,
+               CASE WHEN del THEN 'DeletedFromSource(Mets)'
+                    WHEN m = 4 THEN 'Archivematica Mets file must contain a premis-compatible rightsMD element'
+                    WHEN m = 5 THEN 'multiple candidate record identifiers found'
+                    WHEN m = 6 THEN 'could not find record identifier'
+                    WHEN m = 7 THEN 'Couldn''t match Mystery to a license'
+                    ELSE 'MetsWorksAreNotVisible' END AS reason,
+               CASE WHEN live THEN '' END AS title,
+               CASE WHEN live THEN
+                 CASE WHEN m = 1 THEN 'cc-by-nc'
+                      WHEN m IN (0, 2) THEN 'inc' END
+               END AS licence,
+               CASE WHEN live THEN
+                 CASE WHEN m = 0 THEN 'Open'
+                      WHEN m = 1 THEN 'OpenWithAdvisory' END
+               END AS access_status,
+               NULL AS access_usage,
+               CASE WHEN live THEN 'calm-ref-no:AR/CH/' || cks || ':METS work'
+                    ELSE '' END AS merge_csv,
+               '' AS file_refs_csv,
+               NULL AS thumbnail_url
+        FROM (
+          SELECT c_custkey AS ck, CAST(c_custkey AS VARCHAR) AS cks,
+                 c_custkey % 8 AS m,
+                 c_custkey % 10 = 0 AS del,
+                 NOT (c_custkey % 10 = 0) AND NOT (c_custkey % 8 IN (4, 5, 6, 7)) AS live,
+                 c_custkey % 3 = 0 AS uuid,
+                 'b123' || lpad(CAST(c_custkey AS VARCHAR), 4, '0')
+                   || CAST(c_custkey % 10 AS VARCHAR) AS bnum,
+                 '00000000-0000-4000-9000-'
+                   || lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS uid
+          FROM customer WHERE c_custkey BETWEEN 301 AND 400)
     """
     # q68: closed-form TEI expectation (msID rule errors in precedence
     # order, b-number rule, <p>-preserving summary strip).

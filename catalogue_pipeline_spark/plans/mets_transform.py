@@ -38,6 +38,32 @@ Rules carried over (file:line under transformer_mets/src/main/.../mets):
 Out of this slice (documented): fileSec/structMap parsing (FileReferences,
 thumbnail selection, image data, DLCS filename normalisation) and the
 Archivematica Premis variant — location plumbing, not field semantics.
+[Both notes are historical: the fileSec/structMap family landed in round 3
+(``file_references_expr`` below) and the Archivematica Premis variant in
+round 5:]
+
+* flavour      — Goobi when a metsHdr agent name contains 'Goobi', else
+                 Archivematica when an amdSec digiprovMD agentName contains
+                 'Archivematica' (MetsXml.scala:146-166).  The reference
+                 ERRORS on unknown flavour; this slice parses unknown
+                 content down the Goobi/MODS path by default so synthetic
+                 fixtures stay terse — pass ``strict_flavour=True`` for the
+                 reference behavior (parity-tested).
+* arch id      — the ONE dmdSec dublincore identifier; none → 'could not
+                 find record identifier', several → 'multiple candidate
+                 record identifiers found' (MetsXml.scala:64-75); work id
+                 lowercased like every METS id (MetsData.scala:19-30)
+* premis conds — first amdSec rightsMD (missing → error,
+                 MetsXml.scala:74-88); rightsBasis routes the licence note:
+                 'Copyright' → copyrightInformation/copyrightNote,
+                 'License' → licenseInformation/licenseNote, absent →
+                 prefer copyright (PremisAccessConditions.scala:66-82);
+                 access status = the rightsGranted note whose act is 'use'
+                 (:84-87); both values feed the SAME licence/status tables
+                 as MODS; usage is always None (:12-20)
+* arch work    — fileReferences Nil, no thumbnail (ArchivematicaMetsXML
+                 fileReferences = Nil); merge candidate from the parsed
+                 identifier (b-number test unchanged)
 """
 
 from __future__ import annotations
@@ -123,6 +149,101 @@ def _status_expr(status: Column) -> tuple[Column, Column]:
         F.concat(F.lit("Couldn't match "), status, F.lit(" to an access status")),
     )
     return mapped, err
+
+
+# --------------------------------------- Archivematica (Premis) variant
+
+
+def mets_flavour_expr(content: Column) -> Column:
+    """'goobi' / 'archivematica' / NULL (MetsXml.scala:146-166) — Goobi
+    checked first, exactly like the reference's if/else chain."""
+    hdr = F.regexp_extract(
+        content, r"(?s)<(?:\w+:)?metsHdr[\s>](.*?)</(?:\w+:)?metsHdr>", 1
+    )
+    goobi = hdr.rlike(r"(?s)<(?:\w+:)?name[^>]*>[^<]*Goobi")
+    digiprov = F.regexp_extract_all(
+        content,
+        F.lit(r"(?s)<(?:\w+:)?digiprovMD[\s>](.*?)</(?:\w+:)?digiprovMD>"),
+        1,
+    )
+    arch = F.exists(
+        digiprov,
+        lambda b: b.rlike(r"(?s)<(?:\w+:)?agentName[^>]*>[^<]*Archivematica"),
+    )
+    return F.when(goobi, F.lit("goobi")).when(arch, F.lit("archivematica"))
+
+
+def _dc_identifiers(content: Column) -> Column:
+    """Every dmdSec dublincore identifier text (MetsXml.scala:64-75 collects
+    across the dublincore elements; exactly one must survive)."""
+    dcs = F.regexp_extract_all(
+        content,
+        F.lit(r"(?s)<(?:\w+:)?dublincore[\s>](.*?)</(?:\w+:)?dublincore>"),
+        1,
+    )
+    return F.flatten(
+        F.transform(
+            dcs,
+            lambda b: F.regexp_extract_all(
+                b, F.lit(r"(?s)<(?:\w+:)?identifier[^>]*>(.*?)</(?:\w+:)?identifier>"), 1
+            ),
+        )
+    )
+
+
+def _first_tag(block: Column, tag: str) -> Column:
+    return F.nullif(
+        F.trim(
+            F.regexp_extract(
+                block, rf"(?s)<(?:\w+:)?{tag}[^>/]*>(.*?)</(?:\w+:)?{tag}>", 1
+            )
+        ),
+        F.lit(""),
+    )
+
+
+def premis_conditions_expr(content: Column) -> tuple[Column, Column, Column]:
+    """(has_rightsMD, licence_note, use_note) from the FIRST amdSec rightsMD
+    (PremisAccessConditions.scala:54-95)."""
+    rmd = F.regexp_extract(
+        content, r"(?s)<(?:\w+:)?rightsMD[\s>](.*?)</(?:\w+:)?rightsMD>", 1
+    )
+    has_rmd = F.nullif(rmd, F.lit("")).isNotNull()
+    rs = F.regexp_extract(
+        rmd,
+        r"(?s)<(?:\w+:)?rightsStatement(?:\s[^>]*)?>(.*?)</(?:\w+:)?rightsStatement>",
+        1,
+    )
+    basis = _first_tag(rs, "rightsBasis")
+    cnote = _first_tag(
+        F.regexp_extract(
+            rs,
+            r"(?s)<(?:\w+:)?copyrightInformation(?:\s[^>]*)?>(.*?)</(?:\w+:)?copyrightInformation>",
+            1,
+        ),
+        "copyrightNote",
+    )
+    lnote = _first_tag(
+        F.regexp_extract(
+            rs,
+            r"(?s)<(?:\w+:)?licenseInformation(?:\s[^>]*)?>(.*?)</(?:\w+:)?licenseInformation>",
+            1,
+        ),
+        "licenseNote",
+    )
+    rights_note = (
+        F.when(basis == "Copyright", cnote)
+        .when(basis == "License", lnote)
+        .otherwise(F.coalesce(cnote, lnote))
+    )
+    grants = F.regexp_extract_all(
+        rs,
+        F.lit(r"(?s)<(?:\w+:)?rightsGranted(?:\s[^>]*)?>(.*?)</(?:\w+:)?rightsGranted>"),
+        1,
+    )
+    use_grants = F.filter(grants, lambda g: _first_tag(g, "act") == "use")
+    use_note = _first_tag(F.coalesce(F.get(use_grants, 0), F.lit("")), "rightsGrantedNote")
+    return has_rmd, rights_note, use_note
 
 
 # ------------------------------------------------- fileSec / structMap
@@ -346,14 +467,20 @@ def thumbnail_url_expr(
     return F.when(thumb.isNotNull() & ~restricted, url)
 
 
-def transform_mets(records: DataFrame) -> DataFrame:
+def transform_mets(records: DataFrame, strict_flavour: bool = False) -> DataFrame:
     """records(id = record identifier, content = METS XML[, deleted,
-    last_modified]) → one work row per record."""
+    last_modified]) → one work row per record.  Goobi records parse the
+    MODS path, Archivematica records the dublincore/Premis path; with
+    ``strict_flavour`` an undetectable flavour errors like the reference
+    (MetsXml.scala:146-157)."""
     if "deleted" not in records.columns:
         records = records.withColumn("deleted", F.lit(False))
     content = F.col("content")
     deleted = F.coalesce(F.col("deleted"), F.lit(False))
-    rid = F.lower(F.col("id"))
+    store_id = F.lower(F.col("id"))
+
+    flavour = mets_flavour_expr(content)
+    is_arch = flavour.eqNullSafe("archivematica")  # NULL flavour → goobi arm
 
     titles = F.array_distinct(
         F.transform(
@@ -363,15 +490,61 @@ def transform_mets(records: DataFrame) -> DataFrame:
     )
     title = F.array_join(titles, " ")
 
-    licence, lic_err = _licence_expr(_access_condition(content, "dz"))
-    status, st_err = _status_expr(_access_condition(content, "status"))
-    usage = _access_condition(content, "usage")
-    err = F.coalesce(lic_err, st_err)
+    # ---- Goobi / MODS arm --------------------------------------------------
+    g_licence, g_lic_err = _licence_expr(_access_condition(content, "dz"))
+    g_status, g_st_err = _status_expr(_access_condition(content, "status"))
+    g_usage = _access_condition(content, "usage")
+    g_err = F.coalesce(g_lic_err, g_st_err)
+
+    # ---- Archivematica / Premis arm ----------------------------------------
+    dc_ids = _dc_identifiers(content)
+    a_id_err = (
+        F.when(F.size(dc_ids) == 0, F.lit("could not find record identifier"))
+        .when(F.size(dc_ids) > 1, F.lit("multiple candidate record identifiers found"))
+    )
+    a_raw_id = F.trim(F.get(dc_ids, 0))
+    has_rmd, rights_note, use_note = premis_conditions_expr(content)
+    a_licence, a_lic_err = _licence_expr(rights_note)
+    a_status, a_st_err = _status_expr(use_note)
+    # InvisibleMetsData's for-comprehension: identifier errors precede the
+    # access-conditions parse (MetsData.scala:137-174)
+    a_err = F.coalesce(
+        a_id_err,
+        F.when(
+            ~has_rmd,
+            F.lit(
+                "Archivematica Mets file must contain a premis-compatible rightsMD element"
+            ),
+        ),
+        a_lic_err,
+        a_st_err,
+    )
+
+    flavour_err = (
+        F.when(
+            flavour.isNull(),
+            F.lit("Could not determine which flavour of METS to parse"),
+        )
+        if strict_flavour
+        else F.lit(None).cast("string")
+    )
+    err = F.coalesce(flavour_err, F.when(is_arch, a_err).otherwise(g_err))
+    # record id: DeletedMetsFile keeps the store key (MetsXmlTransformer
+    # :33-38); Archivematica parses it from the dublincore element
+    rid = F.when(
+        ~deleted & is_arch & a_id_err.isNull(), F.lower(a_raw_id)
+    ).otherwise(store_id)
+    raw_rid = F.when(~deleted & is_arch & a_id_err.isNull(), a_raw_id).otherwise(
+        F.col("id")
+    )
+    licence = F.when(is_arch, a_licence).otherwise(g_licence)
+    status = F.when(is_arch, a_status).otherwise(g_status)
+    usage = F.when(is_arch, F.lit(None).cast("string")).otherwise(g_usage)
 
     is_bnum = rid.rlike(r"^b[0-9]{7}[0-9x]$")
     merge = F.when(
         is_bnum, F.concat(F.lit("sierra-system-number:"), rid, F.lit(":METS work"))
-    ).otherwise(F.concat(F.lit("calm-ref-no:"), F.col("id"), F.lit(":METS work")))
+    ).otherwise(F.concat(F.lit("calm-ref-no:"), raw_rid, F.lit(":METS work")))
 
     wtype = (
         F.when(deleted, F.lit("Deleted"))
@@ -394,8 +567,9 @@ def transform_mets(records: DataFrame) -> DataFrame:
         F.when(live, F.array(merge))
         .otherwise(F.array().cast("array<string>"))
         .alias("merge_candidates"),
+        # ArchivematicaMetsXML.fileReferences = Nil
         F.when(
-            live,
+            live & ~is_arch,
             F.transform(
                 file_references_expr(content),
                 lambda r: F.concat_ws(
@@ -409,7 +583,7 @@ def transform_mets(records: DataFrame) -> DataFrame:
         .otherwise(F.array().cast("array<string>"))
         .alias("file_refs"),
         F.when(
-            live,
+            live & ~is_arch,
             thumbnail_url_expr(thumbnail_reference_expr(content), rid, status),
         ).alias("thumbnail_url"),
     )
