@@ -3102,7 +3102,11 @@ def _q67_mets_transform(spark, sf_dir):
         .otherwise(one_ident)
     )
     arch_content = F.concat(
-        L("<mets:mets><mets:amdSec>"
+        # CREATEDATE in both ISO forms (bare → assumed UTC, explicit offset)
+        L('<mets:mets><mets:metsHdr CREATEDATE="2016-05-08T10:11:'),
+        F.lpad((ck % 60).cast("string"), 2, "0"),
+        F.when(ck % 2 == 1, L("+00:00")).otherwise(L("")),
+        L('"></mets:metsHdr><mets:amdSec>'
           '<mets:digiprovMD ID="d1"><mets:mdWrap><mets:xmlData>'
           "<premis:agent><premis:agentName>Archivematica</premis:agentName>"
           "</premis:agent></mets:xmlData></mets:mdWrap></mets:digiprovMD>"),
@@ -3131,6 +3135,8 @@ def _q67_mets_transform(spark, sf_dir):
         F.concat_ws("~", "merge_candidates").alias("merge_csv"),
         F.concat_ws("&&", "file_refs").alias("file_refs_csv"),
         "thumbnail_url",
+        "location_url",
+        "created_date",
     )
 
 
@@ -7005,7 +7011,12 @@ def oracle_sql() -> dict[str, str]:
                    || CASE WHEN uuid THEN uid ELSE bnum END
                    || '_F' || cks || '_0001.jp2/full/!200,200/0/default.jpg'
                  END
-               END AS thumbnail_url
+               END AS thumbnail_url,
+               CASE WHEN live THEN
+                 'https://iiif.wellcomecollection.org/presentation/v2/'
+                 || CASE WHEN uuid THEN uid ELSE bnum END
+               END AS location_url,
+               NULL AS created_date
         FROM e
         -- Archivematica/Premis block (ck 301..400), m = ck%8 scenarios
         UNION ALL
@@ -7034,7 +7045,13 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN live THEN 'calm-ref-no:AR/CH/' || cks || ':METS work'
                     ELSE '' END AS merge_csv,
                '' AS file_refs_csv,
-               NULL AS thumbnail_url
+               NULL AS thumbnail_url,
+               CASE WHEN live THEN
+                 'https://iiif.wellcomecollection.org/presentation/ar/ch/' || cks
+               END AS location_url,
+               CASE WHEN live THEN
+                 '2016-05-08T10:11:' || lpad(CAST(ck % 60 AS VARCHAR), 2, '0') || 'Z'
+               END AS created_date
         FROM (
           SELECT c_custkey AS ck, CAST(c_custkey AS VARCHAR) AS cks,
                  c_custkey % 8 AS m,

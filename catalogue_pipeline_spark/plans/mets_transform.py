@@ -467,14 +467,34 @@ def thumbnail_url_expr(
     return F.when(thumb.isNotNull() & ~restricted, url)
 
 
+def created_date_expr(content: Column, version: Column) -> Column:
+    """metsHdr CREATEDATE, reformatted to yyyy-MM-dd'T'HH:mm:ss'Z' — parsed
+    with a zone offset when present, else assumed UTC; only kept when
+    version == 1 (InvisibleMetsData, MetsData.scala:149-168).  The session
+    runs in UTC so offset inputs normalise correctly."""
+    cd = F.nullif(
+        F.regexp_extract(content, r'<(?:\w+:)?metsHdr[^>]*CREATEDATE="([^"]*)"', 1),
+        F.lit(""),
+    )
+    ts = F.coalesce(
+        F.try_to_timestamp(cd, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        F.try_to_timestamp(cd, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+        F.try_to_timestamp(cd, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        F.try_to_timestamp(cd, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSS")),
+    )
+    return F.when(version == 1, F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+
+
 def transform_mets(records: DataFrame, strict_flavour: bool = False) -> DataFrame:
     """records(id = record identifier, content = METS XML[, deleted,
-    last_modified]) → one work row per record.  Goobi records parse the
-    MODS path, Archivematica records the dublincore/Premis path; with
+    last_modified, version]) → one work row per record.  Goobi records parse
+    the MODS path, Archivematica records the dublincore/Premis path; with
     ``strict_flavour`` an undetectable flavour errors like the reference
     (MetsXml.scala:146-157)."""
     if "deleted" not in records.columns:
         records = records.withColumn("deleted", F.lit(False))
+    if "version" not in records.columns:
+        records = records.withColumn("version", F.lit(1))
     content = F.col("content")
     deleted = F.coalesce(F.col("deleted"), F.lit(False))
     store_id = F.lower(F.col("id"))
@@ -586,4 +606,16 @@ def transform_mets(records: DataFrame, strict_flavour: bool = False) -> DataFram
             live & ~is_arch,
             thumbnail_url_expr(thumbnail_reference_expr(content), rid, status),
         ).alias("thumbnail_url"),
+        # MetsLocation.scala: the IIIF presentation URL on the single digital
+        # item — locationPrefix 'v2/' for Goobi, '' for Archivematica
+        # (InvisibleMetsData, MetsData.scala:144-147)
+        F.when(
+            live,
+            F.concat(
+                F.lit("https://iiif.wellcomecollection.org/presentation/"),
+                F.when(is_arch, F.lit("")).otherwise(F.lit("v2/")),
+                rid,
+            ),
+        ).alias("location_url"),
+        F.when(live, created_date_expr(content, F.col("version"))).alias("created_date"),
     )

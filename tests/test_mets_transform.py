@@ -222,3 +222,32 @@ def test_goobi_header_detected_as_goobi(spark):
     row = one(spark, content, rid="B1234567x")
     assert row["type"] == "Invisible" and row["licence"] == "cc-by"
     assert row["id"] == "b1234567x"
+
+
+def test_location_url_prefix_by_flavour(spark):
+    """MetsLocation + locationPrefix: 'v2/' for Goobi (InvisibleMetsData,
+    MetsData.scala:144-147), '' for Archivematica ('uses the
+    recordIdentifier to determine the location')."""
+    row = one(spark, mets_xml(dz="CC-BY"))
+    assert row["location_url"] == (
+        "https://iiif.wellcomecollection.org/presentation/v2/b1234567x")
+    row = one(spark, arch_mets(identifiers=("BA/AD/FO/OD",)), rid="store1")
+    assert row["location_url"] == (
+        "https://iiif.wellcomecollection.org/presentation/BA/AD/FO/OD".lower())
+
+
+def test_created_date_version_gate_and_formats(spark):
+    """CREATEDATE reformatted to ...'Z' (bare → assumed UTC, offset
+    normalised); 'ignores CREATEDATE ... when version is not 1'."""
+    content = ('<mets:mets><mets:metsHdr CREATEDATE="2016-05-08T10:11:12">'
+               "</mets:metsHdr></mets:mets>")
+    df = spark.createDataFrame([("B1234567x", content, False, 1)],
+                               _SCHEMA + ", version int")
+    row = transform_mets(df).collect()[0]
+    assert row["created_date"] == "2016-05-08T10:11:12Z"
+    df2 = spark.createDataFrame([("B1234567x", content.replace('12"', '12+01:00"'), False, 1)],
+                                _SCHEMA + ", version int")
+    assert transform_mets(df2).collect()[0]["created_date"] == "2016-05-08T09:11:12Z"
+    df3 = spark.createDataFrame([("B1234567x", content, False, 2)],
+                                _SCHEMA + ", version int")
+    assert transform_mets(df3).collect()[0]["created_date"] is None
