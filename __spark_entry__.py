@@ -4347,6 +4347,133 @@ def _z82_internal_works(spark, sf_dir):
     return out_i.unionByName(out_s)
 
 
+def _z83_related_sections(spark, sf_dir):
+    """Round-5 concepts-index relatedConcepts sections driver-probed inside
+    q74 (plans/concept_graph.related_concepts_sections): twenty replicas of
+    a six-concept graph — a two-member same-as group (c1 primary, c2), a
+    workless-primary group (c3 primary, work-connected c9), a Place target
+    c4 and a label-less c7 — exercising the same-as merge (counts summed
+    across members, lists fanned back to every member), the work-connected
+    target election, directional typed sections, the
+    frequent-collaborators/related-topics type filters and the
+    missing-label drop (odd groups add an edge to c7 whose entry must NOT
+    appear).  17 closed-form rows per group."""
+    from catalogue_pipeline_spark.plans.concept_graph import related_concepts_sections
+
+    ck = F.col("c_custkey")
+    g = F.floor((ck - 661) / 6)
+    r = (ck - 661) % 6
+    gs = g.cast("string")
+    L = F.lit
+    base = spark.read.parquet(_t(sf_dir, "customer")).filter((ck >= 661) & (ck <= 780))
+    csfx = F.element_at(
+        F.array(L("c1"), L("c2"), L("c3"), L("c9"), L("c4"), L("c7")), (r + 1).cast("int")
+    )
+    ssfx = F.element_at(
+        F.array(L("s1"), L("s2"), L("s3"), L("s9"), L("s4"), L("s7")), (r + 1).cast("int")
+    )
+    cid = F.concat(L("g"), gs, csfx)
+    concepts = base.select(
+        cid.alias("concept_id"),
+        F.when(r == 0, F.concat(L("florence"), gs))
+        .when(r == 1, L("dupe"))
+        .when(r == 3, F.concat(L("art"), gs))
+        .when(r == 4, F.concat(L("paris"), gs))
+        .alias("label"),
+    )
+    has_source = base.select(
+        cid.alias("concept_id"), F.concat(L("g"), gs, ssfx).alias("source_id")
+    )
+    g0 = base.filter(r == 0)
+
+    def _p(sfx):
+        return F.concat(L("g"), gs, L(sfx))
+
+    def _edges(pairs):
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(_p(a).alias("src"), _p(b).alias("dst"), L(t).alias("relationship_type"))
+                    for a, b, t in pairs
+                ]
+            )
+        )
+
+    same_as = g0.select(
+        _edges([("s1", "s2", ""), ("s2", "s1", ""), ("s3", "s9", ""), ("s9", "s3", "")]).alias("e")
+    ).select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+    rel_base = [
+        ("s1", "s4", "RELATED_TO"),
+        ("s2", "s4", "RELATED_TO"),
+        ("s1", "s3", "RELATED_TO"),
+        ("s1", "s2", "RELATED_TO"),
+        ("s4", "s1", "NARROWER_THAN"),
+    ]
+    rel_edges = (
+        g0.select(_edges(rel_base).alias("e"))
+        .unionByName(
+            g0.filter(g % 2 == 1).select(_edges([("s4", "s7", "RELATED_TO")]).alias("e"))
+        )
+        .select("e.src", "e.dst", "e.relationship_type")
+    )
+    hc_rows = []
+    for w in ("w1", "w2", "w3"):
+        hc_rows += [
+            (w, "c1", "Person", "contributors"),
+            (w, "c4", "Person", "contributors"),
+            (w, "c4", "Place", "subjects"),
+            (w, "c9", "Concept", "subjects"),
+        ]
+    hc_rows += [("w4", "c2", "Organisation", "contributors"), ("w4", "c7", "Concept", "subjects")]
+    has_concept = g0.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        _p(w).alias("work_id"),
+                        _p(c).alias("concept_id"),
+                        L(t).alias("referenced_type"),
+                        L(f).alias("field"),
+                    )
+                    for w, c, t, f in hc_rows
+                ]
+            )
+        ).alias("e")
+    ).select("e.work_id", "e.concept_id", "e.referenced_type", "e.field")
+    sn_rows = [
+        ("s1", F.concat(L("florence"), gs), "lc-names"),
+        ("s2", F.concat(L("florence"), gs), "wikidata"),
+        ("s3", F.concat(L("art"), gs), "lc-subjects"),
+        ("s9", F.concat(L("artx"), gs), "wikidata"),
+        ("s4", F.concat(L("paris"), gs), "lc-names"),
+    ]
+    source_nodes = g0.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(_p(s).alias("id"), lbl.alias("label"), L(src).alias("source"))
+                    for s, lbl, src in sn_rows
+                ]
+            )
+        ).alias("e")
+    ).select("e.id", "e.label", "e.source")
+    out = related_concepts_sections(
+        concepts, has_source, same_as, rel_edges, has_concept, source_nodes, threshold=2
+    )
+    return out.select(
+        L("q83").alias("probe"),
+        F.concat_ws("|", "concept_id", "section", F.col("rank").cast("string")).alias("k"),
+        F.concat_ws(
+            "#",
+            "related_id",
+            F.coalesce("relationship_type", L("")),
+            "concept_type",
+            "label",
+            F.col("work_count").cast("string"),
+        ).alias("v"),
+    )
+
+
 def _q74_composite_probes(spark, sf_dir):
     """Seven single-aggregate probes folded into ONE driver row so the
     driver's 50-query correctness window spends its slots on whole operator
@@ -4415,6 +4542,7 @@ def _q74_composite_probes(spark, sf_dir):
         rows("q80", z80.select("id", v80.alias("_v")), F.col("id"), F.col("_v")),
         _z81_folio_sync(spark, sf_dir),
         _z82_internal_works(spark, sf_dir),
+        _z83_related_sections(spark, sf_dir),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -7830,6 +7958,36 @@ def oracle_sql() -> dict[str, str]:
                'img-' || CAST(603 + 3*h AS VARCHAR) || ':L0'
         FROM (SELECT DISTINCT (c_custkey - 601) // 3 AS h FROM customer
               WHERE c_custkey BETWEEN 601 AND 660)
+        -- q83: relatedConcepts sections — every group resolves to the SAME
+        -- 17 rows (the odd-group extra edge targets label-less c7, whose
+        -- entry the MissingLabelError rule drops): c1/c2 carry the merged
+        -- six-row primary list fanned to both same-as members, c3 inherits
+        -- its work-connected partner c9's topics, c4 sees the reverse
+        -- narrower/collaborator/topics view, c9 the shared-subject row
+        UNION ALL
+        SELECT 'q83', 'g' || g || m.c || '|' || m.sec || '|' || CAST(m.rk AS VARCHAR),
+               'g' || g || m.rid || '#' || m.rt || '#' || m.ct || '#'
+               || m.lbl || g || '#' || m.wc
+        FROM (SELECT DISTINCT CAST((c_custkey - 661) // 6 AS VARCHAR) AS g
+              FROM customer WHERE c_custkey BETWEEN 661 AND 780),
+             (SELECT cc.c, s6.* FROM (VALUES
+                ('broader_than', 1, 'c4', 'NARROWER_THAN', 'Place', 'Paris', '12'),
+                ('frequent_collaborators', 1, 'c4', '', 'Place', 'Paris', '3'),
+                ('related_topics', 1, 'c4', '', 'Place', 'Paris', '3'),
+                ('related_topics', 2, 'c9', '', 'Concept', 'Art', '3'),
+                ('related_to', 1, 'c4', 'RELATED_TO', 'Place', 'Paris', '12'),
+                ('related_to', 2, 'c9', 'RELATED_TO', 'Concept', 'Art', '6')
+              ) AS s6(sec, rk, rid, rt, ct, lbl, wc),
+              (VALUES ('c1'), ('c2')) AS cc(c)
+              UNION ALL
+              SELECT * FROM (VALUES
+                ('c3', 'related_topics', 1, 'c4', '', 'Place', 'Paris', '3'),
+                ('c4', 'frequent_collaborators', 1, 'c1', '', 'Person', 'Florence', '3'),
+                ('c4', 'narrower_than', 1, 'c1', 'NARROWER_THAN', 'Person', 'Florence', '4'),
+                ('c4', 'related_topics', 1, 'c9', '', 'Concept', 'Art', '3'),
+                ('c9', 'related_topics', 1, 'c4', '', 'Place', 'Paris', '3')
+              ) AS s5(c, sec, rk, rid, rt, ct, lbl, wc)
+             ) AS m
     """
 
     # q75: the works-ingestor document builder — every synthesized work's

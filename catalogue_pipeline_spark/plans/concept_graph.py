@@ -135,9 +135,16 @@ def related_source_concepts(
     max_hops: int = 2,
     limit: int = 10,
     ignored: list[str] | None = None,
+    require_works: bool = False,
 ) -> DataFrame:
     """``get_related_query`` re-expression → (concept_id, related_id,
     relationship_type, work_count, rank).
+
+    ``require_works=True`` is the reference's exact join shape — the Cypher
+    MATCHes ``(related_concept)<-[:HAS_CONCEPT]-(work)`` non-optionally, so
+    work-less related concepts never surface (they are removed from the
+    index and would 404).  The default keeps them at weight 0 (the q62
+    family's established contract).
 
     Pipeline, mirroring the Cypher stage for stage
     (concept_queries.py:48-105):
@@ -217,6 +224,8 @@ def related_source_concepts(
         .join(counts, "related_concept_id", "left")
         .withColumn("n_works", F.coalesce("n_works", F.lit(0)))
     )
+    if require_works:
+        joined = joined.filter(F.col("n_works") >= 1)
     per_target = joined.groupBy(
         "concept_id", "relationship_type", "linked_related_id"
     ).agg(
@@ -360,6 +369,250 @@ def indexable_concepts(
         ).alias("concept_type"),
         F.coalesce(F.col("identifiers"), empty).alias("identifiers"),
         F.coalesce(F.col("same_as"), empty).alias("same_as"),
+    )
+
+
+def concept_primary_ids(
+    has_source: DataFrame, same_as: DataFrame, max_hops: int = 8
+) -> DataFrame:
+    """(concept_id, primary_id) — the alphabetical-min member of each
+    concept's same-as group, the reference's ``primary_map``
+    (base_concepts_extractor.py:118-128: 'Alphabetical ID-based
+    prioritisation').  Concepts without same-as rows are their own primary
+    (callers coalesce on the left join)."""
+    sa = same_as_concept_ids(has_source, same_as, max_hops)
+    return sa.groupBy("concept_id").agg(
+        F.least(F.col("concept_id"), F.min("same_as_concept_id")).alias("primary_id")
+    )
+
+
+def merged_related_concepts(
+    related: DataFrame,
+    primary: DataFrame,
+    work_connected: DataFrame,
+    limit: int = 10,
+) -> DataFrame:
+    """The related-concepts merge layer (_get_related_concepts,
+    base_concepts_extractor.py:134-210): per query key the raw per-concept
+    results are re-keyed to same-as PRIMARY ids on both sides, self-related
+    groups dropped, counts summed and relationship types unioned across the
+    group; then each merged target elects a referable id — the primary when
+    it has works, else the alphabetically-first work-connected group member
+    (the raw referenced ids are always safe fallbacks because the source
+    query only returns concepts with works) — and the per-primary list is
+    re-ranked by summed count and re-capped at ``related_to_limit``.
+
+    ``related``: (concept_id, related_id, relationship_type nullable,
+    work_count).  ``primary``: concept_primary_ids output.
+    ``work_connected``: one column ``concept_id`` — concepts with >= 1
+    HAS_CONCEPT edge (the reference probes this with CONCEPT_TYPE_QUERY,
+    :129-133).  Deterministic where the reference is dict-ordered: the
+    relationship type is the sorted-first of the union, ties in the final
+    rank break on target id."""
+    p1 = primary.select("concept_id", F.col("primary_id").alias("_p1"))
+    p2 = primary.select(
+        F.col("concept_id").alias("related_id"), F.col("primary_id").alias("_p2")
+    )
+    r = (
+        related.join(p1, "concept_id", "left")
+        .withColumn("_p1", F.coalesce("_p1", F.col("concept_id")))
+        .join(p2, "related_id", "left")
+        .withColumn("_p2", F.coalesce("_p2", F.col("related_id")))
+        .filter(F.col("_p1") != F.col("_p2"))
+    )
+    merged = r.groupBy(
+        F.col("_p1").alias("primary_id"), F.col("_p2").alias("primary_related_id")
+    ).agg(
+        F.sum("work_count").alias("work_count"),
+        F.array_sort(F.collect_set("relationship_type")).alias("_rtypes"),
+        F.array_sort(F.collect_set("related_id")).alias("_referenced_ids"),
+    )
+    # work-connected members of each target's same-as group
+    members = (
+        primary.select("primary_id", F.col("concept_id").alias("_member"))
+        .unionByName(
+            primary.select("primary_id", F.col("primary_id").alias("_member"))
+        )
+        .distinct()
+        .join(
+            work_connected.select(F.col("concept_id").alias("_member")),
+            "_member",
+        )
+        .groupBy(F.col("primary_id").alias("primary_related_id"))
+        .agg(
+            F.min("_member").alias("_min_wc"),
+            F.max(F.col("_member") == F.col("primary_id")).alias("_primary_wc"),
+        )
+    )
+    merged = merged.join(members, "primary_related_id", "left")
+    primary_ok = F.coalesce(F.col("_primary_wc"), F.lit(False)) | F.array_contains(
+        F.col("_referenced_ids"), F.col("primary_related_id")
+    )
+    target = F.when(primary_ok, F.col("primary_related_id")).otherwise(
+        F.least(F.col("_min_wc"), F.array_min("_referenced_ids"))
+    )
+    merged = merged.withColumn("_target", target)
+    w = Window.partitionBy("primary_id").orderBy(
+        F.col("work_count").desc(), F.col("_target").asc()
+    )
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= limit)
+        .select(
+            "primary_id",
+            F.col("_target").alias("related_id"),
+            F.try_element_at(F.col("_rtypes"), F.lit(1)).alias("relationship_type"),
+            "work_count",
+            "rank",
+        )
+    )
+
+
+# The eight concept-document sections and their queries
+# (concept_queries.py:184-210 + the ConceptRelatedQuery literal).
+TYPED_SECTION_SPECS = {
+    "related_to": {"edge_types": ["RELATED_TO"], "direction": "from"},
+    "fields_of_work": {"edge_types": ["HAS_FIELD_OF_WORK"], "direction": "from"},
+    "narrower_than": {"edge_types": ["NARROWER_THAN"], "direction": "from"},
+    "broader_than": {"edge_types": ["NARROWER_THAN", "HAS_PARENT"], "direction": "to"},
+    "people": {"edge_types": ["HAS_FIELD_OF_WORK"], "direction": "to"},
+    "founded_by": {"edge_types": ["HAS_FOUNDER"], "direction": "from"},
+}
+TOGETHER_SECTION_SPECS = {
+    "frequent_collaborators": {
+        "source_types": ["Person", "Organisation"],
+        "related_types": ["Person", "Organisation"],
+        "source_fields": ["contributors"],
+        "related_fields": ["contributors"],
+    },
+    "related_topics": {
+        "related_types": ["Concept", "Subject", "Place", "Meeting", "Period", "Genre"],
+        "related_fields": ["subjects"],
+    },
+}
+
+
+def related_concepts_sections(
+    concepts: DataFrame,
+    has_source: DataFrame,
+    same_as: DataFrame,
+    rel_edges: DataFrame,
+    has_concept: DataFrame,
+    source_nodes: DataFrame,
+    *,
+    max_hops: int = 8,
+    related_hops: int = 2,
+    ignored: list[str] | None = None,
+    limit: int = 10,
+    threshold: int = 3,
+    work_cap: int = 1000,
+) -> DataFrame:
+    """The full relatedConcepts display block of an indexable concept
+    (concepts_transformer.py:37-106 + the extractor merge): one row per
+    (concept, section, rank) — six typed-edge sections + two
+    referenced-together sections, merged across same-as groups, target-id
+    elected among work-connected members, and joined display-ready with the
+    target's priority-elected label and most-specific shared type; entries
+    whose target has no label are dropped (MissingLabelError → skip,
+    concepts_transformer.py:47-49).
+
+    Every concept in a same-as group carries its PRIMARY's merged list
+    (extract_raw keys the lookup by primary, concepts_index_extractor
+    .py:66-76)."""
+    from .concepts import related_concepts as referenced_together
+
+    primary = concept_primary_ids(has_source, same_as, max_hops)
+    wc = has_concept.select("concept_id").distinct()
+
+    parts = []
+    for section, spec in TYPED_SECTION_SPECS.items():
+        raw = related_source_concepts(
+            has_source,
+            same_as,
+            rel_edges,
+            has_concept,
+            edge_types=spec["edge_types"],
+            direction=spec["direction"],
+            max_hops=related_hops,
+            limit=limit,
+            ignored=ignored,
+            require_works=True,
+        ).select("concept_id", "related_id", "relationship_type", "work_count")
+        parts.append((section, raw))
+    for section, spec in TOGETHER_SECTION_SPECS.items():
+        raw = referenced_together(
+            has_concept.select("work_id", "concept_id", "field", "referenced_type"),
+            source_fields=spec.get("source_fields"),
+            related_fields=spec.get("related_fields"),
+            source_types=spec.get("source_types"),
+            related_types=spec.get("related_types"),
+            threshold=threshold,
+            limit=limit,
+            max_works_per_concept=work_cap,
+        ).select(
+            "concept_id",
+            "related_id",
+            F.lit(None).cast("string").alias("relationship_type"),
+            F.col("shared_works").alias("work_count"),
+        )
+        parts.append((section, raw))
+
+    merged_parts = []
+    for section, raw in parts:
+        merged_parts.append(
+            merged_related_concepts(raw, primary, wc, limit).select(
+                F.lit(section).alias("section"),
+                "primary_id",
+                "related_id",
+                "relationship_type",
+                "work_count",
+                "rank",
+            )
+        )
+    long = merged_parts[0]
+    for p in merged_parts[1:]:
+        long = long.unionByName(p)
+
+    # fan the primary-keyed lists back out to every group member
+    member_of = (
+        primary.select(F.col("concept_id").alias("doc_concept_id"), "primary_id")
+        .unionByName(
+            concepts.join(primary, "concept_id", "left_anti").select(
+                F.col("concept_id").alias("doc_concept_id"),
+                F.col("concept_id").alias("primary_id"),
+            )
+        )
+    )
+    long = long.join(member_of, "primary_id").select(
+        F.col("doc_concept_id").alias("concept_id"),
+        "section",
+        "rank",
+        "related_id",
+        "relationship_type",
+        "work_count",
+    )
+
+    # display-ready target cards: elected label + most-specific shared type
+    cards = indexable_concepts(
+        concepts, has_source, same_as, has_concept, source_nodes, max_hops
+    ).select(
+        F.col("concept_id").alias("related_id"),
+        F.col("display_label").alias("label"),
+        F.col("concept_type").alias("concept_type"),
+    )
+    return (
+        long.join(cards, "related_id")
+        .filter(F.col("label").isNotNull())  # MissingLabelError → drop entry
+        .select(
+            "concept_id",
+            "section",
+            "rank",
+            "related_id",
+            "relationship_type",
+            "concept_type",
+            "label",
+            "work_count",
+        )
     )
 
 

@@ -184,6 +184,8 @@ def related_concepts(
     *,
     source_fields: list[str] | None = None,
     related_fields: list[str] | None = None,
+    source_types: list[str] | None = None,
+    related_types: list[str] | None = None,
     threshold: int = 3,
     limit: int = 10,
     max_works_per_concept: int = 1000,
@@ -216,15 +218,20 @@ def related_concepts(
     """
     from pyspark.sql import Window
 
-    def side(fields, cid, wid):
+    def side(fields, types, cid, wid):
         e = edges
         if fields:
             e = e.filter(F.col("field").isin(*fields))
+        if types:
+            # referenced_type filter (frequent_collaborators: Person/
+            # Organisation × Person/Organisation; related_topics: topical
+            # related types only — concept_queries.py:188-210)
+            e = e.filter(F.col("referenced_type").isin(*types))
         return e.select(
             F.col("concept_id").alias(cid), F.col("work_id").alias(wid)
         ).distinct()
 
-    src = side(source_fields, "concept_id", "work_id")
+    src = side(source_fields, source_types, "concept_id", "work_id")
     capped = (
         src.withColumn(
             "_rk",
@@ -235,7 +242,7 @@ def related_concepts(
         .filter(F.col("_rk") <= max_works_per_concept)
         .drop("_rk")
     )
-    rel = side(related_fields, "related_id", "work_id")
+    rel = side(related_fields, related_types, "related_id", "work_id")
     counts = (
         capped.join(rel, "work_id")
         .filter(F.col("concept_id") != F.col("related_id"))
