@@ -4347,6 +4347,136 @@ def _z82_internal_works(spark, sf_dir):
     return out_i.unionByName(out_s)
 
 
+def _z84_inference_manager(spark, sf_dir):
+    """Round-5 image-inference driver probe inside q74 (plans/images.
+    inference_find_work + run_inference + inference_image_url): 60 images
+    (ck 781..840) find-work-chunked into four 15-image inference tasks that
+    exercise the reference's per-task all-or-nothing gates — task 0 green
+    with one PERMANENT download failure (404 skipped + counted,
+    inference_manager.py:173-194), task 1 killed by a TRANSIENT 502, task 2
+    by a missing feature-inferrer response ('must receive all three'), task
+    3 by a poisoned doc (aspect_ratio null with the response row present,
+    validate_inferred :75-93) — plus the modified-time window scope and the
+    DLCS info.json→thumbnail URL rewrite (image_downloader.py:50-62)."""
+    from catalogue_pipeline_spark.plans.images import (
+        inference_find_work,
+        inference_image_url,
+        run_inference,
+    )
+
+    ck = F.col("c_custkey")
+    j = (ck - 781) % 15
+    p = F.floor((ck - 781) / 15)
+    cks = ck.cast("string")
+    L = F.lit
+    base = spark.read.parquet(_t(sf_dir, "customer")).filter(
+        (ck >= 781) & (ck <= 840)
+    )
+    sec = F.lpad((ck - 781).cast("string"), 2, "0")
+    initial = base.select(
+        F.concat(L("im"), cks).alias("image_id"),
+        F.concat(L("2024-01-01T00:00:"), sec, L("Z")).alias("modified_time"),
+    )
+    downloads = base.select(
+        F.concat(L("im"), cks).alias("image_id"),
+        F.when((p == 0) & (j == 3), L(404))
+        .when((p == 1) & (j == 7), L(502))
+        .cast("int")
+        .alias("http_status"),
+    ).filter(F.col("http_status").isNotNull())
+    feats = base.filter(~((p == 2) & (j == 9))).select(
+        F.concat(L("im"), cks).alias("image_id"),
+        F.array_repeat((ck % 7).cast("float") * 0.5, 4).alias("features"),
+    )
+    pal = base.select(
+        F.concat(L("im"), cks).alias("image_id"),
+        F.array(L(0.25).cast("float"), L(0.75).cast("float")).alias(
+            "palette_embedding"
+        ),
+        F.concat(L("#c"), (ck % 10).cast("string")).alias("average_color_hex"),
+    )
+    ar = base.select(
+        F.concat(L("im"), cks).alias("image_id"),
+        F.when(~((p == 3) & (j == 11)), 1.0 + (ck % 3) * 0.25).alias(
+            "aspect_ratio"
+        ),
+    )
+    parts = inference_find_work(initial, partition_size=15)
+    aug, rep = run_inference(
+        initial, downloads, feats, pal, ar,
+        partitions=parts, feature_dim=4, batch_time="2024-06-01T12:00:00Z",
+    )
+    out_rep = rep.select(
+        L("q84").alias("probe"),
+        F.concat(L("rep:"), F.col("partition_id").cast("string")).alias("k"),
+        F.concat_ws(
+            "#",
+            "status",
+            F.coalesce("error_kind", L("<null>")),
+            F.col("processed").cast("string"),
+            F.col("augmented").cast("string"),
+            F.col("download_failures").cast("string"),
+        ).alias("v"),
+    )
+    out_aug = aug.select(
+        L("q84").alias("probe"),
+        F.concat(L("aug:"), F.col("image_id")).alias("k"),
+        F.concat_ws(
+            "#",
+            F.col("inferred_data").getField("average_color_hex"),
+            F.col("inferred_data").getField("aspect_ratio").cast("string"),
+            F.size(F.col("inferred_data").getField("features")).cast("string"),
+            "augmented_time",
+        ).alias("v"),
+    )
+    windowed = inference_find_work(
+        initial,
+        window=("2024-01-01T00:00:10Z", "2024-01-01T00:00:20Z"),
+        partition_size=5,
+    )
+    out_w = windowed.select(
+        L("q84").alias("probe"),
+        F.concat(L("fww:"), F.col("image_id")).alias("k"),
+        F.col("partition_id").cast("string").alias("v"),
+    )
+    locs = base.select(
+        F.concat(L("im"), cks).alias("image_id"),
+        F.when(
+            j == 5,
+            F.array(
+                F.struct(
+                    L("thumbnail-image").alias("location_type_id"),
+                    F.concat(L("https://io/im"), cks, L("/t.jpg")).alias("url"),
+                )
+            ),
+        )
+        .when(
+            ck % 2 == 0,
+            F.array(
+                F.struct(
+                    L("iiif-image").alias("location_type_id"),
+                    F.concat(L("https://io/im"), cks, L("/info.json")).alias("url"),
+                )
+            ),
+        )
+        .otherwise(
+            F.array(
+                F.struct(
+                    L("iiif-image").alias("location_type_id"),
+                    F.concat(L("https://io/im"), cks, L("/full.jpg")).alias("url"),
+                )
+            )
+        )
+        .alias("locations"),
+    )
+    out_url = locs.select(
+        L("q84").alias("probe"),
+        F.concat(L("url:"), F.col("image_id")).alias("k"),
+        F.coalesce(inference_image_url(F.col("locations")), L("<none>")).alias("v"),
+    )
+    return out_rep.unionByName(out_aug).unionByName(out_w).unionByName(out_url)
+
+
 def _z83_related_sections(spark, sf_dir):
     """Round-5 concepts-index relatedConcepts sections driver-probed inside
     q74 (plans/concept_graph.related_concepts_sections): twenty replicas of
@@ -4543,6 +4673,7 @@ def _q74_composite_probes(spark, sf_dir):
         _z81_folio_sync(spark, sf_dir),
         _z82_internal_works(spark, sf_dir),
         _z83_related_sections(spark, sf_dir),
+        _z84_inference_manager(spark, sf_dir),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -7988,6 +8119,35 @@ def oracle_sql() -> dict[str, str]:
                 ('c9', 'related_topics', 1, 'c4', '', 'Place', 'Paris', '3')
               ) AS s5(c, sec, rk, rid, rt, ct, lbl, wc)
              ) AS m
+        -- q84: inference manager — four 15-image tasks in closed form (task
+        -- 0 ok with one 404 skip; 1 transient; 2 missing inferrer; 3
+        -- poisoned), the window-scoped find_work chunks, the DLCS URL rule
+        UNION ALL
+        SELECT 'q84', 'rep:' || v.p, v.s FROM (VALUES
+            ('0', 'ok#<null>#15#14#1'),
+            ('1', 'failed#transient_download#15#0#0'),
+            ('2', 'failed#inferrer_failure#15#0#0'),
+            ('3', 'failed#poisoned#15#0#0')) AS v(p, s)
+        UNION ALL
+        SELECT 'q84', 'aug:im' || CAST(c_custkey AS VARCHAR),
+               '#c' || CAST(c_custkey % 10 AS VARCHAR) || '#'
+               || CASE c_custkey % 3 WHEN 0 THEN '1.0' WHEN 1 THEN '1.25'
+                  ELSE '1.5' END
+               || '#4#2024-06-01T12:00:00Z'
+        FROM customer WHERE c_custkey BETWEEN 781 AND 795 AND c_custkey <> 784
+        UNION ALL
+        SELECT 'q84', 'fww:im' || CAST(c_custkey AS VARCHAR),
+               CAST((c_custkey - 791) // 5 AS VARCHAR)
+        FROM customer WHERE c_custkey BETWEEN 791 AND 800
+        UNION ALL
+        SELECT 'q84', 'url:im' || CAST(c_custkey AS VARCHAR),
+               CASE WHEN (c_custkey - 781) % 15 = 5 THEN '<none>'
+                    WHEN c_custkey % 2 = 0 THEN 'https://io/im'
+                         || CAST(c_custkey AS VARCHAR)
+                         || '/full/!400,400/0/default.jpg'
+                    ELSE 'https://io/im' || CAST(c_custkey AS VARCHAR)
+                         || '/full.jpg' END
+        FROM customer WHERE c_custkey BETWEEN 781 AND 840
     """
 
     # q75: the works-ingestor document builder — every synthesized work's

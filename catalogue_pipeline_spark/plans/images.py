@@ -208,3 +208,224 @@ def indexable_image_documents(images: DataFrame, work_docs: DataFrame) -> DataFr
             F.col("palette_embedding").alias("palette_embedding"),
         ).alias("vector_values"),
     )
+
+
+# ------------------------------------------------------------------ inference
+# The image-inferrer state machine (catalogue_graph/src/inferrer/):
+# find_work partitions the window's image ids; each inference task downloads
+# the DLCS thumbnail, calls the three inferrer sidecars, and bulk-writes
+# augmented docs ALL-OR-NOTHING — with one carve-out for images whose asset
+# permanently fails to download (inference_manager.py:173-194).
+
+# adapters.py:22 — a VGG feature vector has exactly 4096 dims; anything else
+# is a poisoned doc.  The engine takes the dim as a parameter so tests can
+# run small.
+FEATURE_VECTOR_SIZE = 4096
+# image_downloader.py:30-33 — transient HTTP statuses (retry, then fail the
+# task); any other non-200 is permanent (skip + count).
+TRANSIENT_STATUS_CODES = (429, 500, 502, 503, 504)
+
+
+def inference_image_url(locations) -> "F.Column":
+    """``get_image_url`` + ``_to_thumbnail_url``
+    (image_downloader.py:50-62): the first iiif-image location's URL with an
+    ``info.json`` suffix swapped for the fixed DLCS 400x400 thumbnail form;
+    NULL when no iiif-image location exists (a permanent download error —
+    the reference raises ImageDownloadError there)."""
+    url = F.try_element_at(
+        F.filter(
+            locations, lambda loc: loc.getField("location_type_id") == "iiif-image"
+        ),
+        F.lit(1),
+    ).getField("url")
+    return F.when(
+        url.endswith("info.json"),
+        F.concat(
+            F.substring(url, 1, F.length(url) - F.lit(9)),
+            F.lit("full/!400,400/0/default.jpg"),
+        ),
+    ).otherwise(url)
+
+
+def inference_find_work(
+    initial: DataFrame,
+    *,
+    ids: list[str] | None = None,
+    window: tuple[str, str] | None = None,
+    partition_size: int = 300,
+) -> DataFrame:
+    """The work-discovery step (inferrer/steps/find_work.py:38-65): select
+    the ids in scope — explicit ids, a [from, to) modified-time window, or
+    full — and partition them into fixed-size chunks, one per downstream
+    inference task.  Output (image_id, partition_id).  The chunking is the
+    O5 control-plane pattern (rank over the id column only); the id list a
+    window matches is Lambda-sized by construction in the reference."""
+    from ..operators.precedence import fixed_size_chunks
+
+    df = initial.select("image_id", "modified_time")
+    if ids is not None:
+        df = df.filter(F.col("image_id").isin(*ids))
+    elif window is not None:
+        lo, hi = window
+        df = df.filter(
+            (F.col("modified_time") >= F.lit(lo)) & (F.col("modified_time") < F.lit(hi))
+        )
+    return fixed_size_chunks(
+        df.select("image_id"), "image_id", partition_size
+    ).withColumnRenamed("chunk_id", "partition_id")
+
+
+def run_inference(
+    initial: DataFrame,
+    downloads: DataFrame,
+    features: DataFrame,
+    palette: DataFrame,
+    aspect_ratios: DataFrame,
+    *,
+    partitions: DataFrame | None = None,
+    feature_dim: int = FEATURE_VECTOR_SIZE,
+    batch_time: str = "1970-01-01T00:00:00Z",
+) -> tuple[DataFrame, DataFrame]:
+    """The inference-manager task re-expressed over the whole window at once
+    (inference_manager.py:130-228), keeping the reference's per-TASK
+    all-or-nothing semantics by keying every gate on ``partition_id``:
+
+    * an image whose asset PERMANENTLY fails to download (non-200 outside
+      the transient set, or no iiif-image URL at all) is skipped and
+      counted — it must not block its partition (:173-177);
+    * a TRANSIENT download failure, a missing inferrer response (the task
+      must receive all three), or a poisoned doc (wrong feature-vector
+      size, empty palette embedding, missing average colour or aspect
+      ratio, validate_inferred :75-93) fails the WHOLE partition — none of
+      that partition's images are indexed, exactly as the dead task
+      indexes nothing;
+    * successful partitions emit augmented docs stamped with the batch's
+      ``augmented_time`` (:114-127) plus a per-partition report row
+      mirroring InferenceManagerResult (:224-228).
+
+    ``downloads``: (image_id, http_status int) — the download outcome per
+    image; missing row or status 200 = ok.  ``features``: (image_id,
+    features array<float>).  ``palette``: (image_id, palette_embedding
+    array<float>, average_color_hex).  ``aspect_ratios``: (image_id,
+    aspect_ratio double).  ``partitions``: inference_find_work output;
+    default = everything in one partition.  Returns (augmented, report).
+
+    Scale shape: four image_id equi-joins (the same key partitioning
+    reused), ONE groupBy(partition_id) rollup, and a partition_id join
+    back — no driver-side state, no per-row Python."""
+    if partitions is None:
+        partitions = initial.select("image_id").withColumn(
+            "partition_id", F.lit(0).cast("int")
+        )
+    st = F.col("http_status")
+    dl_class = (
+        F.when(st.isNull() | (st == 200), F.lit("ok"))
+        .when(st.isin(*TRANSIENT_STATUS_CODES), F.lit("transient"))
+        .otherwise(F.lit("permanent"))
+    )
+    g = (
+        initial.join(partitions, "image_id")
+        .join(downloads.select("image_id", "http_status"), "image_id", "left")
+        .withColumn("_dl", dl_class)
+        .join(
+            features.select("image_id", "features", F.lit(True).alias("_has_f")),
+            "image_id",
+            "left",
+        )
+        .join(
+            palette.select(
+                "image_id",
+                "palette_embedding",
+                "average_color_hex",
+                F.lit(True).alias("_has_p"),
+            ),
+            "image_id",
+            "left",
+        )
+        .join(
+            aspect_ratios.select(
+                "image_id", "aspect_ratio", F.lit(True).alias("_has_a")
+            ),
+            "image_id",
+            "left",
+        )
+    )
+    # a MISSING response row is an inferrer failure; a PRESENT row whose
+    # payload fails validate_inferred (:75-93) is a poisoned doc — the
+    # adapters deliberately pass bad payloads through so the manager can
+    # tell the two apart (adapters.py:45-62)
+    poisoned = (
+        (F.coalesce(F.size("features"), F.lit(-1)) != feature_dim)
+        | (F.coalesce(F.size("palette_embedding"), F.lit(0)) == 0)
+        | F.col("average_color_hex").isNull()
+        | F.col("aspect_ratio").isNull()
+    )
+    state = (
+        F.when(F.col("_dl") == "permanent", F.lit("skipped"))
+        .when(F.col("_dl") == "transient", F.lit("transient_download"))
+        .when(
+            F.col("_has_f").isNull()
+            | F.col("_has_p").isNull()
+            | F.col("_has_a").isNull(),
+            F.lit("inferrer_failure"),
+        )
+        .when(poisoned, F.lit("poisoned"))
+        .otherwise(F.lit("ok"))
+    )
+    g = g.withColumn("_state", state)
+    fatal = ~F.col("_state").isin("ok", "skipped")
+    report = g.groupBy("partition_id").agg(
+        F.count("*").alias("processed"),
+        F.sum(F.when(F.col("_state") == "ok", 1).otherwise(0)).alias("augmented"),
+        F.sum(F.when(F.col("_state") == "skipped", 1).otherwise(0)).alias(
+            "download_failures"
+        ),
+        F.min(F.when(fatal, F.col("_state"))).alias("error_kind"),
+    )
+    report = report.select(
+        "partition_id",
+        F.when(F.col("error_kind").isNull(), F.lit("ok"))
+        .otherwise(F.lit("failed"))
+        .alias("status"),
+        "error_kind",
+        "processed",
+        # a failed task indexes (and therefore reports) nothing augmented
+        F.when(F.col("error_kind").isNull(), F.col("augmented"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("augmented"),
+        F.when(F.col("error_kind").isNull(), F.col("download_failures"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("download_failures"),
+    )
+    ok_parts = report.filter(F.col("status") == "ok").select("partition_id")
+    augmented = (
+        g.filter(F.col("_state") == "ok")
+        .join(ok_parts, "partition_id")
+        .select(
+            "image_id",
+            "partition_id",
+            F.struct(
+                F.col("features"),
+                F.col("palette_embedding"),
+                F.col("average_color_hex"),
+                F.col("aspect_ratio"),
+            ).alias("inferred_data"),
+            F.lit(batch_time).alias("augmented_time"),
+        )
+    )
+    return augmented, report
+
+
+def image_vector_values(augmented: DataFrame) -> DataFrame:
+    """The vector-index projection of an augmented image
+    (ingestor/models/vector/image.py:5-14): just the two embedding
+    columns, keyed by image id."""
+    return augmented.select(
+        "image_id",
+        F.col("inferred_data").getField("features").alias("features"),
+        F.col("inferred_data").getField("palette_embedding").alias(
+            "palette_embedding"
+        ),
+    )
