@@ -4477,6 +4477,284 @@ def _z84_inference_manager(spark, sf_dir):
     return out_rep.unionByName(out_aug).unionByName(out_w).unionByName(out_url)
 
 
+def _z85_harvest_control(spark, sf_dir):
+    """Round-5 harvest control-plane probe inside q74
+    (cdc/harvest_control.py): three day-shifted replicas of a four-window
+    status table (published success / tagged success / failed / success
+    with a garbage stamp and legacy tags) driving the whole OAI-PMH
+    bookkeeping surface — coverage report (merged hours, gap complement,
+    success vs published cursors), trigger decision (published-cursor
+    resume, lag breaker), harvest planning (reuse-with-changeset-re-emit,
+    resume attempts, max_windows pending cap), mark-published (stamp /
+    skip-valid / missing-key error), the loader-response rollup, plus the
+    epoch-aligned window generator and id-mode outcome classification."""
+    from catalogue_pipeline_spark.cdc.harvest_control import (
+        aligned_windows,
+        coverage_report,
+        id_load_classify,
+        iso_utc,
+        loader_response_rollup,
+        mark_published,
+        next_window_request,
+        plan_harvest,
+        window_key_expr,
+    )
+    from datetime import datetime, timedelta, timezone
+
+    L = F.lit
+    base_ck = 841
+    groups = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .filter((F.col("c_custkey") >= base_ck) & (F.col("c_custkey") <= base_ck + 2))
+        .select((F.col("c_custkey") - base_ck).cast("int").alias("g"))
+    )
+    B0 = datetime(2025, 1, 1, 12, 0, tzinfo=timezone.utc)
+
+    def mk_status(g: int):
+        B = B0 + timedelta(days=g)
+
+        def row(off_s, off_e, state, attempts, rids, err, tags):
+            return (
+                (B + timedelta(minutes=off_s)).replace(tzinfo=None),
+                (B + timedelta(minutes=off_e)).replace(tzinfo=None),
+                state,
+                attempts,
+                rids,
+                err,
+                B.replace(tzinfo=None),
+                tags,
+            )
+
+        rows = [
+            row(0, 15, "success", 1, [], None,
+                {"published_at": (B + timedelta(minutes=20)).isoformat()}),
+            row(15, 30, "success", 1, [], None,
+                {"changeset_ids": f'["cs{g}a", "cs{g}b"]',
+                 "upserted_record_count": "3"}),
+            row(30, 45, "failed", 2, [], "Error", None),
+            row(60, 75, "success", 1, ["r1", "r2"], None,
+                {"published_at": "garbage", "changeset_id": f"cs{g}leg",
+                 "record_ids_changed": '["x", "y"]'}),
+        ]
+        return spark.createDataFrame(
+            rows,
+            "window_start timestamp, window_end timestamp, state string, "
+            "attempts int, record_ids array<string>, last_error string, "
+            "updated_at timestamp, tags map<string,string>",
+        )
+
+    probe = L("q85").alias("probe")
+    sep = "#"
+    parts = []
+    for g in range(3):
+        B = B0 + timedelta(days=g)
+        status = mk_status(g)
+        gi = str(g)
+
+        rep = coverage_report(status).select(
+            probe,
+            L(f"rep:{gi}").alias("k"),
+            F.concat_ws(
+                sep,
+                F.col("total_windows").cast("string"),
+                F.col("state_counts").getItem("success").cast("string"),
+                F.col("state_counts").getItem("failed").cast("string"),
+                F.col("coverage_hours").cast("string"),
+                iso_utc(F.col("coverage_gaps").getItem(0).getField("start")),
+                iso_utc(F.col("coverage_gaps").getItem(0).getField("end")),
+                F.size("coverage_gaps").cast("string"),
+                iso_utc(F.col("last_success_end")),
+                iso_utc(F.col("last_published_end")),
+            ).alias("v"),
+        )
+        parts.append(rep)
+
+        for tag, lag in (("trig", 120), ("trigl", 10)):
+            t = next_window_request(
+                status,
+                now=B + timedelta(minutes=90),
+                window_lookback_days=3,
+                max_lag_minutes=lag,
+            ).select(
+                probe,
+                L(f"{tag}:{gi}").alias("k"),
+                F.concat_ws(
+                    sep,
+                    "status",
+                    F.coalesce(iso_utc(F.col("start_time")), L("<null>")),
+                    F.coalesce(iso_utc(F.col("end_time")), L("<null>")),
+                    F.coalesce(F.col("job_id"), L("<null>")),
+                    F.col("lag_minutes").cast("string"),
+                ).alias("v"),
+            )
+            parts.append(t)
+
+        plan = plan_harvest(
+            status,
+            range_start=B,
+            range_end=B + timedelta(minutes=90),
+        ).select(
+            probe,
+            F.concat(
+                L(f"pl:{gi}:"),
+                ((F.unix_timestamp("window_start")
+                  - F.unix_timestamp(L(B.isoformat()).cast("timestamp"))) / 60
+                 ).cast("int").cast("string"),
+            ).alias("k"),
+            F.concat_ws(
+                sep,
+                "action",
+                F.col("attempts").cast("string"),
+                F.coalesce(F.col("prior_state"), L("<null>")),
+                F.concat_ws(",", "changeset_ids"),
+                F.col("upserted_record_count").cast("string"),
+                F.col("resumed_record_count").cast("string"),
+            ).alias("v"),
+        )
+        parts.append(plan)
+
+        capped = plan_harvest(
+            status,
+            range_start=B,
+            range_end=B + timedelta(minutes=90),
+            max_windows=2,
+        ).agg(
+            F.sum(F.when(F.col("action") == "harvest", 1).otherwise(0)).alias("h"),
+            F.sum(F.when(F.col("action") == "reuse", 1).otherwise(0)).alias("r"),
+            F.max(F.when(F.col("action") == "harvest", F.col("window_start"))).alias(
+                "lastp"
+            ),
+        ).select(
+            probe,
+            L(f"plc:{gi}").alias("k"),
+            F.concat_ws(
+                sep,
+                F.col("h").cast("string"),
+                F.col("r").cast("string"),
+                iso_utc(F.col("lastp")),
+            ).alias("v"),
+        )
+        parts.append(capped)
+
+        def key_of(off_s, off_e):
+            return (
+                f"{(B + timedelta(minutes=off_s)).isoformat()}_"
+                f"{(B + timedelta(minutes=off_e)).isoformat()}"
+            )
+
+        stamped, mp_rep = mark_published(
+            status,
+            [key_of(0, 15), key_of(15, 30), key_of(60, 75)],
+            now=B + timedelta(minutes=120),
+        )
+        parts.append(
+            stamped.select(
+                probe,
+                F.concat(L(f"mps:{gi}:"), iso_utc(F.col("window_start"))).alias("k"),
+                F.col("tags").getItem("published_at").alias("v"),
+            )
+        )
+        parts.append(
+            mp_rep.select(
+                probe,
+                L(f"mpr:{gi}").alias("k"),
+                F.concat_ws(
+                    sep,
+                    "status",
+                    F.col("windows_stamped").cast("string"),
+                    F.col("windows_skipped").cast("string"),
+                    F.coalesce(iso_utc(F.col("last_published_end")), L("<null>")),
+                ).alias("v"),
+            )
+        )
+        _, mp_err = mark_published(
+            status,
+            [key_of(0, 15), key_of(45, 60)],
+            now=B + timedelta(minutes=120),
+        )
+        parts.append(
+            mp_err.select(
+                probe,
+                L(f"mpe:{gi}").alias("k"),
+                F.concat_ws(
+                    sep,
+                    "status",
+                    F.col("windows_stamped").cast("string"),
+                    F.col("windows_skipped").cast("string"),
+                    F.concat_ws(",", "missing_keys"),
+                ).alias("v"),
+            )
+        )
+
+        roll = loader_response_rollup(
+            status,
+            job_id=f"j{gi}",
+            extra_changeset_ids=["zz"],
+            extra_upserted_record_count=5,
+        ).select(
+            probe,
+            L(f"roll:{gi}").alias("k"),
+            F.concat_ws(
+                sep,
+                "job_id",
+                F.concat_ws(",", "changeset_ids"),
+                F.concat_ws("|", "covered_window_keys"),
+                F.col("changed_record_count").cast("string"),
+            ).alias("v"),
+        )
+        parts.append(roll)
+
+    win = aligned_windows(
+        spark, B0 + timedelta(minutes=7), B0 + timedelta(minutes=40)
+    ).select(
+        probe,
+        F.concat(
+            L("win:"), F.date_format("window_start", "HH:mm")
+        ).alias("k"),
+        F.col("window_key").alias("v"),
+    )
+    parts.append(win)
+
+    fetches = spark.createDataFrame(
+        [
+            (0, "a", "ok"),
+            (1, "b", "id_does_not_exist"),
+            (2, "a", "error"),
+            (3, "", "ok"),
+            (4, "c", "error"),
+            (5, "d", "ok"),
+        ],
+        "seq int, record_id string, fetch_status string",
+    )
+    per_id, outcome = id_load_classify(fetches)
+    parts.append(
+        per_id.select(
+            probe,
+            F.concat(L("idb:"), "record_id").alias("k"),
+            F.concat_ws(sep, "bucket", F.col("written").cast("string")).alias("v"),
+        )
+    )
+    parts.append(
+        outcome.select(
+            probe,
+            L("ido").alias("k"),
+            F.concat_ws(
+                sep,
+                F.col("requested").cast("string"),
+                F.col("recovered").cast("string"),
+                F.concat_ws(",", "removed"),
+                F.concat_ws(",", "unfetchable"),
+            ).alias("v"),
+        )
+    )
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # anchor on the groups frame so the probe consumes the testdata table
+    return out.crossJoin(groups.agg(F.count("*").alias("_n"))).drop("_n")
+
+
 def _z83_related_sections(spark, sf_dir):
     """Round-5 concepts-index relatedConcepts sections driver-probed inside
     q74 (plans/concept_graph.related_concepts_sections): twenty replicas of
@@ -4674,6 +4952,7 @@ def _q74_composite_probes(spark, sf_dir):
         _z82_internal_works(spark, sf_dir),
         _z83_related_sections(spark, sf_dir),
         _z84_inference_manager(spark, sf_dir),
+        _z85_harvest_control(spark, sf_dir),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -8148,6 +8427,85 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'https://io/im' || CAST(c_custkey AS VARCHAR)
                          || '/full.jpg' END
         FROM customer WHERE c_custkey BETWEEN 781 AND 840
+        -- q85: harvest control plane — three day-shifted four-window status
+        -- replicas in closed form (coverage report, trigger ok/lag, harvest
+        -- plan + pending cap, mark-published ok/error, response rollup),
+        -- plus the aligned window generator and id-mode classification
+        UNION ALL
+        SELECT 'q85', hq.k, hq.v FROM (
+          WITH hg AS (
+            SELECT CAST(c_custkey - 841 AS INT) AS g,
+                   TIMESTAMP '2025-01-01 12:00:00'
+                     + (c_custkey - 841) * INTERVAL 1 DAY AS b
+            FROM customer WHERE c_custkey BETWEEN 841 AND 843
+          ),
+          hi AS (
+            SELECT g, b,
+              strftime(b + INTERVAL 15 MINUTE, '%Y-%m-%dT%H:%M:%S') || '+00:00' AS i15,
+              strftime(b + INTERVAL 30 MINUTE, '%Y-%m-%dT%H:%M:%S') || '+00:00' AS i30,
+              strftime(b + INTERVAL 45 MINUTE, '%Y-%m-%dT%H:%M:%S') || '+00:00' AS i45,
+              strftime(b + INTERVAL 60 MINUTE, '%Y-%m-%dT%H:%M:%S') || '+00:00' AS i60,
+              strftime(b + INTERVAL 75 MINUTE, '%Y-%m-%dT%H:%M:%S') || '+00:00' AS i75,
+              strftime(b + INTERVAL 90 MINUTE, '%Y-%m-%dT%H:%M:%S') || '+00:00' AS i90,
+              strftime(b + INTERVAL 120 MINUTE, '%Y-%m-%dT%H:%M:%S') || '+00:00' AS i120,
+              strftime(b, '%Y-%m-%dT%H:%M:%S') || '+00:00' AS i00,
+              strftime(b + INTERVAL 90 MINUTE, '%Y%m%dT%H%M') AS job
+            FROM hg
+          ),
+          hk AS (
+            SELECT *,
+              i00 || '_' || i15 AS k00,
+              i15 || '_' || i30 AS k15,
+              i30 || '_' || i45 AS k30,
+              i45 || '_' || i60 AS k45,
+              i60 || '_' || i75 AS k60
+            FROM hi
+          )
+          SELECT 'rep:' || g AS k,
+                 '4#3#1#0.75#' || i30 || '#' || i60 || '#1#' || i75 || '#' || i15 AS v
+          FROM hk
+          UNION ALL
+          SELECT 'trig:' || g, 'ok#' || i15 || '#' || i90 || '#' || job || '#15.0'
+          FROM hk
+          UNION ALL
+          SELECT 'trigl:' || g, 'lag_exceeded#<null>#<null>#<null>#15.0' FROM hk
+          UNION ALL
+          SELECT 'pl:' || g || ':' || s.off, replace(s.tpl, '@', CAST(g AS VARCHAR))
+          FROM hk, (VALUES
+              ('0',  'reuse#1#success##0#0'),
+              ('15', 'reuse#1#success#cs@a,cs@b#3#0'),
+              ('30', 'harvest#3#failed##0#0'),
+              ('45', 'harvest#1#<null>##0#0'),
+              ('60', 'reuse#1#success#cs@leg#2#2'),
+              ('75', 'harvest#1#<null>##0#0')) AS s(off, tpl)
+          UNION ALL
+          SELECT 'plc:' || g, '2#3#' || i45 FROM hk
+          UNION ALL
+          SELECT 'mps:' || g || ':' || i15, i120 FROM hk
+          UNION ALL
+          SELECT 'mps:' || g || ':' || i60, i120 FROM hk
+          UNION ALL
+          SELECT 'mpr:' || g, 'ok#2#1#' || i75 FROM hk
+          UNION ALL
+          SELECT 'mpe:' || g, 'error#0#1#' || k45 FROM hk
+          UNION ALL
+          SELECT 'roll:' || g,
+                 'j' || g || '#cs' || g || 'a,cs' || g || 'b,cs' || g
+                 || 'leg,zz#' || k00 || '|' || k15 || '|' || k60 || '#10'
+          FROM hk
+          UNION ALL
+          SELECT 'win:' || w.s,
+                 '2025-01-01T' || w.s || ':00+00:00_2025-01-01T' || w.e
+                 || ':00+00:00'
+          FROM (VALUES ('12:07', '12:15'), ('12:15', '12:30'),
+                       ('12:30', '12:40')) AS w(s, e)
+          UNION ALL
+          SELECT 'idb:' || i.id, i.v FROM (VALUES
+              ('a', 'recovered#true'), ('b', 'removed#false'),
+              ('c', 'unfetchable#false'), ('d', 'recovered#true')) AS i(id, v)
+          UNION ALL
+          SELECT 'ido', '4#2#b#c'
+        ) AS hq
     """
 
     # q75: the works-ingestor document builder — every synthesized work's
