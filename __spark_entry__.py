@@ -4755,6 +4755,129 @@ def _z85_harvest_control(spark, sf_dir):
     return out.crossJoin(groups.agg(F.count("*").alias("_n"))).drop("_n")
 
 
+def _z86_reindexer(spark, sf_dir):
+    """Round-5 reindexer driver probe inside q74 (cdc/reindex.py): a
+    60-record source table (ck 901..960) segment-assigned under a 4-way
+    complete reindex (md5-residue segments — disjoint+covering checked by
+    the oracle recomputing every assignment), request planning for all
+    three modes (segment fan-out, 100-id specific chunking, partial),
+    the deterministic partial first-N read, specific multi-get with an
+    absent id, METS tagged-union payload kinds, and the funnel report's
+    stage-over-stage drop flags."""
+    from catalogue_pipeline_spark.cdc.reindex import (
+        funnel_report,
+        plan_reindex_requests,
+        read_reindex_records,
+        reindex_segment_expr,
+        to_source_payload,
+    )
+
+    L = F.lit
+    ck = F.col("c_custkey")
+    table = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .filter((ck >= 901) & (ck <= 960))
+        .select(
+            F.concat(L("rec"), ck.cast("string")).alias("id"),
+            (ck % 9 + 1).cast("int").alias("version"),
+            F.when(ck % 2 == 0, L("MetsFileWithImages"))
+            .otherwise(L("DeletedMetsFile"))
+            .alias("payload_kind"),
+            F.when(ck % 2 == 0, F.concat(L("goobi"), ck.cast("string"))).alias(
+                "payload"
+            ),
+        )
+    )
+    probe = L("q86").alias("probe")
+
+    seg = table.select(
+        probe,
+        F.concat(L("seg:"), "id").alias("k"),
+        F.concat_ws(
+            "#",
+            reindex_segment_expr(F.col("id"), 4).cast("string"),
+            F.col("version").cast("string"),
+        ).alias("v"),
+    )
+
+    reqc = plan_reindex_requests(
+        spark, "sierra", "complete", item_count=2500
+    ).select(
+        probe,
+        F.concat(L("req:c:"), F.col("segment").cast("string")).alias("k"),
+        F.col("total_segments").cast("string").alias("v"),
+    )
+    ids = [str(1000000 + i) for i in range(250)]
+    reqs = plan_reindex_requests(spark, "sierra", "specific", ids=ids).select(
+        probe,
+        F.concat(L("req:s:"), F.col("request_id")).alias("k"),
+        F.concat_ws(
+            "#",
+            F.size("ids").cast("string"),
+            F.element_at("ids", 1),
+            F.element_at("ids", -1),
+        ).alias("v"),
+    )
+    reqp = plan_reindex_requests(
+        spark, "miro", "partial", max_records=10
+    ).select(
+        probe,
+        F.concat(L("req:p:"), F.col("request_id")).alias("k"),
+        F.col("max_records").cast("string").alias("v"),
+    )
+
+    par = read_reindex_records(table, mode="partial", max_records=5).select(
+        probe,
+        F.concat(L("par:"), "id").alias("k"),
+        F.col("version").cast("string").alias("v"),
+    )
+    spec = read_reindex_records(
+        table, mode="specific", ids=["rec903", "rec940", "nope"]
+    ).select(
+        probe,
+        F.concat(L("spec:"), "id").alias("k"),
+        F.col("version").cast("string").alias("v"),
+    )
+    pay = to_source_payload(
+        table.filter(ck.isin(902, 903)), "mets"
+    ).select(
+        probe,
+        F.concat(L("pay:"), "id").alias("k"),
+        F.concat_ws(
+            "#",
+            F.col("payload").getField("kind"),
+            F.coalesce(F.col("payload").getField("sourceData"), L("<null>")),
+            "source",
+        ).alias("v"),
+    )
+
+    stages = spark.createDataFrame(
+        [
+            ("works", 0, "source", 100),
+            ("works", 1, "identified", 100),
+            ("works", 2, "denormalised", 97),
+            ("works", 3, "indexed", 99),
+            ("images", 0, "initial", 10),
+            ("images", 1, "augmented", 10),
+        ],
+        "pipeline string, stage_order int, stage string, count long",
+    )
+    fun = funnel_report(stages).select(
+        probe,
+        F.concat(L("fun:"), "pipeline", L(":"), "stage").alias("k"),
+        F.concat_ws(
+            "#",
+            F.col("count").cast("string"),
+            F.coalesce(F.col("drop").cast("string"), L("<null>")),
+        ).alias("v"),
+    )
+
+    out = seg
+    for p in (reqc, reqs, reqp, par, spec, pay, fun):
+        out = out.unionByName(p)
+    return out
+
+
 def _z83_related_sections(spark, sf_dir):
     """Round-5 concepts-index relatedConcepts sections driver-probed inside
     q74 (plans/concept_graph.related_concepts_sections): twenty replicas of
@@ -4953,6 +5076,7 @@ def _q74_composite_probes(spark, sf_dir):
         _z83_related_sections(spark, sf_dir),
         _z84_inference_manager(spark, sf_dir),
         _z85_harvest_control(spark, sf_dir),
+        _z86_reindexer(spark, sf_dir),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -8506,6 +8630,45 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT 'ido', '4#2#b#c'
         ) AS hq
+        -- q86: reindexer — md5-residue segment assignment recomputed per
+        -- record, the three request modes, the deterministic partial read,
+        -- specific multi-get, METS payload kinds, the funnel drop flags
+        UNION ALL
+        SELECT 'q86',
+               'seg:rec' || CAST(c_custkey AS VARCHAR),
+               CAST(CAST(('0x' || substr(md5('rec' || CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS VARCHAR)
+               || '#' || CAST(c_custkey % 9 + 1 AS VARCHAR)
+        FROM customer WHERE c_custkey BETWEEN 901 AND 960
+        UNION ALL
+        SELECT 'q86', 'req:c:' || CAST(s AS VARCHAR), '3'
+        FROM (VALUES (0), (1), (2)) AS rc(s)
+        UNION ALL
+        SELECT 'q86', 'req:s:specific/' || CAST(c AS VARCHAR), v
+        FROM (VALUES (0, '100#1000000#1000099'), (1, '100#1000100#1000199'),
+                     (2, '50#1000200#1000249')) AS rs(c, v)
+        UNION ALL
+        SELECT 'q86', 'req:p:partial/0', '10'
+        UNION ALL
+        SELECT 'q86', 'par:rec' || CAST(c_custkey AS VARCHAR),
+               CAST(c_custkey % 9 + 1 AS VARCHAR)
+        FROM customer WHERE c_custkey BETWEEN 901 AND 905
+        UNION ALL
+        SELECT 'q86', 'spec:rec' || CAST(c_custkey AS VARCHAR),
+               CAST(c_custkey % 9 + 1 AS VARCHAR)
+        FROM customer WHERE c_custkey IN (903, 940)
+        UNION ALL
+        SELECT 'q86', 'pay:rec902', 'MetsFileWithImages#goobi902#mets'
+        UNION ALL
+        SELECT 'q86', 'pay:rec903', 'DeletedMetsFile#<null>#mets'
+        UNION ALL
+        SELECT 'q86', 'fun:' || p || ':' || s, v
+        FROM (VALUES
+            ('works', 'source', '100#<null>'),
+            ('works', 'identified', '100#<null>'),
+            ('works', 'denormalised', '97#3'),
+            ('works', 'indexed', '99#<null>'),
+            ('images', 'initial', '10#<null>'),
+            ('images', 'augmented', '10#<null>')) AS fn(p, s, v)
     """
 
     # q75: the works-ingestor document builder — every synthesized work's
