@@ -4878,6 +4878,244 @@ def _z86_reindexer(spark, sf_dir):
     return out
 
 
+def _z87_sierra_indexer(spark, sf_dir):
+    """Round-5 Sierra indexer driver probe inside q74
+    (plans/sierra_indexer.py): 30 transformables (ck 961..990) with
+    ck-modular varField/fixedField/item counts split into main +
+    varfields + fixedfields index requests (check digits, stripped
+    var/fixed fields, sorted itemIds, position/code doc ids), the
+    delete-by-query predicate rows, and an end-to-end apply over a
+    5-position pre-existing varfield index."""
+    from catalogue_pipeline_spark.plans.sierra_indexer import (
+        apply_index_deletions,
+        indexer_deletions,
+        indexer_fixedfields,
+        indexer_main_records,
+        indexer_varfields,
+        sierra_api_data,
+    )
+
+    L = F.lit
+    ck = F.col("c_custkey")
+    bid = (ck + 1000000).cast("string")
+    nvf = (ck % 4).cast("int")
+    nff = (ck % 3).cast("int")
+    nit = (ck % 3).cast("int")
+    vf_arr = F.transform(
+        F.sequence(L(0), nvf - 1),
+        lambda j: F.concat(
+            L('{"fieldTag":"t","content":"c'), j.cast("string"), L('"}')
+        ),
+    )
+    ff_entries = F.transform(
+        F.sequence(L(0), nff - 1),
+        lambda j: F.concat(
+            L('"'), (L(86) + j * 12).cast("string"),
+            L('":{"label":"F","value":"v'), j.cast("string"), L('"}'),
+        ),
+    )
+    bib_data = F.concat(
+        L('{"id":"'), bid,
+        L('","deleted":false,"lang":"l'), (ck % 5).cast("string"),
+        L('","varFields":['),
+        F.when(nvf > 0, F.concat_ws(",", vf_arr)).otherwise(L("")),
+        L('],"fixedFields":{'),
+        F.when(nff > 0, F.concat_ws(",", ff_entries)).otherwise(L("")),
+        L("}}"),
+    )
+    items = F.transform(
+        F.sequence(L(0), nit - 1),
+        lambda j: F.struct(
+            (ck * 10 + 2000000 + j).cast("string").alias("id"),
+            F.concat(
+                L('{"id":"'), (ck * 10 + 2000000 + j).cast("string"), L('"}')
+            ).alias("data"),
+        ),
+    )
+    empty = F.array().cast("array<struct<id:string,data:string>>")
+    tf = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .filter((ck >= 961) & (ck <= 990))
+        .select(
+            bid.alias("bib_id"),
+            bib_data.alias("bib_data"),
+            F.when(nit > 0, items).otherwise(empty).alias("items"),
+            empty.alias("holdings"),
+            empty.alias("orders"),
+        )
+    )
+    api = sierra_api_data(tf)
+    probe = L("q87").alias("probe")
+    gj = F.get_json_object
+
+    main = indexer_main_records(api, "rep").select(
+        probe,
+        F.concat(L("main:"), "index", L(":"), "doc_id").alias("k"),
+        F.concat_ws(
+            "#",
+            gj("source", "$.idWithCheckDigit"),
+            F.coalesce(gj("source", "$.lang"), L("<null>")),
+            F.coalesce(gj("source", "$.itemIds"), L("<null>")),
+        ).alias("v"),
+    )
+    vf = indexer_varfields(api, "rep").select(
+        probe,
+        F.concat(L("vf:"), "doc_id").alias("k"),
+        F.concat_ws(
+            "#",
+            gj("source", "$.varField.content"),
+            gj("source", "$.position"),
+            gj("source", "$.parent.idWithCheckDigit"),
+        ).alias("v"),
+    )
+    ff = indexer_fixedfields(api, "rep").select(
+        probe,
+        F.concat(L("ff:"), "doc_id").alias("k"),
+        F.concat_ws(
+            "#", gj("source", "$.code"), gj("source", "$.fixedField.value")
+        ).alias("v"),
+    )
+    dels = indexer_deletions(api, "rep")
+    del_rows = dels.select(
+        probe,
+        F.concat(L("del:"), "index", L(":"), "record_type", L(":"), "id").alias(
+            "k"
+        ),
+        F.concat_ws(
+            "#",
+            F.coalesce(F.col("stale_from").cast("string"), L("<null>")),
+            F.when(
+                F.col("live_codes").isNotNull(), F.concat_ws(",", "live_codes")
+            ).otherwise(L("<null>")),
+        ).alias("v"),
+    )
+    existing = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .filter((ck >= 961) & (ck <= 990))
+        .select(
+            L("rep_varfields").alias("index"),
+            F.explode(F.sequence(L(0), L(4))).alias("position"),
+            L("bibs").alias("record_type"),
+            bid.alias("id"),
+        )
+        .select(
+            "index",
+            F.concat_ws(
+                "-", "record_type", "id", F.col("position").cast("string")
+            ).alias("doc_id"),
+            "record_type",
+            "id",
+            "position",
+            L(None).cast("string").alias("code"),
+        )
+    )
+    app = apply_index_deletions(existing, dels).groupBy("id").count().select(
+        probe,
+        F.concat(L("app:"), "id").alias("k"),
+        F.col("count").cast("string").alias("v"),
+    )
+    out = main
+    for p in (vf, ff, del_rows, app):
+        out = out.unionByName(p)
+    return out
+
+
+def _z88_sierra_merger(spark, sf_dir):
+    """Round-5 sierra-merger fold driver probe inside q74
+    (plans/sierra_merger.py): 30 single-bib transformables (ck 991..1020),
+    each hit by one of five update kinds — newer-item replace, stale noop,
+    bib-to-bib move (remove + create), unlink-of-missing-transformable
+    error, equal-timestamp replace (the deliberate >=) — checked through
+    the report actions, the monotone modifiedTime bumps, the surviving
+    record rows, and the transformables view."""
+    from catalogue_pipeline_spark.plans.sierra_merger import (
+        merge_sierra_records,
+        transformables,
+    )
+
+    L = F.lit
+    ck = F.col("c_custkey")
+    cks = ck.cast("string")
+    k = ck % 5
+    base = spark.read.parquet(_t(sf_dir, "customer")).filter(
+        (ck >= 991) & (ck <= 1020)
+    )
+    b1 = F.concat(L("b"), cks, L("a"))
+    b2 = F.concat(L("b"), cks, L("b"))
+    b9 = F.concat(L("b"), cks, L("x"))
+    it = F.concat(L("i"), cks)
+    T0, T1, T2 = [L(x).cast("timestamp") for x in
+                  ("2024-01-01 12:00:00", "2024-01-02 12:00:00",
+                   "2024-01-03 12:00:00")]
+
+    records = base.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    b1.alias("bib_id"), L("bibs").alias("record_type"),
+                    b1.alias("record_id"), T1.alias("modified"),
+                    L("b").alias("data"),
+                ),
+                F.struct(
+                    b1.alias("bib_id"), L("items").alias("record_type"),
+                    it.alias("record_id"), T1.alias("modified"),
+                    L("i0").alias("data"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    times = base.select(b1.alias("bib_id"), T1.alias("modified_time"))
+    ea = F.array().cast("array<string>")
+    updates = base.select(
+        L("items").alias("record_type"),
+        it.alias("record_id"),
+        F.when(k == 1, T0).when(k == 4, T1).otherwise(T2).alias("modified"),
+        F.when(k == 0, L("i1")).when(k == 1, L("i-old"))
+        .when(k == 2, L("i-mv")).when(k == 3, L("i"))
+        .otherwise(L("i-eq")).alias("data"),
+        F.when(k.isin(0, 1, 4), F.array(b1))
+        .when(k == 2, F.array(b2)).otherwise(ea).alias("bib_ids"),
+        F.when(k == 2, F.array(b1)).when(k == 3, F.array(b9)).otherwise(ea)
+        .alias("unlinked_bib_ids"),
+        L(0).alias("seq"),
+    )
+    new_records, new_times, report = merge_sierra_records(
+        records, times, updates
+    )
+    probe = L("q88").alias("probe")
+    out_rep = report.select(
+        probe,
+        F.concat(L("rep:"), "bib_id", L(":"), "record_id").alias("k"),
+        F.col("action").alias("v"),
+    )
+    out_tm = new_times.select(
+        probe,
+        F.concat(L("tm:"), "bib_id").alias("k"),
+        F.date_format("modified_time", "yyyy-MM-dd").alias("v"),
+    )
+    out_rc = new_records.select(
+        probe,
+        F.concat(L("rc:"), "bib_id", L(":"), "record_type", L(":"),
+                 "record_id").alias("k"),
+        F.concat_ws("#", "data", F.date_format("modified", "yyyy-MM-dd")).alias(
+            "v"
+        ),
+    )
+    out_tv = transformables(new_records, new_times).filter(
+        F.col("bib_data").isNotNull()
+    ).select(
+        probe,
+        F.concat(L("tv:"), "bib_id").alias("k"),
+        F.concat_ws(
+            "#", "bib_data", F.size("items").cast("string"),
+            F.date_format("modified_time", "yyyy-MM-dd"),
+        ).alias("v"),
+    )
+    return (
+        out_rep.unionByName(out_tm).unionByName(out_rc).unionByName(out_tv)
+    )
+
+
 def _z83_related_sections(spark, sf_dir):
     """Round-5 concepts-index relatedConcepts sections driver-probed inside
     q74 (plans/concept_graph.related_concepts_sections): twenty replicas of
@@ -5077,6 +5315,8 @@ def _q74_composite_probes(spark, sf_dir):
         _z84_inference_manager(spark, sf_dir),
         _z85_harvest_control(spark, sf_dir),
         _z86_reindexer(spark, sf_dir),
+        _z87_sierra_indexer(spark, sf_dir),
+        _z88_sierra_merger(spark, sf_dir),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -8405,6 +8645,16 @@ def oracle_sql() -> dict[str, str]:
     """
     # q74: the folded single-aggregate probes — each branch reuses the
     # demoted query's own oracle verbatim, normalized to (probe, k, v).
+    def cd7(e: str) -> str:
+        """Sierra mod-11 check digit of a 7-digit DuckDB varchar expr."""
+        total = " + ".join(
+            f"CAST(substr({e}, {i + 1}, 1) AS INT) * {8 - i}" for i in range(7)
+        )
+        return (
+            f"(CASE WHEN ({total}) % 11 = 10 THEN 'x' "
+            f"ELSE CAST(({total}) % 11 AS VARCHAR) END)"
+        )
+
     sql["q74_composite_probes"] = f"""
         SELECT 'q04' AS probe, CAST(user_id AS VARCHAR) AS k,
                strftime(max_ts, '%Y-%m-%d %H:%M:%S.%f') || ':'
@@ -8669,6 +8919,103 @@ def oracle_sql() -> dict[str, str]:
             ('works', 'indexed', '99#<null>'),
             ('images', 'initial', '10#<null>'),
             ('images', 'augmented', '10#<null>')) AS fn(p, s, v)
+        -- q87: Sierra indexer splitter — main/varfields/fixedfields docs,
+        -- deletion predicates, end-to-end apply; check digits recomputed
+        UNION ALL
+        SELECT 'q87', si.k, si.v FROM (
+          WITH sib AS (
+            SELECT c_custkey AS ck,
+                   CAST(c_custkey + 1000000 AS VARCHAR) AS id,
+                   CAST(c_custkey % 4 AS INT) AS nvf,
+                   CAST(c_custkey % 3 AS INT) AS nff,
+                   CAST(c_custkey % 3 AS INT) AS nit,
+                   CAST(c_custkey * 10 + 2000000 AS VARCHAR) AS i0,
+                   CAST(c_custkey * 10 + 2000001 AS VARCHAR) AS i1
+            FROM customer WHERE c_custkey BETWEEN 961 AND 990
+          )
+          SELECT 'main:rep_bibs:' || id,
+                 'b' || id || {cd7("id")} || '#l' || CAST(ck % 5 AS VARCHAR)
+                 || '#' || (CASE nit WHEN 0 THEN '[]'
+                     WHEN 1 THEN '["' || i0 || '"]'
+                     ELSE '["' || i0 || '","' || i1 || '"]' END) AS k_v
+          FROM sib
+          UNION ALL
+          SELECT 'main:rep_items:' || iid,
+                 'i' || iid || {cd7("iid")} || '#<null>#<null>'
+          FROM (SELECT CASE j WHEN 0 THEN i0 ELSE i1 END AS iid
+                FROM sib, (VALUES (0), (1)) AS jj(j) WHERE j < nit) AS it
+          UNION ALL
+          SELECT 'vf:bibs-' || id || '-' || CAST(j AS VARCHAR),
+                 'c' || CAST(j AS VARCHAR) || '#' || CAST(j AS VARCHAR)
+                 || '#b' || id || {cd7("id")}
+          FROM sib, (VALUES (0), (1), (2)) AS jj(j) WHERE j < nvf
+          UNION ALL
+          SELECT 'ff:bibs-' || id || '-' || CAST(86 + 12 * j AS VARCHAR),
+                 CAST(86 + 12 * j AS VARCHAR) || '#v' || CAST(j AS VARCHAR)
+          FROM sib, (VALUES (0), (1)) AS jj(j) WHERE j < nff
+          UNION ALL
+          SELECT 'del:rep_varfields:bibs:' || id,
+                 CAST(nvf AS VARCHAR) || '#<null>'
+          FROM sib
+          UNION ALL
+          SELECT 'del:rep_fixedfields:bibs:' || id,
+                 '<null>#' || (CASE nff WHEN 0 THEN '' WHEN 1 THEN '86'
+                               ELSE '86,98' END)
+          FROM sib
+          UNION ALL
+          SELECT 'del:rep_varfields:items:' || iid, '0#<null>'
+          FROM (SELECT CASE j WHEN 0 THEN i0 ELSE i1 END AS iid
+                FROM sib, (VALUES (0), (1)) AS jj(j) WHERE j < nit) AS it
+          UNION ALL
+          SELECT 'del:rep_fixedfields:items:' || iid, '<null>#'
+          FROM (SELECT CASE j WHEN 0 THEN i0 ELSE i1 END AS iid
+                FROM sib, (VALUES (0), (1)) AS jj(j) WHERE j < nit) AS it
+          UNION ALL
+          SELECT 'app:' || id, CAST(nvf AS VARCHAR) FROM sib WHERE nvf > 0
+        ) AS si(k, v)
+        -- q88: sierra-merger transformable fold — five update kinds over
+        -- 30 single-bib bundles, closed form
+        UNION ALL
+        SELECT 'q88', sm.k, sm.v FROM (
+          WITH smb AS (
+            SELECT CAST(c_custkey % 5 AS INT) AS kk,
+                   'b' || CAST(c_custkey AS VARCHAR) || 'a' AS b1,
+                   'b' || CAST(c_custkey AS VARCHAR) || 'b' AS b2,
+                   'b' || CAST(c_custkey AS VARCHAR) || 'x' AS b9,
+                   'i' || CAST(c_custkey AS VARCHAR) AS i
+            FROM customer WHERE c_custkey BETWEEN 991 AND 1020
+          )
+          SELECT 'rep:' || (CASE WHEN kk = 3 THEN b9 ELSE b1 END) || ':' || i,
+                 CASE kk WHEN 0 THEN 'replaced' WHEN 1 THEN 'noop'
+                      WHEN 2 THEN 'removed' WHEN 3 THEN 'error_missing'
+                      ELSE 'replaced' END
+          FROM smb
+          UNION ALL
+          SELECT 'rep:' || b2 || ':' || i, 'created' FROM smb WHERE kk = 2
+          UNION ALL
+          SELECT 'tm:' || b1,
+                 CASE WHEN kk IN (0, 2) THEN '2024-01-03' ELSE '2024-01-02' END
+          FROM smb
+          UNION ALL
+          SELECT 'tm:' || b2, '2024-01-03' FROM smb WHERE kk = 2
+          UNION ALL
+          SELECT 'rc:' || b1 || ':bibs:' || b1, 'b#2024-01-02' FROM smb
+          UNION ALL
+          SELECT 'rc:' || (CASE WHEN kk = 2 THEN b2 ELSE b1 END)
+                 || ':items:' || i,
+                 CASE kk WHEN 0 THEN 'i1#2024-01-03'
+                      WHEN 1 THEN 'i0#2024-01-02'
+                      WHEN 2 THEN 'i-mv#2024-01-03'
+                      WHEN 3 THEN 'i0#2024-01-02'
+                      ELSE 'i-eq#2024-01-02' END
+          FROM smb
+          UNION ALL
+          SELECT 'tv:' || b1,
+                 'b#' || (CASE WHEN kk = 2 THEN '0' ELSE '1' END) || '#'
+                 || (CASE WHEN kk IN (0, 2) THEN '2024-01-03'
+                     ELSE '2024-01-02' END)
+          FROM smb
+        ) AS sm(k, v)
     """
 
     # q75: the works-ingestor document builder — every synthesized work's
