@@ -5116,6 +5116,68 @@ def _z88_sierra_merger(spark, sf_dir):
     )
 
 
+def _z89_mets_adapter(spark, sf_dir):
+    """Round-5 METS-adapter bag probe inside q74 (plans/mets_adapter.py):
+    30 storage-service bags (ck 1021..1050) across six kinds — full bag
+    (METS + manifestations + objects), empty manifest (deleted, issue
+    4872), only-the-METS-file (deleted, 4893), unparseable version,
+    no-METS-file error, and a non-digitised space skip."""
+    from catalogue_pipeline_spark.plans.mets_adapter import (
+        bag_to_mets_source_data,
+    )
+
+    L = F.lit
+    ck = F.col("c_custkey")
+    k = ck % 6
+    bnum = F.concat(L("b"), F.lpad(ck.cast("string"), 8, "0"))
+    mets = F.struct(
+        F.concat(L("data/"), bnum, L(".xml")).alias("name"),
+        F.concat(L("v1/data/"), bnum, L(".xml")).alias("path"),
+    )
+    man = lambda j: F.struct(  # noqa: E731
+        F.concat(L("data/"), bnum, L(f"_000{j}.xml")).alias("name"),
+        F.concat(L("v1/data/"), bnum, L(f"_000{j}.xml")).alias("path"),
+    )
+    obj = F.struct(L("objects/x.jp2").alias("name"), L("v1/objects/x.jp2").alias("path"))
+    empty = F.array().cast("array<struct<name:string,path:string>>")
+    files = (
+        F.when(k == 0, F.array(man(1), mets, man(2), obj))
+        .when(k == 1, empty)
+        .when(k == 2, F.array(mets))
+        .when(k == 3, F.array(mets, obj))
+        .when(k == 4, F.array(obj))
+        .otherwise(F.array(mets, obj))
+    )
+    bags = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .filter((ck >= 1021) & (ck <= 1050))
+        .select(
+            F.concat(L("bag"), ck.cast("string")).alias("external_identifier"),
+            F.when(k == 5, L("staging")).otherwise(L("digitised")).alias("space"),
+            L("bkt").alias("bucket"),
+            F.concat(L("digitised/"), bnum).alias("path"),
+            F.when(k == 3, L("x9"))
+            .otherwise(F.concat(L("v"), (ck % 9 + 1).cast("string")))
+            .alias("version"),
+            L("2024-05-01 12:00:00").cast("timestamp").alias("created_date"),
+            files.alias("files"),
+        )
+    )
+    return bag_to_mets_source_data(bags).select(
+        L("q89").alias("probe"),
+        F.concat(L("bag:"), "external_identifier").alias("k"),
+        F.concat_ws(
+            "#",
+            "status",
+            F.coalesce("kind", L("<null>")),
+            F.coalesce("error", L("<null>")),
+            F.coalesce("filename", L("<null>")),
+            F.coalesce(F.col("version").cast("string"), L("<null>")),
+            F.coalesce(F.size("manifestations").cast("string"), L("<null>")),
+        ).alias("v"),
+    )
+
+
 def _z83_related_sections(spark, sf_dir):
     """Round-5 concepts-index relatedConcepts sections driver-probed inside
     q74 (plans/concept_graph.related_concepts_sections): twenty replicas of
@@ -5317,6 +5379,7 @@ def _q74_composite_probes(spark, sf_dir):
         _z86_reindexer(spark, sf_dir),
         _z87_sierra_indexer(spark, sf_dir),
         _z88_sierra_merger(spark, sf_dir),
+        _z89_mets_adapter(spark, sf_dir),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -9016,6 +9079,22 @@ def oracle_sql() -> dict[str, str]:
                      ELSE '2024-01-02' END)
           FROM smb
         ) AS sm(k, v)
+        -- q89: METS-adapter bag -> MetsSourceData (six bag kinds)
+        UNION ALL
+        SELECT 'q89', 'bag:bag' || CAST(c_custkey AS VARCHAR),
+          CASE CAST(c_custkey % 6 AS INT)
+            WHEN 0 THEN 'ok#MetsFileWithImages#<null>#v1/data/b'
+                 || lpad(CAST(c_custkey AS VARCHAR), 8, '0') || '.xml#'
+                 || CAST(c_custkey % 9 + 1 AS VARCHAR) || '#2'
+            WHEN 1 THEN 'ok#DeletedMetsFile#<null>#<null>#'
+                 || CAST(c_custkey % 9 + 1 AS VARCHAR) || '#<null>'
+            WHEN 2 THEN 'ok#DeletedMetsFile#<null>#<null>#'
+                 || CAST(c_custkey % 9 + 1 AS VARCHAR) || '#<null>'
+            WHEN 3 THEN 'error#<null>#Couldn''t parse version#<null>#<null>#<null>'
+            WHEN 4 THEN 'error#<null>#Couldn''t find METS file#<null>#<null>#<null>'
+            ELSE 'skipped_space#<null>#<null>#<null>#<null>#<null>'
+          END
+        FROM customer WHERE c_custkey BETWEEN 1021 AND 1050
     """
 
     # q75: the works-ingestor document builder — every synthesized work's
