@@ -5178,6 +5178,42 @@ def _z89_mets_adapter(spark, sf_dir):
     )
 
 
+def _z90_deletion_checker(spark, sf_dir):
+    """Round-5 group-testing deletion-discovery probe inside q74
+    (operators/deletion_checker.py — ST8, previously declared N/A): 30
+    stored ids (ck 1051..1080) checked against a source table missing the
+    ck%7==3 rows; the checker must find exactly those via count probes,
+    within the Wang et al 2017 upper bound.  The probing is
+    driver-coordinated by design (each probe models one expensive remote
+    count); the oracle checks the discovered set and the bound."""
+    from catalogue_pipeline_spark.operators.deletion_checker import (
+        check_deletions,
+        n_tests_upper_bound,
+    )
+
+    ck = F.col("c_custkey")
+    base = spark.read.parquet(_t(sf_dir, "customer")).filter(
+        (ck >= 1051) & (ck <= 1080)
+    )
+    stored = [
+        f"r{r.c_custkey}" for r in base.select("c_custkey").collect()
+    ]
+    source = base.filter(ck % 7 != 3).select(
+        F.concat(F.lit("r"), ck.cast("string")).alias("id")
+    )
+    deleted, probes = check_deletions(stored, source)
+    bound = n_tests_upper_bound(len(stored), len(deleted))
+    rows = [("q90", f"del:{i}", "deleted") for i in sorted(deleted)]
+    rows.append(
+        (
+            "q90",
+            "stats",
+            f"{len(deleted)}#{'ok' if probes <= bound else 'over'}",
+        )
+    )
+    return spark.createDataFrame(rows, "probe string, k string, v string")
+
+
 def _z83_related_sections(spark, sf_dir):
     """Round-5 concepts-index relatedConcepts sections driver-probed inside
     q74 (plans/concept_graph.related_concepts_sections): twenty replicas of
@@ -5380,6 +5416,7 @@ def _q74_composite_probes(spark, sf_dir):
         _z87_sierra_indexer(spark, sf_dir),
         _z88_sierra_merger(spark, sf_dir),
         _z89_mets_adapter(spark, sf_dir),
+        _z90_deletion_checker(spark, sf_dir),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -9095,6 +9132,17 @@ def oracle_sql() -> dict[str, str]:
             ELSE 'skipped_space#<null>#<null>#<null>#<null>#<null>'
           END
         FROM customer WHERE c_custkey BETWEEN 1021 AND 1050
+        -- q90: group-testing deletion discovery (Wang et al 2017) — the
+        -- found set is closed form; the probe count is asserted <= bound
+        UNION ALL
+        SELECT 'q90', 'del:r' || CAST(c_custkey AS VARCHAR), 'deleted'
+        FROM customer WHERE c_custkey BETWEEN 1051 AND 1080
+          AND c_custkey % 7 = 3
+        UNION ALL
+        SELECT 'q90', 'stats',
+               CAST((SELECT count(*) FROM customer
+                     WHERE c_custkey BETWEEN 1051 AND 1080
+                       AND c_custkey % 7 = 3) AS VARCHAR) || '#ok'
     """
 
     # q75: the works-ingestor document builder — every synthesized work's
