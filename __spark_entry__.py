@@ -5211,7 +5211,31 @@ def _z90_deletion_checker(spark, sf_dir):
             f"{len(deleted)}#{'ok' if probes <= bound else 'over'}",
         )
     )
-    return spark.createDataFrame(rows, "probe string, k string, v string")
+    # the probe-expression grammar the checker's remote counts use
+    # (functions/calm_query.py, CalmQuery.scala:17-113)
+    from datetime import date
+
+    from catalogue_pipeline_spark.functions.calm_query import (
+        created_or_modified_date,
+        daily_query_expr,
+        empty_created_and_modified_date,
+        record_ids_query,
+    )
+
+    rows += [
+        ("q90", "cq:daily", created_or_modified_date(date(2021, 3, 7))),
+        ("q90", "cq:empty", empty_created_and_modified_date()),
+        ("q90", "cq:ids", record_ids_query(sorted(deleted)[:2])),
+    ]
+    py_rows = spark.createDataFrame(rows, "probe string, k string, v string")
+    col_rows = base.select(
+        F.lit("q90").alias("probe"),
+        F.concat(F.lit("cq:day:"), ck.cast("string")).alias("k"),
+        daily_query_expr(
+            F.date_add(F.lit("2024-01-01").cast("date"), (ck - 1051).cast("int"))
+        ).alias("v"),
+    )
+    return py_rows.unionByName(col_rows)
 
 
 def _z83_related_sections(spark, sf_dir):
@@ -9143,6 +9167,20 @@ def oracle_sql() -> dict[str, str]:
                CAST((SELECT count(*) FROM customer
                      WHERE c_custkey BETWEEN 1051 AND 1080
                        AND c_custkey % 7 = 3) AS VARCHAR) || '#ok'
+        -- calm query-expression grammar (probe Expr strings)
+        UNION ALL
+        SELECT 'q90', cq.k, cq.v FROM (VALUES
+            ('cq:daily', '(Created=07/03/2021)OR(Modified=07/03/2021)'),
+            ('cq:empty', '(Created!=*)AND(Modified!=*)'),
+            ('cq:ids', '(RecordId="r1053")OR(RecordId="r1060")')
+          ) AS cq(k, v)
+        UNION ALL
+        SELECT 'q90', 'cq:day:' || CAST(c_custkey AS VARCHAR),
+               '(Created=' || strftime(DATE '2024-01-01'
+                 + (c_custkey - 1051) * INTERVAL 1 DAY, '%d/%m/%Y')
+               || ')OR(Modified=' || strftime(DATE '2024-01-01'
+                 + (c_custkey - 1051) * INTERVAL 1 DAY, '%d/%m/%Y') || ')'
+        FROM customer WHERE c_custkey BETWEEN 1051 AND 1080
     """
 
     # q75: the works-ingestor document builder — every synthesized work's
