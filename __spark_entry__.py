@@ -5238,6 +5238,69 @@ def _z90_deletion_checker(spark, sf_dir):
     return py_rows.unionByName(col_rows)
 
 
+def _z91_tei_paths(spark, sf_dir):
+    """Round-5 TEI path↔id fold probe inside q74 (plans/tei_paths.py): 30
+    manuscripts (ck 1081..1110) across the five PathIdManager arms —
+    plain update, id move, new-id-displaces-old at a known path, id move
+    onto an occupied path (both displacement messages), and a path
+    deletion — checked through the folded state and the
+    changed/deleted message stream incl. the tei_files store keys."""
+    from catalogue_pipeline_spark.plans.tei_paths import fold_path_ids
+
+    L = F.lit
+    ck = F.col("c_custkey")
+    cks = ck.cast("string")
+    k = ck % 5
+    base = spark.read.parquet(_t(sf_dir, "customer")).filter(
+        (ck >= 1081) & (ck <= 1110)
+    )
+    T1 = L("2024-03-01 12:00:00").cast("timestamp")
+    T2 = L("2024-03-02 12:00:00").cast("timestamp")
+    msa = F.concat(L("MS"), cks, L("a"))
+    msb = F.concat(L("MS"), cks, L("b"))
+    pa = F.concat(L("p"), cks, L("/a.xml"))
+    pb = F.concat(L("p"), cks, L("/b.xml"))
+    row_a = F.struct(msa.alias("id"), pa.alias("path"), T1.alias("time_modified"))
+    row_b = F.struct(msb.alias("id"), pb.alias("path"), T1.alias("time_modified"))
+    state = base.select(
+        F.explode(
+            F.when(k.isin(3, 4), F.array(row_a, row_b)).otherwise(F.array(row_a))
+        ).alias("r")
+    ).select("r.*")
+    events = base.select(
+        F.when(k == 4, L("deleted")).otherwise(L("changed")).alias("kind"),
+        F.when(k.isin(0, 2, 4), pa)
+        .when(k == 1, F.concat(L("p"), cks, L("/new.xml")))
+        .otherwise(pb)
+        .alias("path"),
+        F.when(k == 4, L(None).cast("string"))
+        .when(k == 2, F.concat(L("MS"), cks, L("n")))
+        .otherwise(msa)
+        .alias("id"),
+        T2.alias("time_modified"),
+        L(0).alias("seq"),
+    )
+    new_state, messages = fold_path_ids(state, events)
+    probe = L("q91").alias("probe")
+    out_st = new_state.select(
+        probe,
+        F.concat(L("st:"), "id").alias("k"),
+        F.concat_ws(
+            "#", "path", F.date_format("time_modified", "yyyy-MM-dd")
+        ).alias("v"),
+    )
+    out_mg = messages.select(
+        probe,
+        F.concat(L("mg:"), "kind", L(":"), "id").alias("k"),
+        F.concat_ws(
+            "#",
+            F.date_format("time_modified", "yyyy-MM-dd"),
+            F.coalesce("store_key", L("<null>")),
+        ).alias("v"),
+    )
+    return out_st.unionByName(out_mg)
+
+
 def _z83_related_sections(spark, sf_dir):
     """Round-5 concepts-index relatedConcepts sections driver-probed inside
     q74 (plans/concept_graph.related_concepts_sections): twenty replicas of
@@ -5441,6 +5504,7 @@ def _q74_composite_probes(spark, sf_dir):
         _z88_sierra_merger(spark, sf_dir),
         _z89_mets_adapter(spark, sf_dir),
         _z90_deletion_checker(spark, sf_dir),
+        _z91_tei_paths(spark, sf_dir),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -9181,6 +9245,35 @@ def oracle_sql() -> dict[str, str]:
                || ')OR(Modified=' || strftime(DATE '2024-01-01'
                  + (c_custkey - 1051) * INTERVAL 1 DAY, '%d/%m/%Y') || ')'
         FROM customer WHERE c_custkey BETWEEN 1051 AND 1080
+        -- q91: TEI path<->id fold — the five PathIdManager arms
+        UNION ALL
+        SELECT 'q91', tp.k, tp.v FROM (
+          WITH tpb AS (
+            SELECT CAST(c_custkey % 5 AS INT) AS kk,
+                   CAST(c_custkey AS VARCHAR) AS c,
+                   CAST(CAST(epoch(TIMESTAMP '2024-03-02 12:00:00') AS BIGINT)
+                        AS VARCHAR) AS e2
+            FROM customer WHERE c_custkey BETWEEN 1081 AND 1110
+          )
+          SELECT 'st:MS' || c || (CASE WHEN kk = 2 THEN 'n'
+                                  WHEN kk = 4 THEN 'b' ELSE 'a' END),
+                 'p' || c || (CASE kk WHEN 1 THEN '/new.xml'
+                              WHEN 3 THEN '/b.xml' WHEN 4 THEN '/b.xml'
+                              ELSE '/a.xml' END)
+                 || '#' || (CASE WHEN kk = 4 THEN '2024-03-01'
+                            ELSE '2024-03-02' END)
+          FROM tpb
+          UNION ALL
+          SELECT 'mg:changed:MS' || c || (CASE WHEN kk = 2 THEN 'n' ELSE 'a' END),
+                 '2024-03-02#tei_files/MS' || c
+                 || (CASE WHEN kk = 2 THEN 'n' ELSE 'a' END)
+                 || '/' || e2 || '.xml'
+          FROM tpb WHERE kk <> 4
+          UNION ALL
+          SELECT 'mg:deleted:MS' || c || (CASE WHEN kk = 3 THEN 'b' ELSE 'a' END),
+                 '2024-03-02#<null>'
+          FROM tpb WHERE kk IN (2, 3, 4)
+        ) AS tp(k, v)
     """
 
     # q75: the works-ingestor document builder — every synthesized work's
