@@ -5227,6 +5227,28 @@ def _z90_deletion_checker(spark, sf_dir):
         ("q90", "cq:empty", empty_created_and_modified_date()),
         ("q90", "cq:ids", record_ids_query(sorted(deleted)[:2])),
     ]
+    # EBSCO trigger decisions (plans/ebsco_adapter.py)
+    from catalogue_pipeline_spark.plans.ebsco_adapter import (
+        plan_sync,
+        snapshot_file_date,
+    )
+
+    newest = "ebz-s7451719-20240322-1.xml"
+    older = "ebz-s7451719-20231225-5.xml"
+    seeded = "ebz-s7451719-20250101-1.xml"
+    for tag, p in (
+        ("reuse", plan_sync([newest, older], [f"pre/{newest}"])),
+        ("dl", plan_sync([newest], [f"pre/{older}"])),
+        ("seeded", plan_sync([newest], [f"pre/{seeded}"])),
+        ("err", plan_sync(["junk.txt"], [])),
+    ):
+        rows.append(
+            (
+                "q90",
+                f"eb:{tag}",
+                f"{p['action']}#{p['fetch'] or '<null>'}#{p['forward'] or '<null>'}",
+            )
+        )
     py_rows = spark.createDataFrame(rows, "probe string, k string, v string")
     col_rows = base.select(
         F.lit("q90").alias("probe"),
@@ -5235,7 +5257,21 @@ def _z90_deletion_checker(spark, sf_dir):
             F.date_add(F.lit("2024-01-01").cast("date"), (ck - 1051).cast("int"))
         ).alias("v"),
     )
-    return py_rows.unionByName(col_rows)
+    eb_rows = base.select(
+        F.lit("q90").alias("probe"),
+        F.concat(F.lit("eb:day:"), ck.cast("string")).alias("k"),
+        F.coalesce(
+            snapshot_file_date(
+                F.concat(
+                    F.lit("ebz-s7451719-202403"),
+                    F.lpad((ck % 28 + 1).cast("string"), 2, "0"),
+                    F.lit("-1.xml"),
+                )
+            ).cast("string"),
+            F.lit("<null>"),
+        ).alias("v"),
+    )
+    return py_rows.unionByName(col_rows).unionByName(eb_rows)
 
 
 def _z91_tei_paths(spark, sf_dir):
@@ -9236,7 +9272,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'q90', cq.k, cq.v FROM (VALUES
             ('cq:daily', '(Created=07/03/2021)OR(Modified=07/03/2021)'),
             ('cq:empty', '(Created!=*)AND(Modified!=*)'),
-            ('cq:ids', '(RecordId="r1053")OR(RecordId="r1060")')
+            ('cq:ids', '(RecordId="r1053")OR(RecordId="r1060")'),
+            ('eb:reuse', 'reuse#<null>#ebz-s7451719-20240322-1.xml'),
+            ('eb:dl', 'download#ebz-s7451719-20240322-1.xml#ebz-s7451719-20240322-1.xml'),
+            ('eb:seeded', 'download#ebz-s7451719-20240322-1.xml#ebz-s7451719-20250101-1.xml'),
+            ('eb:err', 'error#<null>#<null>')
           ) AS cq(k, v)
         UNION ALL
         SELECT 'q90', 'cq:day:' || CAST(c_custkey AS VARCHAR),
@@ -9244,6 +9284,10 @@ def oracle_sql() -> dict[str, str]:
                  + (c_custkey - 1051) * INTERVAL 1 DAY, '%d/%m/%Y')
                || ')OR(Modified=' || strftime(DATE '2024-01-01'
                  + (c_custkey - 1051) * INTERVAL 1 DAY, '%d/%m/%Y') || ')'
+        FROM customer WHERE c_custkey BETWEEN 1051 AND 1080
+        UNION ALL
+        SELECT 'q90', 'eb:day:' || CAST(c_custkey AS VARCHAR),
+               '2024-03-' || lpad(CAST(c_custkey % 28 + 1 AS VARCHAR), 2, '0')
         FROM customer WHERE c_custkey BETWEEN 1051 AND 1080
         -- q91: TEI path<->id fold — the five PathIdManager arms
         UNION ALL
