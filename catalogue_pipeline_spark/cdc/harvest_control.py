@@ -583,9 +583,11 @@ def mark_published(
     now_dt = _as_utc(now)
     keyed = status.withColumn(
         "window_key", window_key_expr(F.col("window_start"), F.col("window_end"))
-    )
+    ).withColumn("_present", F.lit(True))
+    # presence marker, not state.isNotNull(): a stored row with a NULL
+    # state is *present* (stateless), not a missing key
     hit = keys.join(keyed, "window_key", "left").withColumn(
-        "_found", F.col("state").isNotNull()
+        "_found", F.col("_present").isNotNull()
     )
     missing = hit.filter(~F.col("_found"))
     pub = parse_window_tags(F.col("tags")).getField("published_at")
@@ -613,6 +615,16 @@ def mark_published(
             F.create_map(F.lit("published_at"), now_iso_lit),
         ).alias("tags"),
         F.lit(now_dt.isoformat()).cast("timestamp").alias("updated_at"),
+    )
+    # gate the stamped frame itself on the missing-key check: the
+    # reference raises before any write (mark_published.py:79-92), so a
+    # caller that persists `stamped` without reading the report must not
+    # be able to stamp during key-format drift — in the error case the
+    # frame materializes to zero rows
+    stamped = (
+        stamped.crossJoin(missing.agg(F.count("*").alias("_n_missing")))
+        .filter(F.col("_n_missing") == 0)
+        .drop("_n_missing")
     )
     report = (
         missing.agg(

@@ -262,7 +262,18 @@ def run_reindex_requests(
         seg = requests.filter(F.col("mode") == "complete").select(
             "request_id", "segment", "total_segments"
         )
-        total = seg.agg(F.max("total_segments")).collect()[0][0]
+        totals = [
+            r[0]
+            for r in seg.select("total_segments").distinct().collect()
+        ]
+        if len(totals) != 1:
+            # mixed totals would silently mis-bucket: segment residues
+            # are only disjoint+covering for one modulus per scan
+            raise ValueError(
+                "complete-mode requests must share one total_segments, "
+                f"got {sorted(totals)}"
+            )
+        total = totals[0]
         tagged = table.withColumn(
             "segment", reindex_segment_expr(F.col(id_col), int(total))
         )
@@ -276,14 +287,24 @@ def run_reindex_requests(
         )
         out.append(table.join(F.broadcast(wanted), id_col))
     if "partial" in modes:
-        mr = (
+        prows = (
             requests.filter(F.col("mode") == "partial")
-            .agg(F.max("max_records"))
-            .collect()[0][0]
+            .select("request_id", "max_records")
+            .collect()
         )
+        if len(prows) != 1:
+            # two partial requests cannot share one deterministic
+            # first-N read; the reference submits at most one
+            raise ValueError(
+                f"expected exactly one partial-mode request, got {len(prows)}"
+            )
         out.append(
-            read_reindex_records(table, mode="partial", max_records=mr, id_col=id_col)
-            .withColumn("request_id", F.lit("partial/0"))
+            read_reindex_records(
+                table,
+                mode="partial",
+                max_records=prows[0]["max_records"],
+                id_col=id_col,
+            ).withColumn("request_id", F.lit(prows[0]["request_id"]))
         )
     res = out[0]
     for o in out[1:]:

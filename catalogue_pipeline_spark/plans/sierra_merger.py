@@ -79,7 +79,9 @@ def merge_sierra_records(
     * ``noop`` — UpdateNotApplied: a strictly-newer record already held,
       or the unlink's target record already gone;
     * ``error_missing`` — unlink addressed to a bib with no transformable
-      at all (the reference's non-benign storage error);
+      at all (the reference's non-benign storage error); a bib that some
+      mention in the same batch *adds to* counts as existing (the unlink
+      races a sibling add — sequential replay would find the bib);
     * ``error_bib_unlink`` — an unlink row for a bib record.
     """
     u = updates.select(
@@ -129,15 +131,29 @@ def merge_sierra_records(
         F.col("modified").alias("_ex_modified"),
         F.col("data").alias("_ex_data"),
     )
+    # two presence flags: _bib_exists = bib held pre-batch state (drives
+    # created-vs-added labels, exactly the pre-batch view); _bib_add =
+    # some mention in THIS batch adds to the bib, so an unlink targeting
+    # it is racing a sibling add, not addressing a missing bib.  Known
+    # residual label divergence vs sequential replay: every fresh record
+    # on a batch-created bib reports 'created' (sequential replay labels
+    # the second and later ones 'added'); state is identical either way.
     bib_exists = (
         records.select("bib_id")
         .union(times.select("bib_id"))
         .distinct()
         .withColumn("_bib_exists", F.lit(True))
     )
+    bib_batch_add = (
+        winners.filter(F.col("op") == "add")
+        .select("bib_id")
+        .distinct()
+        .withColumn("_bib_add", F.lit(True))
+    )
     j = (
         winners.join(ex, ["bib_id", "record_type", "record_id"], "full_outer")
         .join(bib_exists, "bib_id", "left")
+        .join(bib_batch_add, "bib_id", "left")
     )
 
     is_update = F.col("op").isNotNull()
@@ -149,7 +165,9 @@ def merge_sierra_records(
         F.when(~is_update, F.lit(None))  # untouched state row
         .when(is_bib & (F.col("op") == "remove"), F.lit("error_bib_unlink"))
         .when(
-            (F.col("op") == "remove") & F.col("_bib_exists").isNull(),
+            (F.col("op") == "remove")
+            & F.col("_bib_exists").isNull()
+            & F.col("_bib_add").isNull(),
             F.lit("error_missing"),
         )
         .when(

@@ -53,7 +53,9 @@ def _fold_component(pdf: pd.DataFrame) -> pd.DataFrame:
         by_path[r.path] = (r.id, r.time_modified)
 
     def emit_change(id_, path, t):
-        # naive timestamps are session-UTC; .value is tz-independent
+        # naive timestamps delivered by applyInPandas are localized to
+        # spark.sql.session.timeZone; fold_path_ids asserts that is UTC,
+        # so .value here is the true epoch
         key = f"tei_files/{id_}/{t.value // 1_000_000_000}.xml"
         out.append(("changed", id_, path, t, key))
 
@@ -131,6 +133,16 @@ def fold_path_ids(
     (``changed``/``deleted``), ``id``, ``time_modified`` and (for changes)
     the ``tei_files/{id}/{epoch}.xml`` store key."""
     spark = state.sparkSession
+    # the pandas fold derives the store-key epoch from naive timestamps,
+    # which applyInPandas localizes to the session time zone — the keys
+    # are only correct when that zone is UTC, so fail loudly otherwise
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        raise ValueError(
+            f"fold_path_ids requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): store-key epochs are derived from naive "
+            f"session-local timestamps"
+        )
     s_nodes = state.select(
         F.concat(F.lit("i:"), "id").alias("src"),
         F.concat(F.lit("p:"), "path").alias("dst"),

@@ -513,6 +513,23 @@ def test_mark_published_missing_keys_error(spark):
     assert rep.status == "error"
     assert rep.missing_keys == [missing]
     assert rep.windows_stamped == 0 and rep.last_published_end is None
+    # the stamped frame itself is gated — persisting it without reading
+    # the report cannot stamp anything (reference raises before any write)
+    assert stamped.count() == 0
+
+
+def test_mark_published_null_state_row_is_present_not_missing(spark):
+    # a stored row whose state is NULL is present-but-stateless: it must
+    # not be reported as a missing key (and is not stamped, not success)
+    df = _status(spark, [_w(T0), _w(T0 + timedelta(minutes=15), state=None)])
+    now = T0 + timedelta(hours=1)
+    stamped, report = mark_published(
+        df, [_key(T0), _key(T0 + timedelta(minutes=15))], now=now
+    )
+    rep = report.collect()[0]
+    assert rep.status == "ok" and rep.missing_keys == []
+    assert rep.windows_stamped == 1
+    assert [r.window_key for r in stamped.collect()] == [_key(T0)]
 
 
 def test_mark_published_empty_keys_noop(spark):

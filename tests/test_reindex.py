@@ -183,3 +183,42 @@ def test_funnel_report_flags_drops(spark):
     assert rows[("works", "indexed")] is None  # growth is not flagged
     assert rows[("works", "source")] is None
     assert rows[("images", "augmented")] is None
+
+
+def test_run_reindex_requests_rejects_mixed_total_segments(spark):
+    # a hand-built frame mixing moduli would silently mis-bucket —
+    # segment residues are disjoint+covering for one modulus only
+    import pytest
+
+    table = _table(spark, 10)
+    reqs = spark.createDataFrame(
+        [
+            ("complete/0", "complete", 0, 2, None, None),
+            ("complete/0", "complete", 0, 3, None, None),
+        ],
+        "request_id string, mode string, segment int, total_segments int,"
+        " max_records int, ids array<string>",
+    )
+    with pytest.raises(ValueError, match="total_segments"):
+        run_reindex_requests(table, reqs, "miro")
+
+
+def test_run_reindex_requests_partial_request_id_from_frame(spark):
+    # the partial row's request_id is read from the frame, not hardcoded
+    import pytest
+
+    table = _table(spark, 10)
+    reqs = spark.createDataFrame(
+        [("backfill/7", "partial", None, None, 4, None)],
+        "request_id string, mode string, segment int, total_segments int,"
+        " max_records int, ids array<string>",
+    )
+    out = run_reindex_requests(table, reqs, "miro")
+    assert {r.request_id for r in out.collect()} == {"backfill/7"}
+    two = reqs.union(
+        spark.createDataFrame(
+            [("backfill/8", "partial", None, None, 2, None)], reqs.schema
+        )
+    )
+    with pytest.raises(ValueError, match="partial"):
+        run_reindex_requests(table, two, "miro")

@@ -214,3 +214,31 @@ def test_transformables_view(spark):
     assert [h.record_id for h in row.holdings] == ["3000001"]
     assert row.orders == []
     assert row.modified_time == T2
+
+
+def test_unlink_racing_sibling_add_in_same_batch_is_noop_not_error(spark):
+    # an unlink targeting a bib that another mention in the SAME batch
+    # creates: sequential replay would find the bib (created first) and
+    # report the gone-record benign noop, not a storage error
+    _, times, rep = _run(
+        spark,
+        [],
+        [],
+        [
+            ("bibs", "1000001", T1, "b", ["1000001"], [], 0),
+            ("items", "7000001", T2, "i", [], ["1000001"], 1),
+        ],
+    )
+    assert rep[("1000001", "bibs", "1000001")] == "created"
+    assert rep[("1000001", "items", "7000001")] == "noop"
+    # unlink of a truly absent bib in the same batch still errors
+    _, _, rep2 = _run(
+        spark,
+        [],
+        [],
+        [
+            ("bibs", "1000001", T1, "b", ["1000001"], [], 0),
+            ("items", "7000001", T2, "i", [], ["9999999"], 1),
+        ],
+    )
+    assert rep2[("9999999", "items", "7000001")] == "error_missing"

@@ -119,3 +119,18 @@ def test_batch_sequential_order(spark):
     )
     assert state["MS_A"].path == "P/new.xml"
     assert [m[0] for m in msgs] == ["changed", "changed"]
+
+
+def test_non_utc_session_timezone_rejected(spark):
+    # store-key epochs come from naive session-local timestamps, so a
+    # session not pinned to UTC must fail loudly rather than mint
+    # shifted tei_files/{id}/{epoch}.xml keys
+    import pytest
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="session.timeZone"):
+            _run(spark, [], [("changed", "P/a.xml", "MS_A", T1, 0)])
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
