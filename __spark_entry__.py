@@ -5274,6 +5274,137 @@ def _z90_deletion_checker(spark, sf_dir):
     return py_rows.unionByName(col_rows).unionByName(eb_rows)
 
 
+def _z92_tei_updater(spark, sf_dir):
+    """Round-6 TEI updater tree-diff probe inside q74
+    (plans/tei_updater.py): 30 paths (ck 1111..1140) across five arms —
+    unchanged, sha changed, added, deleted, uri changed — through
+    parse_github_tree (a non-blob entry must drop) and diff_tei_trees,
+    plus the bootstrap arm (no previous snapshot → every blob is a
+    changed message)."""
+    from catalogue_pipeline_spark.plans.tei_updater import (
+        diff_tei_trees,
+        parse_github_tree,
+    )
+
+    L = F.lit
+    T = "2024-06-11T15:34:45Z"
+    ck = F.col("c_custkey")
+    cks = ck.cast("string")
+    k = ck % 5
+    base = spark.read.parquet(_t(sf_dir, "customer")).filter(
+        (ck >= 1111) & (ck <= 1140)
+    )
+    path = F.concat(L("f"), cks)
+    old_tree = base.filter(k != 2).select(
+        path.alias("path"),
+        F.concat(L("s1-"), cks).alias("sha"),
+        F.concat(L("u1-"), cks).alias("uri"),
+    )
+    blob = F.struct(
+        path.alias("path"),
+        L("blob").alias("type"),
+        F.when(k == 1, F.concat(L("s2-"), cks))
+        .otherwise(F.concat(L("s1-"), cks))
+        .alias("sha"),
+        F.when(k == 4, F.concat(L("u2-"), cks))
+        .otherwise(F.concat(L("u1-"), cks))
+        .alias("uri"),
+    )
+    folder = F.struct(
+        F.concat(L("dir"), cks).alias("path"),
+        L("tree").alias("type"),
+        F.concat(L("sx-"), cks).alias("sha"),
+        F.concat(L("ux-"), cks).alias("uri"),
+    )
+    entries = base.filter(k != 3).select(
+        F.explode(
+            F.when(k == 0, F.array(blob, folder)).otherwise(F.array(blob))
+        ).alias("e")
+    ).select("e.*")
+    new_tree = parse_github_tree(entries, truncated=False)
+    messages, new_state = diff_tei_trees(old_tree, new_tree, time=T)
+    boot_messages, _ = diff_tei_trees(None, new_tree, time=T)
+
+    probe = L("q92").alias("probe")
+
+    def msg_rows(prefix, df):
+        return df.select(
+            probe,
+            F.concat(L(prefix), "path").alias("k"),
+            F.concat_ws(
+                "#",
+                F.coalesce("uri", L("<null>")),
+                F.coalesce("time_modified", L("<null>")),
+                F.coalesce("time_deleted", L("<null>")),
+            ).alias("v"),
+        )
+
+    st = new_state.agg(F.count("*").alias("_n")).select(
+        probe, L("st").alias("k"), F.col("_n").cast("string").alias("v")
+    )
+    return msg_rows("mg:", messages).unionByName(
+        msg_rows("bt:", boot_messages)
+    ).unionByName(st)
+
+
+def _z93_embargoed_holdings(spark, sf_dir):
+    """Round-6 embargoed-holdings refresher probe inside q74
+    (plans/embargoed_holdings.py): 30 holdings (ck 1141..1170) — only
+    ck%3==0 rows carry the embargo note on a holdings varfield (ck%3==1
+    lacks the note, ck%3==2 has it on the wrong record type); note-matched
+    dates collapse with each other and with the 5-day stopgap sweep
+    (ck%6==0 rows sit inside the sweep), yielding the distinct-day
+    re-harvest window matrix."""
+    import datetime as _dt
+
+    from catalogue_pipeline_spark.plans.embargoed_holdings import (
+        embargoed_refresh_windows,
+    )
+
+    L = F.lit
+    ck = F.col("c_custkey")
+    cks = ck.cast("string")
+    base = spark.read.parquet(_t(sf_dir, "customer")).filter(
+        (ck >= 1141) & (ck <= 1170)
+    )
+    varfields = base.select(
+        F.when(ck % 3 == 2, L("items")).otherwise(L("holdings")).alias(
+            "record_type"
+        ),
+        F.concat(L("h"), cks).alias("record_id"),
+        F.when(
+            ck % 3 == 0,
+            L("863 |xChronology adjusted by 1460 day embargo period"),
+        )
+        .when(ck % 3 == 1, L("regular note"))
+        .otherwise(L("Chronology adjusted"))
+        .alias("content"),
+    )
+    holdings = base.select(
+        F.concat(L("h"), cks).alias("record_id"),
+        F.when(ck % 6 == 0, L("2024-06-14 03:00:00").cast("timestamp"))
+        .otherwise(
+            F.timestamp_add(
+                "DAY",
+                (ck % 7).cast("int"),
+                L("2024-02-01 00:42:42").cast("timestamp"),
+            )
+        )
+        .alias("updated_date"),
+    )
+    out = embargoed_refresh_windows(
+        varfields,
+        holdings,
+        now=_dt.datetime(2024, 6, 15, 10, 30),
+        stopgap_days=5,
+    )
+    return out.select(
+        L("q93").alias("probe"),
+        F.concat(L("d:"), F.date_format("date", "yyyy-MM-dd")).alias("k"),
+        F.concat_ws("#", "start", "end").alias("v"),
+    )
+
+
 def _z91_tei_paths(spark, sf_dir):
     """Round-5 TEI path↔id fold probe inside q74 (plans/tei_paths.py): 30
     manuscripts (ck 1081..1110) across the five PathIdManager arms —
@@ -5541,6 +5672,8 @@ def _q74_composite_probes(spark, sf_dir):
         _z89_mets_adapter(spark, sf_dir),
         _z90_deletion_checker(spark, sf_dir),
         _z91_tei_paths(spark, sf_dir),
+        _z92_tei_updater(spark, sf_dir),
+        _z93_embargoed_holdings(spark, sf_dir),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -5836,6 +5969,77 @@ def _q77_graph_works_composite(spark, sf_dir):
                                    F.col("node_id").alias("k"), one))
     )
 
+    # full (snapshot-diff) graph remover (plans/graph_removers.
+    # full_graph_remover — the recovery mode): previous snapshot f1..f300
+    # vs current f31..f330 → 30 deleted (10%, inside the 20% valve) and 30
+    # added; the deleted log keeps its 364-day-old entries and prunes the
+    # 365-day-old one; a second mass-deletion arm rides force_pass to
+    # evidence the gate override
+    import datetime as _rdt
+
+    from catalogue_pipeline_spark.plans.graph_removers import (
+        IDS_LOG_SCHEMA as _RIDS,
+        full_graph_remover,
+    )
+
+    _rnow = _rdt.datetime(2024, 6, 1, 10, 0)
+    fr_prev = rbase.filter("ck <= 300").selectExpr(
+        "'f'||cast(ck as string) as node_id"
+    )
+    fr_cur = rbase.filter("ck > 30 AND ck <= 330").selectExpr(
+        "'f'||cast(ck as string) as node_id"
+    )
+    fr_dlog = spark.createDataFrame(
+        [
+            (_rdt.date(2023, 6, 3), "fold1"),
+            (_rdt.date(2023, 6, 3), "fold2"),
+            (_rdt.date(2023, 6, 2), "fstale"),
+        ],
+        _RIDS,
+    )
+    fr = full_graph_remover(fr_prev, fr_cur, fr_dlog, None, now=_rnow)
+    fr_forced = full_graph_remover(
+        rbase.filter("ck <= 100").selectExpr("'g'||cast(ck as string) as node_id"),
+        rbase.filter("ck > 50 AND ck <= 100").selectExpr(
+            "'g'||cast(ck as string) as node_id"
+        ),
+        None,
+        None,
+        now=_rnow,
+        force_pass=True,
+    )
+    p_rem_full = (
+        fr["deleted_ids"].select(
+            F.lit("rem_fdel").alias("probe"), F.col("node_id").alias("k"), one
+        )
+        .unionByName(
+            fr["added_ids"].select(
+                F.lit("rem_fadd").alias("probe"), F.col("node_id").alias("k"), one
+            )
+        )
+        .unionByName(
+            fr["deleted_log"].select(
+                F.lit("rem_flog").alias("probe"),
+                F.concat(F.lit("dl:"), "node_id").alias("k"),
+                F.date_format("timestamp", "yyyy-MM-dd").alias("v"),
+            )
+        )
+        .unionByName(
+            fr["snapshot"].agg(F.count("*").alias("_n")).select(
+                F.lit("rem_flog").alias("probe"),
+                F.lit("snap").alias("k"),
+                F.col("_n").cast("string").alias("v"),
+            )
+        )
+        .unionByName(
+            fr_forced["deleted_ids"].agg(F.count("*").alias("_n")).select(
+                F.lit("rem_flog").alias("probe"),
+                F.lit("forced").alias("k"),
+                F.col("_n").cast("string").alias("v"),
+            )
+        )
+    )
+
     # W7 driver promotion: the works-index incremental re-ingest expansion
     # (changed + descendants + closest-parent works over the pid closure)
     # and the graph data-quality check (inconsistent concept types)
@@ -5893,7 +6097,8 @@ def _q77_graph_works_composite(spark, sf_dir):
     )
 
     out = p_node
-    for p_ in [p_edge, p_pid, p_conc, p_img, p_cse, p_rem, p_reing, p_dq]:
+    for p_ in [p_edge, p_pid, p_conc, p_img, p_cse, p_rem, p_rem_full,
+               p_reing, p_dq]:
         out = out.unionByName(p_)
     return _materialize(out, "q77")
 
@@ -9318,6 +9523,47 @@ def oracle_sql() -> dict[str, str]:
                  '2024-03-02#<null>'
           FROM tpb WHERE kk IN (2, 3, 4)
         ) AS tp(k, v)
+        -- q92: TEI updater tree-diff — unchanged/sha-changed/added/
+        -- deleted/uri-changed arms + bootstrap + new-state count
+        UNION ALL
+        SELECT 'q92', tu2.k, tu2.v FROM (
+          WITH tub AS (
+            SELECT CAST(c_custkey % 5 AS INT) AS kk,
+                   CAST(c_custkey AS VARCHAR) AS c
+            FROM customer WHERE c_custkey BETWEEN 1111 AND 1140
+          )
+          SELECT 'mg:f' || c,
+                 (CASE kk WHEN 4 THEN 'u2-' ELSE 'u1-' END) || c
+                 || '#2024-06-11T15:34:45Z#<null>'
+          FROM tub WHERE kk IN (1, 2, 4)
+          UNION ALL
+          SELECT 'mg:f' || c, '<null>#<null>#2024-06-11T15:34:45Z'
+          FROM tub WHERE kk = 3
+          UNION ALL
+          SELECT 'bt:f' || c,
+                 (CASE kk WHEN 4 THEN 'u2-' ELSE 'u1-' END) || c
+                 || '#2024-06-11T15:34:45Z#<null>'
+          FROM tub WHERE kk <> 3
+          UNION ALL
+          SELECT 'st', '24'
+        ) AS tu2(k, v)
+        -- q93: embargoed-holdings refresher — note-matched dates collapse
+        -- with each other and with the 5-day stopgap sweep
+        UNION ALL
+        SELECT 'q93', 'd:' || strftime(eh.d, '%Y-%m-%d'),
+               strftime(eh.d, '%Y-%m-%d') || 'T00:00:01+00:00#'
+               || strftime(eh.d, '%Y-%m-%d') || 'T23:59:59+00:00'
+        FROM (
+          SELECT DISTINCT d FROM (
+            SELECT DATE '2024-02-01' + (c_custkey % 7) * INTERVAL 1 DAY AS d
+            FROM customer
+            WHERE c_custkey BETWEEN 1141 AND 1170
+              AND c_custkey % 3 = 0 AND c_custkey % 6 <> 0
+            UNION ALL
+            SELECT DATE '2024-06-15' - j * INTERVAL 1 DAY
+            FROM (VALUES (0), (1), (2), (3), (4)) AS jj(j)
+          ) AS u(d)
+        ) AS eh(d)
     """
 
     # q75: the works-ingestor document builder — every synthesized work's
@@ -9551,6 +9797,23 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'rem_del', 'w'||c_custkey, '1' FROM customer
         WHERE c_custkey BETWEEN 1 AND 180 AND c_custkey%10=7
+        UNION ALL
+        -- full (snapshot-diff) remover: prev f1..f300 vs cur f31..f330
+        SELECT 'rem_fdel', 'f'||c_custkey, '1' FROM customer
+        WHERE c_custkey BETWEEN 1 AND 30
+        UNION ALL
+        SELECT 'rem_fadd', 'f'||c_custkey, '1' FROM customer
+        WHERE c_custkey BETWEEN 301 AND 330
+        UNION ALL
+        SELECT 'rem_flog', 'dl:f'||c_custkey, '2024-06-01' FROM customer
+        WHERE c_custkey BETWEEN 1 AND 30
+        UNION ALL
+        SELECT 'rem_flog', fl.k, fl.v FROM (VALUES
+            ('dl:fold1', '2023-06-03'),
+            ('dl:fold2', '2023-06-03'),
+            ('snap', '300'),
+            ('forced', '50')
+          ) AS fl(k, v)
         UNION ALL
         SELECT 'reing', 'h4', 'changed'
         UNION ALL

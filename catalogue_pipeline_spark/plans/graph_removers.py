@@ -221,3 +221,91 @@ def index_deletions(
         n, index_ids.count(), threshold=INDEX_DELETIONS_THRESHOLD, force=force_pass
     )
     return existing
+
+
+# --------------------------------------------------------------- full mode
+#
+# graph/steps/graph_remover.py:1-188 — the snapshot-diff recovery path.
+# Where the incremental removers above trust per-window worklists, the
+# full remover diffs the ENTIRE previous bulk-load id snapshot against the
+# current one: ids that disappeared are deleted (behind the same 20%
+# valve), ids that appeared are logged, both logs are pruned to a one-year
+# horizon, and the current ids become the next run's snapshot.
+
+IDS_LOG_SCHEMA = "timestamp date, node_id string"
+
+
+def full_graph_remover(
+    previous_ids: DataFrame | None,
+    current_ids: DataFrame,
+    deleted_log: DataFrame | None,
+    added_log: DataFrame | None,
+    *,
+    now,
+    force_pass: bool = False,
+) -> dict[str, DataFrame]:
+    """``graph_remover.handler`` (graph_remover.py:87-137) as one plan.
+
+    Inputs: ``previous_ids`` / ``current_ids`` — single-column
+    ``node_id`` frames (the archived parquet snapshot and the current
+    bulk-load file; ``previous_ids=None`` is the first-run arm,
+    :95-103); ``deleted_log`` / ``added_log`` — ``(timestamp date,
+    node_id)`` append-logs (``None`` = not found, first run, :66-72).
+
+    Returns a dict of frames:
+
+    * ``deleted_ids`` / ``added_ids`` — the snapshot diff (:110-113;
+      both EMPTY on the first run — the reference never mass-adds on
+      bootstrap);
+    * ``deleted_log`` / ``added_log`` — this run's ids appended with
+      ``now``'s date and entries older than one year pruned
+      (log_ids, :60-84);
+    * ``snapshot`` — ``current_ids``, the next run's previous
+      (update_node_ids_snapshot, :52-57).
+
+    The 20% fractional valve (validate_fractional_change, safety.py:8-46)
+    measures deletions against the PREVIOUS snapshot size and passes
+    trivially when that is zero."""
+    spark = current_ids.sparkSession
+    cur = current_ids.select("node_id").distinct()
+    if previous_ids is None:
+        prev = spark.createDataFrame([], "node_id string")
+        deleted = prev
+        added = prev
+        prev_total = 0
+    else:
+        prev = previous_ids.select("node_id").distinct()
+        deleted = prev.join(cur, "node_id", "left_anti")
+        added = cur.join(prev, "node_id", "left_anti")
+        prev_total = prev.count()
+    fractional_change_gate(
+        deleted.count(), prev_total, threshold=REMOVER_THRESHOLD, force=force_pass
+    )
+
+    def _log(log: DataFrame | None, ids: DataFrame) -> DataFrame:
+        base = (
+            log.select("timestamp", "node_id")
+            if log is not None
+            else spark.createDataFrame([], IDS_LOG_SCHEMA)
+        )
+        stamped = ids.select(
+            F.lit(now.date().isoformat()).cast("date").alias("timestamp"),
+            "node_id",
+        )
+        # the reference compares the Date column against datetime.now()-365d
+        # (graph_remover.py:79-81), so an entry aged exactly 365 days
+        # (midnight) falls BEFORE the cutoff and is pruned while a
+        # 364-day-old one survives (test_graph_remover_old_id_removal vs
+        # test_graph_remover_next_run)
+        horizon = F.lit(now.date().isoformat()).cast("date")
+        return base.unionByName(stamped).filter(
+            F.col("timestamp") >= F.date_sub(horizon, 364)
+        )
+
+    return {
+        "deleted_ids": deleted,
+        "added_ids": added,
+        "deleted_log": _log(deleted_log, deleted),
+        "added_log": _log(added_log, added),
+        "snapshot": cur,
+    }

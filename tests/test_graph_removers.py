@@ -138,3 +138,110 @@ def test_index_deletions_consume_remover_log_with_5pct_valve(spark):
     with pytest.raises(ValueError, match="safety gate"):
         index_deletions(log, small_index)
     assert index_deletions(log, small_index, force_pass=True).count() == 2
+
+
+# ----------------------------------------------------- full (snapshot-diff)
+
+
+def _ids(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "node_id string")
+
+
+def _log(spark, rows):
+    from catalogue_pipeline_spark.plans.graph_removers import IDS_LOG_SCHEMA
+    from datetime import date
+
+    return spark.createDataFrame(
+        [(date.fromisoformat(d), i) for d, i in rows], IDS_LOG_SCHEMA
+    )
+
+
+def test_full_remover_first_run_bootstraps_snapshot_only(spark):
+    # test_graph_remover_first_run — no previous snapshot: nothing deleted,
+    # nothing logged as added, the current ids become the snapshot
+    from datetime import datetime
+
+    from catalogue_pipeline_spark.plans.graph_removers import full_graph_remover
+
+    out = full_graph_remover(
+        None,
+        _ids(spark, ["sh1", "sh2", "sh3"]),
+        None,
+        None,
+        now=datetime(2024, 6, 1, 10, 0),
+    )
+    assert out["deleted_ids"].count() == 0
+    assert out["added_ids"].count() == 0
+    assert out["deleted_log"].count() == 0
+    assert sorted(r.node_id for r in out["snapshot"].collect()) == [
+        "sh1",
+        "sh2",
+        "sh3",
+    ]
+
+
+def test_full_remover_next_run_diff_and_logs(spark):
+    # test_graph_remover_next_run — prev omits sh1-3 (added) and holds
+    # sh4-6 (deleted); the 364-day-old log entries survive the prune
+    from datetime import date, datetime, timedelta
+
+    from catalogue_pipeline_spark.plans.graph_removers import full_graph_remover
+
+    now = datetime(2024, 6, 1, 10, 0)
+    prev = _ids(spark, [f"sh{i}" for i in range(4, 34)])  # 30 ids incl 4-6
+    cur = _ids(spark, [f"sh{i}" for i in range(1, 4)] + [f"sh{i}" for i in range(7, 34)])
+    almost_year = (now.date() - timedelta(days=364)).isoformat()
+    dlog = _log(spark, [(almost_year, "sh4"), (almost_year, "sh5")])
+    out = full_graph_remover(prev, cur, dlog, None, now=now, force_pass=True)
+    assert sorted(r.node_id for r in out["deleted_ids"].collect()) == [
+        "sh4",
+        "sh5",
+        "sh6",
+    ]
+    assert sorted(r.node_id for r in out["added_ids"].collect()) == [
+        "sh1",
+        "sh2",
+        "sh3",
+    ]
+    dl = out["deleted_log"].collect()
+    assert {r.node_id for r in dl} == {"sh4", "sh5", "sh6"}
+    assert {r.timestamp for r in dl} == {now.date(), date.fromisoformat(almost_year)}
+    al = out["added_log"].collect()
+    assert {r.node_id for r in al} == {"sh1", "sh2", "sh3"}
+    assert {r.timestamp for r in al} == {now.date()}
+    snap = {r.node_id for r in out["snapshot"].collect()}
+    assert {"sh1", "sh2", "sh3"} <= snap and "sh6" not in snap
+
+
+def test_full_remover_prunes_year_old_log_entries(spark):
+    # test_graph_remover_old_id_removal — entries aged exactly 365 days
+    # are dropped (the reference's datetime-vs-date comparison)
+    from datetime import datetime, timedelta
+
+    from catalogue_pipeline_spark.plans.graph_removers import full_graph_remover
+
+    now = datetime(2024, 6, 1, 10, 0)
+    year_old = (now.date() - timedelta(days=365)).isoformat()
+    prev = _ids(spark, [f"sh{i}" for i in range(4, 34)])
+    cur = _ids(spark, [f"sh{i}" for i in range(4, 33)])  # sh33 deleted
+    dlog = _log(spark, [(year_old, "sh4"), (year_old, "sh5")])
+    out = full_graph_remover(prev, cur, dlog, None, now=now)
+    dl = out["deleted_log"].collect()
+    assert {r.node_id for r in dl} == {"sh33"}
+    assert {r.timestamp for r in dl} == {now.date()}
+
+
+def test_full_remover_safety_check(spark):
+    # test_graph_remover_safety_check — mass deletion trips the 20% valve;
+    # force_pass overrides
+    from datetime import datetime
+
+    from catalogue_pipeline_spark.plans.graph_removers import full_graph_remover
+
+    now = datetime(2024, 6, 1, 10, 0)
+    prev = _ids(spark, [f"n{i}" for i in range(100)])
+    cur = _ids(spark, [f"n{i}" for i in range(50)])
+    with pytest.raises(ValueError, match="safety gate"):
+        full_graph_remover(prev, cur, None, None, now=now)
+    out = full_graph_remover(prev, cur, None, None, now=now, force_pass=True)
+    assert out["deleted_ids"].count() == 50
