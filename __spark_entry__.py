@@ -4023,6 +4023,294 @@ def _q73_pipeline_e2e(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _q94_multiwindow_soak(spark, sf_dir):
+    """Round-6 multi-window incremental soak (round-5 verdict ask #1): the
+    §3.1 chain iterated over THREE consecutive 15-minute windows with
+    cross-window state — a persistent matcher graph lake table and a
+    CDC-fenced works-index lake table — asserting the FINAL index in
+    closed form.
+
+      * window 1 (09:00): 60 sierra bibs (every third carrying an 089 Miro
+        link) + 20 Miro images → transform → matcher batch 1 → merge
+        (pairs: sierra elected, miro Redirected) → mint → ingest all 80
+        docs as upserts;
+      * window 2 (09:15): ck%6==0 bibs re-transform WITHOUT the 089 (the
+        unlink: the matched pair splits, miro flips to Visible) and
+        ck%9==1 bibs bump their title to v2 → matcher batch 2 (affected-
+        region recompute) → re-merge → ingest only the CHANGED docs
+        (content diff, J2);
+      * window 3 (09:30): ck%9==5 bibs bump to v3 through the full chain,
+        while the index receives a LATE delete for every ck%9==1 work
+        carrying the SAME timestamp as window 2's upsert (RFC-038 merged-
+        time semantics: delete outranks upsert at equal ts, op_pri) and an
+        ordinary delete at 09:30 for ck%9==2.
+
+    Final assertions (one row per fact): ``ix:`` the works index after all
+    three windows — deleted flag + preserved payload (the ck%9==1 rows
+    must hold the v2 title under deleted=true, J5); ``mc:`` the matcher
+    component of every work after batch 3 (pairs still share the miro-min
+    component, unlinked ones are singletons); ``mint:ok`` canonical-id
+    validity over the final merge.  Reference anchors: the Step-Functions
+    window loop (catalogue_graph/README.md:42-63) and
+    MergeProcessor.scala:41-65 (RFC-038 merged-time)."""
+    import shutil
+    import tempfile
+
+    from catalogue_pipeline_spark.cdc import (
+        BINLOG_SCHEMA,
+        STATE_SCHEMA,
+        SchemaRegistry,
+        merge_into_state,
+        resolve_lww,
+    )
+    from catalogue_pipeline_spark.cdc.merge import read_state
+    from catalogue_pipeline_spark.functions import mint_canonical_ids
+    from catalogue_pipeline_spark.lake import LakeTable
+    from catalogue_pipeline_spark.plans.matcher import (
+        create_matcher_table,
+        update_graph,
+    )
+    from catalogue_pipeline_spark.plans.merger import match_and_merge
+    from catalogue_pipeline_spark.plans.miro_transform import transform_miro
+    from catalogue_pipeline_spark.plans.sierra_transform import transform_sierra
+
+    L = F.lit
+    ck = F.col("c_custkey")
+    cks = ck.cast("string")
+    sid = (ck + 1000000).cast("string")
+    base = spark.read.parquet(_t(sf_dir, "customer")).filter((ck > 0) & (ck <= 60))
+    T1 = dt.datetime(2024, 7, 1, 9, 0, 0)
+    T2 = dt.datetime(2024, 7, 1, 9, 15, 0)
+    T3 = dt.datetime(2024, 7, 1, 9, 30, 0)
+
+    vf245 = (
+        '{"fieldTag":"a","marcTag":"245","ind1":" ","ind2":" ",'
+        '"subfields":[{"tag":"a","content":"%s"}]}'
+    )
+    vf089 = (
+        '{"fieldTag":"a","marcTag":"089","ind1":" ","ind2":" ",'
+        '"subfields":[{"tag":"a","content":"V %s"}]}'
+    )
+
+    def sierra_batch(rows, title_col, link_col):
+        js = F.concat(
+            L('{"id":"'), sid,
+            L('","deleted":false,"suppressed":false,"varFields":['),
+            F.format_string(vf245, title_col),
+            F.when(
+                link_col, F.concat(L(","), F.format_string(vf089, cks))
+            ).otherwise(L("")),
+            L("]}"),
+        )
+        return transform_sierra(rows.select(sid.alias("id"), js.alias("content")))
+
+    def to_updates(tw, scheme, version):
+        cands = F.transform(
+            F.col("merge_candidates"),
+            lambda c: F.concat_ws("/", F.slice(F.split(c, ":"), 1, 2)),
+        )
+        return tw.select(
+            F.concat(L(scheme + "/"), F.col("id")).alias("work_id"),
+            L(version).alias("version"),
+            cands.alias("candidates"),
+            L(False).alias("suppressed"),
+        )
+
+    def titled(tw, scheme):
+        return tw.select(
+            F.concat(L(scheme + "/"), F.col("id")).alias("work_id"), "title"
+        )
+
+    work = tempfile.mkdtemp(prefix="cps-q94-")
+    reg = SchemaRegistry()
+    try:
+        mt = create_matcher_table(f"{work}/graph", num_buckets=8)
+        ix = LakeTable.create(
+            f"{work}/index", STATE_SCHEMA, bucket_key="conv_id", num_buckets=8
+        )
+
+        def merged_docs(titles, batch_ts):
+            state = mt.read(spark).filter(F.col("version") >= 0)
+            src = F.split(F.col("work_id"), "/")[0]
+            w_in = state.select(
+                "work_id",
+                F.when(src == "sierra-system-number", L("sierra"))
+                .otherwise(L("miro"))
+                .alias("source_type"),
+                F.col("candidates").alias("merge_candidate_ids"),
+                (F.col("suppressed") == "true").alias("suppressed"),
+                # one item per work — the single-digital-miro predicate
+                # (WorkPredicates) only merges a miro work carrying exactly
+                # one item, same shape as q73
+                F.array(F.concat(L("item-"), F.col("work_id"))).alias("items"),
+                F.array(F.concat(L("id-"), F.col("work_id"))).alias("identifiers"),
+                L(None).cast("string").alias("thumbnail"),
+            )
+            merged = match_and_merge(w_in, batch_ts, precedence=["sierra", "miro"])
+            docs = merged.join(titles, "work_id").select(
+                "work_id",
+                F.concat_ws(
+                    "|", "title", "type", F.coalesce("redirect_target", L("-"))
+                ).alias("text"),
+            )
+            return merged, docs
+
+        def ingest(docs_changed, t, deletes=None, changeset="w"):
+            up = docs_changed.select(
+                L(0).cast("long").alias("offset"),
+                L("upsert").alias("op"),
+                F.col("work_id").alias("conv_id"),
+                L(0).cast("long").alias("turn_idx"),
+                L("doc").alias("role"),
+                "text",
+                L(None).cast("string").alias("tool"),
+                L(t.isoformat()).cast("timestamp").alias("ts"),
+                L(3).cast("int").alias("schema_ver"),
+            )
+            ev = up if deletes is None else up.unionByName(deletes)
+            merge_into_state(
+                spark, ix, resolve_lww(reg.normalize(ev)), changeset_id=changeset
+            )
+
+        # ---- window 1: full seed --------------------------------------
+        s1 = sierra_batch(base, F.concat(L("Work "), cks, L(" v1")), ck % 3 == 0)
+        m1 = transform_miro(
+            base.filter(ck % 3 == 0).select(
+                F.concat(L("V"), F.lpad(cks, 7, "0")).alias("id"),
+                F.to_json(
+                    F.struct(
+                        F.concat(L("Img "), cks).alias("image_title"),
+                        L("Y").alias("image_copyright_cleared"),
+                    )
+                ).alias("content"),
+                L(True).alias("cleared"),
+            )
+        )
+        upd1 = to_updates(s1, "sierra-system-number", 1).unionByName(
+            m1.select(
+                F.concat(L("miro-image-number/"), F.col("id")).alias("work_id"),
+                L(1).alias("version"),
+                F.array().cast("array<string>").alias("candidates"),
+                L(False).alias("suppressed"),
+            )
+        )
+        update_graph(spark, mt, upd1, batch_seq=1, changeset_id="q94w1")
+        titles = _materialize(
+            titled(s1, "sierra-system-number").unionByName(
+                titled(m1, "miro-image-number")
+            ),
+            "q94-titles-w1",
+        )
+        _, docs1 = merged_docs(titles, T1)
+        docs1 = _materialize(docs1, "q94-docs-w1")
+        ingest(docs1, T1, changeset="q94w1")
+
+        # ---- window 2: unlink + title bumps ---------------------------
+        s2 = sierra_batch(
+            base.filter(ck % 6 == 0), F.concat(L("Work "), cks, L(" v1")), L(False)
+        ).unionByName(
+            sierra_batch(
+                base.filter(ck % 9 == 1),
+                F.concat(L("Work "), cks, L(" v2")),
+                L(False),
+            )
+        )
+        update_graph(
+            spark, mt, to_updates(s2, "sierra-system-number", 2),
+            batch_seq=2, changeset_id="q94w2",
+        )
+        t2 = titled(s2, "sierra-system-number")
+        titles = _materialize(
+            t2.unionByName(titles.join(t2.select("work_id"), "work_id", "left_anti")),
+            "q94-titles-w2",
+        )
+        _, docs2 = merged_docs(titles, T2)
+        docs2 = _materialize(docs2, "q94-docs-w2")
+        changed2 = docs2.alias("c").join(
+            docs1.select("work_id", F.col("text").alias("_pt")), "work_id", "left"
+        ).filter(~F.col("text").eqNullSafe(F.col("_pt"))).select("work_id", "text")
+        ingest(changed2, T2, changeset="q94w2")
+
+        # ---- window 3: v3 bumps + the late same-ts delete ---------------
+        s3 = sierra_batch(
+            base.filter(ck % 9 == 5), F.concat(L("Work "), cks, L(" v3")), L(False)
+        )
+        update_graph(
+            spark, mt, to_updates(s3, "sierra-system-number", 3),
+            batch_seq=3, changeset_id="q94w3",
+        )
+        t3 = titled(s3, "sierra-system-number")
+        titles = _materialize(
+            t3.unionByName(titles.join(t3.select("work_id"), "work_id", "left_anti")),
+            "q94-titles-w3",
+        )
+        merged3, docs3 = merged_docs(titles, T3)
+        docs3 = _materialize(docs3, "q94-docs-w3")
+        changed3 = docs3.alias("c").join(
+            docs2.select("work_id", F.col("text").alias("_pt")), "work_id", "left"
+        ).filter(~F.col("text").eqNullSafe(F.col("_pt"))).select("work_id", "text")
+        # the deletes: ck%9==1 arrives LATE with window 2's timestamp (ties
+        # with the v2 upsert — delete must win, content must be preserved);
+        # ck%9==2 is an ordinary window-3 delete
+        del_keys = base.filter((ck % 9 == 1) | (ck % 9 == 2)).select(
+            L(0).cast("long").alias("offset"),
+            L("delete").alias("op"),
+            F.concat(
+                L("sierra-system-number/b"), sid, _sierra_cd7(sid)
+            ).alias("conv_id"),
+            L(0).cast("long").alias("turn_idx"),
+            L(None).cast("string").alias("role"),
+            L(None).cast("string").alias("text"),
+            L(None).cast("string").alias("tool"),
+            F.when(ck % 9 == 1, L(T2.isoformat()))
+            .otherwise(L(T3.isoformat()))
+            .cast("timestamp")
+            .alias("ts"),
+            L(3).cast("int").alias("schema_ver"),
+        )
+        ingest(changed3, T3, deletes=del_keys, changeset="q94w3")
+
+        # ---- final assertions ------------------------------------------
+        final = read_state(spark, ix)
+        ix_rows = final.select(
+            F.concat(L("ix:"), "conv_id").alias("k"),
+            F.concat_ws("#", "deleted", F.coalesce("text", L("<null>"))).alias("v"),
+        )
+        mc_rows = merged3.select(
+            F.concat(L("mc:"), "work_id").alias("k"),
+            F.col("component").alias("v"),
+        )
+        minted = mint_canonical_ids(merged3, "work_id")
+        mint_row = minted.agg(
+            F.sum(
+                F.when(
+                    F.col("canonical_id").rlike("^[a-z][2-9a-z]{7}$"), 1
+                ).otherwise(0)
+            ).alias("_ok"),
+            F.count(F.lit(1)).alias("_n"),
+        ).select(
+            L("mint:ok").alias("k"),
+            F.concat_ws("/", F.col("_ok").cast("string"),
+                        F.col("_n").cast("string")).alias("v"),
+        )
+        out = ix_rows.unionByName(mc_rows).unionByName(mint_row)
+        return _materialize(out, "q94")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _sierra_cd7(sid7):
+    """Sierra mod-11 check digit of a 7-digit string column (weights 8..2),
+    matching functions/sierra_system_number — local helper for building
+    bnumber-keyed conv_ids in the q94 delete arm."""
+    total = None
+    for i in range(7):
+        term = F.substring(sid7, i + 1, 1).cast("int") * (8 - i)
+        total = term if total is None else total + term
+    rem = total % 11
+    return F.when(rem == 10, F.lit("x")).otherwise(rem.cast("string"))
+
+
 def _q75_indexable_works(spark, sf_dir):
     """The works-ingestor document builder driver-oracled (round-5 family:
     plans/works_ingestor.py + plans/graph_works.py).  120 works synthesized
@@ -6584,7 +6872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_schema_evolution": _q56_schema_evolution,
         "q14_component_digest": _q14_component_digest,
         "q15_precedence": _q15_precedence,
-        "q17_set_difference": _q17_set_difference,
+        "q94_multiwindow_soak": _q94_multiwindow_soak,
         "q39_connected_components": _q39_connected_components,
         "q43_merger_field_rules": _q43_merger_field_rules,
         "q44_matcher_incremental": _q44_matcher_incremental,
@@ -6647,6 +6935,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "z34_simhash": _q34_simhash,
         "z36_conflict_detection": _q36_conflict_detection,
         "z41_conversation_docs": _q41_conversation_docs,
+        # q17 demoted round 6 to make window room for the q94 soak: J8/O4
+        # stay driver-checked via q58/q60 and q77's rem_* probes
+        "z17_set_difference": _q17_set_difference,
         "z79_axiell_transform": _z79_axiell_transform,
         "z80_folio_transform": _z80_folio_transform,
         "z81_folio_sync": _z81_folio_sync,
@@ -6752,7 +7043,7 @@ def oracle_sql() -> dict[str, str]:
           FROM (SELECT DISTINCT user_id FROM events))
         GROUP BY chunk_id
     """
-    sql["q17_set_difference"] = """
+    sql["z17_set_difference"] = """
         SELECT DISTINCT b.user_id, b.event_type
         FROM (SELECT DISTINCT user_id, event_type FROM events WHERE ts < TIMESTAMP '2024-01-29') b
         WHERE NOT EXISTS (
@@ -9570,6 +9861,47 @@ def oracle_sql() -> dict[str, str]:
     # display/query/aggregatable/filterable families recomputed in closed
     # form (same ck-modular recipe as the Spark side; hierarchy relations
     # for ck 1..12 are the 3-level fragment-style chain P{g} <- M{g} <- L{g}).
+    # q94: the three-window soak — final works index (deleted flag +
+    # preserved payload), matcher components after batch 3, mint audit
+    sql["q94_multiwindow_soak"] = """
+        WITH b AS (
+          SELECT c_custkey AS ck, CAST(c_custkey AS VARCHAR) AS cks,
+                 CAST(1000000 + c_custkey AS VARCHAR) AS sids,
+                 (8 + (c_custkey // 100) * 4 + ((c_custkey // 10) % 10) * 3
+                  + (c_custkey % 10) * 2) % 11 AS rem
+          FROM customer WHERE c_custkey > 0 AND c_custkey <= 60
+        ), d AS (
+          SELECT *,
+                 'sierra-system-number/b' || sids
+                 || CASE WHEN rem = 10 THEN 'x' ELSE CAST(rem AS VARCHAR) END
+                 AS s_id,
+                 'miro-image-number/V' || lpad(cks, 7, '0') AS m_id,
+                 ck % 3 = 0 AS has_miro, ck % 6 = 0 AS unlinked
+          FROM b
+        )
+        SELECT 'ix:' || s_id AS k,
+               (CASE WHEN ck % 9 IN (1, 2) THEN 'true' ELSE 'false' END)
+               || '#Work ' || cks
+               || (CASE WHEN ck % 9 = 1 THEN ' v2'
+                        WHEN ck % 9 = 5 THEN ' v3' ELSE ' v1' END)
+               || '|Visible|-' AS v
+        FROM d
+        UNION ALL
+        SELECT 'ix:' || m_id,
+               'false#Img ' || cks
+               || (CASE WHEN unlinked THEN '|Visible|-'
+                   ELSE '|Redirected|' || s_id END)
+        FROM d WHERE has_miro
+        UNION ALL
+        SELECT 'mc:' || s_id,
+               CASE WHEN has_miro AND NOT unlinked THEN m_id ELSE s_id END
+        FROM d
+        UNION ALL
+        SELECT 'mc:' || m_id, m_id FROM d WHERE has_miro
+        UNION ALL
+        SELECT 'mint:ok', '80/80'
+    """
+
     sql["q75_indexable_works"] = """
         WITH b AS (
           SELECT c_custkey AS ck, (c_custkey-1)%4 AS g,
