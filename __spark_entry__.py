@@ -58,12 +58,10 @@ def _t(sf_dir: str, name: str) -> str:
 def _materialize(df: DataFrame, tag: str) -> DataFrame:
     """Persist a query result that must outlive its tempdir WITHOUT pulling
     it through the driver (a collect() here is a driver OOM at real SF):
-    write to a session-scoped parquet dir and hand back the lazy read."""
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"cps-results-{os.getpid()}", tag
-    )
-    df.write.mode("overwrite").parquet(out_dir)
-    return df.sparkSession.read.parquet(out_dir)
+    eager localCheckpoint — partitions land in executor storage
+    (MEMORY_AND_DISK, spill-safe) and the plan is cut from its sources,
+    at half the cost of the previous parquet write + re-read round-trip."""
+    return df.localCheckpoint(eager=True)
 
 
 # --------------------------------------------------------------------------
@@ -5693,6 +5691,63 @@ def _z93_embargoed_holdings(spark, sf_dir):
     )
 
 
+def _z95_calm_indexer(spark, sf_dir):
+    """Round-6 CALM indexer reshape probe inside q74
+    (plans/calm_indexer.py): 30 payloads (ck 1171..1200) — empty-marker
+    fields dropped, singleton lists unwrapped, multi-value lists kept,
+    deleted payloads become delete-by-id actions."""
+    from catalogue_pipeline_spark.plans.calm_indexer import calm_index_actions
+
+    L = F.lit
+    ck = F.col("c_custkey")
+    cks = ck.cast("string")
+    k = ck % 3
+    base = spark.read.parquet(_t(sf_dir, "customer")).filter(
+        (ck >= 1171) & (ck <= 1200)
+    )
+    recs = base.select(
+        F.concat(L("cr"), cks).alias("id"),
+        F.map_from_arrays(
+            F.array(L("Modified"), L("Document"), L("Subject")),
+            F.array(
+                F.array(F.concat(L("29/06/"), cks)),
+                F.when(k == 1, F.array(L("doc"), F.concat(L("d"), cks)))
+                .otherwise(F.array(L(""))),
+                F.when(k == 2, F.array(L("s1"), L("s2"))).otherwise(
+                    F.array(F.concat(L("s"), cks))
+                ),
+            ),
+        ).alias("data"),
+        (ck % 5 == 0).alias("is_deleted"),
+    )
+    acts = calm_index_actions(recs)
+    probe = L("q95").alias("probe")
+    out_del = acts.filter(F.col("op") == "delete").select(
+        probe, F.concat(L("del:"), "id").alias("k"), L("1").alias("v")
+    )
+    out_f = acts.filter(F.col("op") == "index").select(
+        probe,
+        F.concat(L("doc:"), "id").alias("k"),
+        F.concat_ws(
+            ";",
+            F.transform(
+                F.col("fields"),
+                lambda f: F.concat(
+                    f.getField("key"),
+                    L("="),
+                    F.coalesce(
+                        f.getField("scalar"),
+                        F.concat(
+                            L("["), F.array_join(f.getField("list"), "|"), L("]")
+                        ),
+                    ),
+                ),
+            ),
+        ).alias("v"),
+    )
+    return out_del.unionByName(out_f)
+
+
 def _z91_tei_paths(spark, sf_dir):
     """Round-5 TEI path↔id fold probe inside q74 (plans/tei_paths.py): 30
     manuscripts (ck 1081..1110) across the five PathIdManager arms —
@@ -5962,6 +6017,7 @@ def _q74_composite_probes(spark, sf_dir):
         _z91_tei_paths(spark, sf_dir),
         _z92_tei_updater(spark, sf_dir),
         _z93_embargoed_holdings(spark, sf_dir),
+        _z95_calm_indexer(spark, sf_dir),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -9838,6 +9894,26 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT 'st', '24'
         ) AS tu2(k, v)
+        -- q95: CALM indexer reshape — empty-marker drop, singleton unwrap,
+        -- multi-value keep, delete-by-id
+        UNION ALL
+        SELECT 'q95', ci.k, ci.v FROM (
+          WITH cib AS (
+            SELECT CAST(c_custkey % 3 AS INT) AS kk,
+                   CAST(c_custkey AS VARCHAR) AS c,
+                   c_custkey % 5 = 0 AS del
+            FROM customer WHERE c_custkey BETWEEN 1171 AND 1200
+          )
+          SELECT 'del:cr' || c, '1' FROM cib WHERE del
+          UNION ALL
+          SELECT 'doc:cr' || c,
+                 'Modified=29/06/' || c
+                 || (CASE WHEN kk = 1 THEN ';Document=[doc|d' || c || ']'
+                     ELSE '' END)
+                 || ';Subject='
+                 || (CASE WHEN kk = 2 THEN '[s1|s2]' ELSE 's' || c END)
+          FROM cib WHERE NOT del
+        ) AS ci(k, v)
         -- q93: embargoed-holdings refresher — note-matched dates collapse
         -- with each other and with the 5-day stopgap sweep
         UNION ALL

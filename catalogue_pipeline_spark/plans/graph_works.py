@@ -168,6 +168,7 @@ def parent_closure(edges: DataFrame, max_hops: int = 16) -> DataFrame:
     r = edges.select(
         F.col("pid"), F.col("parent_pid").alias("anc_pid"), F.lit(1).alias("hops")
     )
+    prev_n = None
     for _ in range(max_hops.bit_length() - 1):
         # materialization barrier per round: without it each self-join
         # re-EXPANDS the whole lineage (2^rounds copies of the edge scan —
@@ -175,6 +176,15 @@ def parent_closure(edges: DataFrame, max_hops: int = 16) -> DataFrame:
         # plan).  The closure is ~depth × identifiers rows, tiny relative
         # to the works table, so checkpointing it is the 100 TB shape.
         r = r.localCheckpoint(eager=False)
+        # fixpoint early-exit: when a doubling round added no new ancestor
+        # pairs the closure is complete — a real hierarchy is far
+        # shallower than max_hops (ceil(log2(depth)) rounds suffice), and
+        # the count is over the already-checkpointed closure, which is
+        # lineage-sized, not works-sized
+        n = r.count()
+        if n == prev_n:
+            break
+        prev_n = n
         hop2 = (
             r.alias("a")
             .join(r.alias("b"), F.col("a.anc_pid") == F.col("b.pid"))

@@ -569,12 +569,47 @@ def _agg_field(id_col: Column, label: Column) -> Column:
     )
 
 
+# ---------------------------------------------------------------- plan cache
+#
+# Constructing the document builder's Column tree costs ~27k py4j
+# round-trips (~10 s of driver serial time, measured in BENCH/BASELINE.md)
+# while EXECUTING it costs ~0.2 s.  The tree is pure F.col expressions —
+# input-DataFrame-independent — so a 15-minute incremental driver loop
+# must build it once per process, not once per window.  Cache keyed by
+# applicationId so a fresh JVM (new SparkContext) rebuilds rather than
+# holding dead JVM refs.
+_PLAN_CACHE: dict[str, tuple[dict, dict, list]] = {}
+# test/bench hook: how many times the tree has actually been constructed
+_PLAN_BUILDS = 0
+
+
 def indexable_works(extracted: DataFrame) -> DataFrame:
     """works_transformer.py:26-48 + the three section transformers: one
     document per work.  Visible works carry the display / query /
     aggregatable / filterable structs; Redirected works carry
     ``redirect_target``; Deleted and Invisible carry type only.  Pure
-    per-row expressions over the extracted rows."""
+    per-row expressions over the extracted rows.
+
+    The Column tree is built once per SparkContext and re-bound to each
+    input frame (see _PLAN_CACHE above): repeated windows pay only the
+    three plan-application calls, not the ~27k-call tree construction."""
+    key = extracted.sparkSession.sparkContext.applicationId
+    if key not in _PLAN_CACHE:
+        _PLAN_CACHE.clear()  # a new context invalidates old JVM column refs
+        _PLAN_CACHE[key] = _build_indexable_columns()
+    staged_cols, section_cols, final_cols = _PLAN_CACHE[key]
+    return (
+        extracted.withColumns(staged_cols)
+        .withColumns(section_cols)
+        .select(*final_cols)
+    )
+
+
+def _build_indexable_columns() -> tuple[dict, dict, list]:
+    """Construct the (staged, sectioned, final-select) column trees —
+    the expensive, input-independent part of indexable_works."""
+    global _PLAN_BUILDS
+    _PLAN_BUILDS += 1
     lm = F.col("concept_labels")
     anc = F.col("hierarchy_ancestors")
     anc_titles = F.transform(
@@ -591,8 +626,7 @@ def indexable_works(extracted: DataFrame) -> DataFrame:
     # section select's expression tree shallow — the documented
     # plan-compile hygiene from plans/sierra_concepts.py)
     all_locs = F.flatten(F.transform(F.col("items"), lambda i: i.getField("locations")))
-    staged = extracted.withColumns(
-        {
+    staged_cols = {
             "_anc_titles": anc_titles,
             "_series_kept": series_kept,
             "_all_locs": all_locs,
@@ -630,8 +664,7 @@ def indexable_works(extracted: DataFrame) -> DataFrame:
                     ),
                 ),
             ),
-        }
-    )
+    }
 
     # ------------------------------------------------------------ display
     display = F.struct(
@@ -1118,20 +1151,18 @@ def indexable_works(extracted: DataFrame) -> DataFrame:
         ).alias("availabilities"),
     )
 
-    sectioned = staged.withColumns(
-        {
-            "_display": display,
-            "_query": query,
-            "_aggregatable": aggregatable,
-            "_filterable": filterable,
-        }
-    )
+    section_cols = {
+        "_display": display,
+        "_query": query,
+        "_aggregatable": aggregatable,
+        "_filterable": filterable,
+    }
     # production_dates needs the flatten of a nested transform; finish it
     # outside the struct literal to keep the tree shallow
     vis = F.col("type") == "Visible"
-    return sectioned.select(
-        "work_id",
-        "type",
+    final_cols = [
+        F.col("work_id"),
+        F.col("type"),
         F.when(vis, F.col("_display")).alias("display"),
         F.when(vis, F.col("_query")).alias("query"),
         F.when(
@@ -1145,7 +1176,8 @@ def indexable_works(extracted: DataFrame) -> DataFrame:
         F.when(F.col("type") == "Redirected", F.col("redirect_target")).alias(
             "redirect_target"
         ),
-    )
+    ]
+    return staged_cols, section_cols, final_cols
 
 
 def works_for_ingest(spark, rows, schema: str = WORK_SCHEMA):

@@ -577,3 +577,17 @@ def test_image_nodes_and_edges(spark):
     assert n["im3"]["error"] == "unexpected-access-conditions"
     e = {(r["from_id"], r["to_id"]) for r in edges.collect()}
     assert ("wk1", "im1") in e and len(e) == 3
+
+
+def test_plan_construction_cached_across_invocations(spark):
+    # the ~27k-call Column tree is built once per SparkContext and
+    # re-bound per window: a second indexable_works call must NOT rebuild
+    import catalogue_pipeline_spark.plans.works_ingestor as wi
+
+    wi._PLAN_CACHE.clear()
+    r1 = build(spark, [work("w1")])
+    builds_after_first = wi._PLAN_BUILDS
+    r2 = build(spark, [work("w2", title="Title w2")])
+    assert wi._PLAN_BUILDS == builds_after_first  # cache hit, no rebuild
+    # the cached tree re-binds to the new input frame
+    assert "w1" in r1 and r2["w2"]["display"]["title"] == "Title w2"
