@@ -5748,6 +5748,245 @@ def _z95_calm_indexer(spark, sf_dir):
     return out_del.unionByName(out_f)
 
 
+def _z96_shard_sink(spark, sf_dir):
+    """Round-6 S14 shard-sink promotion inside q74 (lake/table.py
+    write_data_files): 200 rows (ck 1201..1400) appended to a fresh
+    8-bucket table with sort_cols — asserts one file per non-empty
+    bucket, every row inside the file of ITS key's bucket, in-file sort
+    order, and the manifest row total.  The per-file sweep is a bounded
+    driver loop over ≤ num_buckets manifest entries (control-plane)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from catalogue_pipeline_spark.lake import LakeTable
+    from catalogue_pipeline_spark.lake.table import bucket_expr
+
+    L = F.lit
+    ck = F.col("c_custkey")
+    base = spark.read.parquet(_t(sf_dir, "customer")).filter(
+        (ck >= 1201) & (ck <= 1400)
+    )
+    df = base.select(
+        F.concat(L("c"), (ck % 97).cast("string")).alias("conv_id"),
+        ck.alias("turn_idx"),
+        F.concat(L("t"), ck.cast("string")).alias("text"),
+    )
+    schema = StructType(
+        [
+            StructField("conv_id", StringType(), False),
+            StructField("turn_idx", LongType(), False),
+            StructField("text", StringType(), True),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="cps-q96-")
+    try:
+        table = LakeTable.create(
+            f"{work}/t", schema, bucket_key="conv_id", num_buckets=8
+        )
+        snap = table.append(
+            df, "q96", sort_cols=["conv_id", "turn_idx"]
+        )
+        files = snap.files
+        n_files = len(files)
+        total_rows = sum(f["rows"] for f in files)
+        mismatches = 0
+        unsorted = 0
+        for f in files:
+            fdf = spark.read.parquet(os.path.join(table.data_dir, f["path"]))
+            mismatches += fdf.filter(
+                bucket_expr("conv_id", 8) != F.lit(f["bucket"])
+            ).count()
+            one = (
+                fdf.coalesce(1)
+                .select(F.struct("conv_id", "turn_idx").alias("_k"))
+                .withColumn("_rn", F.monotonically_increasing_id())
+            )
+            w = Window.orderBy("_rn")
+            unsorted += (
+                one.withColumn("_prev", F.lag("_k").over(w))
+                .filter(F.col("_prev") > F.col("_k"))
+                .count()
+            )
+        rows = [
+            ("files", f"{n_files}/8"),
+            ("rows", str(total_rows)),
+            ("bucket_mismatches", str(mismatches)),
+            ("out_of_order_rows", str(unsorted)),
+            ("files_le_buckets", str(n_files <= 8).lower()),
+        ]
+        return spark.createDataFrame(
+            [("q96", k, v) for k, v in rows], "probe string, k string, v string"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _z97_image_documents(spark, sf_dir):
+    """Round-6 images-ingestor FULL five-section document promotion inside
+    q74 (plans/images.indexable_image_documents over real
+    extract_works+indexable_works output): 30 works (ck 1401..1430, every
+    ck%10==7 Invisible) each carrying one image — display defaults
+    (aspect_ratio 1.0 / #ffffff) vs inferred values, iiif-image thumbnail
+    election, the aggregatable-from-WORK vs filterable-from-IMAGE license
+    asymmetry, embedded query section, vector sizes, and the orphan drop
+    (Invisible parents)."""
+    from catalogue_pipeline_spark.plans.images import (
+        indexable_image_documents,
+        indexable_images,
+        infer_features,
+    )
+    from catalogue_pipeline_spark.plans.works_ingestor import (
+        WORK_SCHEMA,
+        extract_works,
+        indexable_works,
+    )
+
+    L = F.lit
+    ck = F.col("c_custkey")
+    base = spark.read.parquet(_t(sf_dir, "customer")).filter(
+        (ck >= 1401) & (ck <= 1430)
+    ).select((ck - 1400).alias("ck"))
+
+    E = "cast(ck as string)"
+    raw = base.selectExpr(
+        f"'iw'||{E} as work_id",
+        "CASE WHEN ck%10=7 THEN 'Invisible' ELSE 'Visible' END as type",
+        "'Standard' as work_type",
+        "'sierra-system-number' as source_scheme",
+        f"'ib'||{E} as source_value",
+        f"'IW '||{E} as title",
+        f"""CASE WHEN ck%2=0 THEN array(named_struct(
+              'id', cast(null as string),
+              'identifiers', cast(array() as array<struct<scheme:string,value:string>>),
+              'title', cast(null as string), 'note', cast(null as string),
+              'locations', array(named_struct(
+                'kind','digital','location_type_id','iiif-presentation',
+                'location_type_label',cast(null as string),
+                'label',cast(null as string),'shelfmark',cast(null as string),
+                'url','https://w/'||{E},'link_text',cast(null as string),
+                'credit',cast(null as string),'created_date',cast(null as string),
+                'license_id','cc-by','access_status',cast(null as string),
+                'access_relationship',cast(null as string)))))
+            ELSE array() END as items""",
+        f"""CASE WHEN ck%3=0 THEN array(named_struct(
+              'concept_id','is'||cast(ck%5 as string),
+              'label','isub '||cast(ck%5 as string),
+              'identifiers',cast(array() as array<struct<scheme:string,value:string>>),
+              'concept_type','Subject',
+              'concepts',cast(array() as array<struct<concept_id:string,label:string,
+                identifiers:array<struct<scheme:string,value:string>>,concept_type:string>>)))
+            ELSE array() END as subjects""",
+    )
+    from pyspark.sql.types import ArrayType as _AT
+
+    target = spark.createDataFrame([], WORK_SCHEMA).schema
+    present = set(raw.columns)
+    works = raw.select(
+        *[
+            (
+                F.col(f.name).cast(f.dataType)
+                if f.name in present
+                # absent ARRAY fields become empty arrays, not NULLs — the
+                # extractor concatenates several of them (e.g.
+                # other_identifiers into identifiers_value) and a NULL
+                # would poison the whole concat
+                else (
+                    F.array().cast(f.dataType)
+                    if isinstance(f.dataType, _AT)
+                    else F.lit(None).cast(f.dataType)
+                )
+            ).alias(f.name)
+            for f in target.fields
+        ]
+    )
+    wdocs = indexable_works(extract_works(works))
+
+    loc_t = (
+        "array<struct<kind:string,location_type_id:string,"
+        "location_type_label:string,label:string,shelfmark:string,url:string,"
+        "link_text:string,credit:string,created_date:string,license_id:string,"
+        "access_status:string,access_relationship:string>>"
+    )
+    imgs = base.selectExpr(
+        f"'img'||{E} as image_id",
+        f"'iw'||{E} as work_id",
+        f"""cast(array(named_struct(
+              'kind','digital','location_type_id','iiif-image',
+              'location_type_label',cast(null as string),
+              'label',cast(null as string),'shelfmark',cast(null as string),
+              'url','https://img/'||{E},'link_text',cast(null as string),
+              'credit',cast(null as string),'created_date',cast(null as string),
+              'license_id',CASE WHEN ck%2=0 THEN 'cc-by-nc' END,
+              'access_status',cast(null as string),
+              'access_relationship',cast(null as string)),
+            named_struct(
+              'kind','digital','location_type_id','iiif-presentation',
+              'location_type_label',cast(null as string),
+              'label',cast(null as string),'shelfmark',cast(null as string),
+              'url','https://p/'||{E},'link_text',cast(null as string),
+              'credit',cast(null as string),'created_date',cast(null as string),
+              'license_id',cast(null as string),
+              'access_status',cast(null as string),
+              'access_relationship',cast(null as string))) as {loc_t})
+           as locations""",
+        "CASE WHEN ck%2=0 THEN 1.5 END as aspect_ratio",
+        "CASE WHEN ck%3=0 THEN '#abcdef' END as average_color_hex",
+        "cast(array(0.25, 0.5, 0.25) as array<float>) as palette_embedding",
+    )
+    imgs = infer_features(imgs, dim=4)
+    docs = indexable_image_documents(imgs, wdocs)
+    # orphan signal: Invisible parents drop (indexable_images counts them)
+    aug = imgs.select("image_id", "work_id")
+    _, n_orphans = indexable_images(aug, works)
+
+    probe = L("q97").alias("probe")
+    d, q, a, f = (F.col(c) for c in ["display", "query", "aggregatable", "filterable"])
+    # null-proof join: concat_ws SKIPS null members, which would silently
+    # shift field positions — coalesce every piece
+    j = lambda arr: F.coalesce(F.array_join(arr, ";"), L("<null>"))  # noqa: E731
+    per_img = docs.select(
+        probe,
+        F.col("image_id").alias("k"),
+        F.concat_ws(
+            "|",
+            d.getField("aspect_ratio").cast("string"),
+            d.getField("average_color"),
+            F.coalesce(
+                d.getField("thumbnail").getField("location_type_id"), L("-")
+            ),
+            d.getField("source").getField("id"),
+            d.getField("source").getField("title"),
+            q.getField("id"),
+            j(q.getField("source").getField("identifiers_value")),
+            j(
+                F.transform(
+                    a.getField("licenses"),
+                    lambda x: F.concat_ws(
+                        "~", F.coalesce(x.getField("id"), L("-")), x.getField("label")
+                    ),
+                )
+            ),
+            j(f.getField("locations_license_id")),
+            j(f.getField("source_subjects_label")),
+            F.size(F.col("vector_values").getField("features")).cast("string"),
+            F.size(F.col("vector_values").getField("palette_embedding")).cast(
+                "string"
+            ),
+        ).alias("v"),
+    )
+    orph = spark.createDataFrame(
+        [("q97", "orphans", str(n_orphans))], "probe string, k string, v string"
+    )
+    return per_img.unionByName(orph)
+
+
 def _z91_tei_paths(spark, sf_dir):
     """Round-5 TEI path↔id fold probe inside q74 (plans/tei_paths.py): 30
     manuscripts (ck 1081..1110) across the five PathIdManager arms —
@@ -6018,6 +6257,8 @@ def _q74_composite_probes(spark, sf_dir):
         _z92_tei_updater(spark, sf_dir),
         _z93_embargoed_holdings(spark, sf_dir),
         _z95_calm_indexer(spark, sf_dir),
+        _z96_shard_sink(spark, sf_dir),
+        _z97_image_documents(spark, sf_dir),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -9914,6 +10155,39 @@ def oracle_sql() -> dict[str, str]:
                  || (CASE WHEN kk = 2 THEN '[s1|s2]' ELSE 's' || c END)
           FROM cib WHERE NOT del
         ) AS ci(k, v)
+        -- q96: S14 shard sink — per-bucket files, in-bucket rows, in-file
+        -- sort order (the probe computes them; the facts are pinned)
+        UNION ALL
+        SELECT 'q96', sk.k, sk.v FROM (VALUES
+            ('files', '8/8'),
+            ('rows', '200'),
+            ('bucket_mismatches', '0'),
+            ('out_of_order_rows', '0'),
+            ('files_le_buckets', 'true')
+          ) AS sk(k, v)
+        -- q97: images-ingestor full five-section documents over real
+        -- works-ingestor output (ck 1401..1430 mapped to 1..30)
+        UNION ALL
+        SELECT 'q97', 'img' || c,
+               (CASE WHEN kk2 = 0 THEN '1.5' ELSE '1.0' END)
+               || '|' || (CASE WHEN kk3 = 0 THEN '#abcdef' ELSE '#ffffff' END)
+               || '|iiif-image|iw' || c || '|IW ' || c || '|img' || c
+               || '|iw' || c || ';ib' || c || '|'
+               || (CASE WHEN kk2 = 0 THEN
+                   'cc-by~Attribution 4.0 International (CC BY 4.0)' ELSE '' END)
+               || '|' || (CASE WHEN kk2 = 0 THEN 'cc-by-nc' ELSE '' END)
+               || '|' || (CASE WHEN kk3 = 0 THEN 'isub ' || CAST((c_custkey - 1400) % 5 AS VARCHAR) ELSE '' END)
+               || '|4|3'
+        FROM (
+          SELECT c_custkey,
+                 CAST(c_custkey - 1400 AS VARCHAR) AS c,
+                 CAST((c_custkey - 1400) % 2 AS INT) AS kk2,
+                 CAST((c_custkey - 1400) % 3 AS INT) AS kk3
+          FROM customer WHERE c_custkey BETWEEN 1401 AND 1430
+            AND (c_custkey - 1400) % 10 <> 7
+        ) AS iq
+        UNION ALL
+        SELECT 'q97', 'orphans', '3'
         -- q93: embargoed-holdings refresher — note-matched dates collapse
         -- with each other and with the 5-day stopgap sweep
         UNION ALL

@@ -364,7 +364,14 @@ class LakeTable:
             # column, then partitionBy writes a directory per bucket
             wdf = wdf.repartition(F.col(_BUCKET_COL))
             if sort_cols:
-                wdf = wdf.sortWithinPartitions(*sort_cols)
+                # lead with the bucket column: FileFormatWriter requires
+                # rows ordered by the partitionBy column and inserts its
+                # own (non-stable) sort when they are not — which would
+                # silently destroy the within-file sort order the manifest
+                # stats pruning depends on.  Sorting (bucket, *sort_cols)
+                # satisfies the writer's requirement so no extra sort is
+                # added and each file stays sorted by sort_cols.
+                wdf = wdf.sortWithinPartitions(_BUCKET_COL, *sort_cols)
             wdf.write.mode("errorifexists").options(**writer_opts).partitionBy(
                 _BUCKET_COL
             ).parquet(out_dir)
