@@ -93,3 +93,47 @@ def test_truncated_tree_is_error_before_any_diff(spark):
     entries = spark.createDataFrame([], GITHUB_ENTRY_SCHEMA)
     with pytest.raises(ValueError, match="truncated"):
         parse_github_tree(entries, truncated=True)
+
+
+def test_diff_messages_feed_the_path_id_fold(spark):
+    # integration with W24 (plans/tei_paths.py): the updater's message
+    # stream is exactly the fold's event feed — changed messages carry the
+    # path (id extracted downstream from file content), deleted messages
+    # tombstone the path
+    from pyspark.sql import functions as F
+
+    from catalogue_pipeline_spark.plans.tei_paths import (
+        STATE_SCHEMA,
+        fold_path_ids,
+    )
+
+    old = _tree(spark, [("P/a.xml", "s1", "u1"), ("P/b.xml", "s2", "u2")])
+    new = _tree(spark, [("P/a.xml", "s1x", "u1")])  # a changed, b deleted
+    messages, _ = diff_tei_trees(old, new, time="2024-03-02T12:00:00Z")
+    events = messages.select(
+        F.when(F.col("time_deleted").isNotNull(), F.lit("deleted"))
+        .otherwise(F.lit("changed"))
+        .alias("kind"),
+        F.col("path"),
+        # the id extractor parses the TEI content; stub: id = basename
+        F.when(
+            F.col("time_deleted").isNull(),
+            F.concat(F.lit("MS_"), F.regexp_extract("path", r"/(\w+)\.xml$", 1)),
+        ).alias("id"),
+        F.coalesce(F.col("time_modified"), F.col("time_deleted"))
+        .cast("timestamp")
+        .alias("time_modified"),
+        F.lit(0).alias("seq"),
+    )
+    state = spark.createDataFrame(
+        [
+            ("MS_a", "P/a.xml", __import__("datetime").datetime(2024, 3, 1, 12)),
+            ("MS_b", "P/b.xml", __import__("datetime").datetime(2024, 3, 1, 12)),
+        ],
+        STATE_SCHEMA,
+    )
+    new_state, msgs = fold_path_ids(state, events)
+    st = {r.id: r.path for r in new_state.collect()}
+    assert st == {"MS_a": "P/a.xml"}  # b tombstoned, a updated
+    kinds = sorted((m.kind, m.id) for m in msgs.collect())
+    assert kinds == [("changed", "MS_a"), ("deleted", "MS_b")]
