@@ -5987,6 +5987,87 @@ def _z97_image_documents(spark, sf_dir):
     return per_img.unionByName(orph)
 
 
+def _z98_id_embedder(spark, sf_dir):
+    """Round-6 id-minter embedder probe inside q74
+    (plans/id_embedder.py): 30 nested work documents (ck 1431..1460) —
+    recursive mint-request extraction (root + item node, predecessor on
+    ck%3==2, Agent/Person normalizing to ONE Concept key), then
+    canonical-id embedding with identifiedType→type promotion on roots
+    carrying it, Identifiable→Identified on those without, and unminted
+    roots (ck%2==1) left untouched."""
+    from catalogue_pipeline_spark.plans.id_embedder import embed_canonical_ids
+
+    L = F.lit
+    ck = F.col("c_custkey")
+    cks = ck.cast("string")
+    k = ck % 3
+    base = spark.read.parquet(_t(sf_dir, "customer")).filter(
+        (ck >= 1431) & (ck <= 1460)
+    )
+
+    def si(system, value, otype):
+        return F.struct(
+            F.struct(system.alias("id")).alias("identifierType"),
+            value.alias("value"),
+            otype.alias("ontologyType"),
+        )
+
+    root_si = si(L("sierra-system-number"), F.concat(L("v"), cks), L("Work"))
+    item_si = si(
+        L("lc-names"),
+        F.concat(L("n"), (ck % 7).cast("string")),
+        F.when(k == 1, L("Agent")).otherwise(L("Person")),
+    )
+    doc = F.to_json(
+        F.struct(
+            root_si.alias("sourceIdentifier"),
+            F.when(
+                k == 2,
+                si(L("axiell-system-number"), F.concat(L("p"), cks), L("Work")),
+            ).alias("predecessorIdentifier"),
+            L("Identifiable").alias("type"),
+            F.when(k == 0, L("NewType")).alias("identifiedType"),
+            F.array(
+                F.struct(
+                    item_si.alias("sourceIdentifier"),
+                    L("Identifiable").alias("type"),
+                )
+            ).alias("items"),
+        )
+    )
+    docs = base.select(F.concat(L("ed"), cks).alias("doc_id"), doc.alias("doc_json"))
+    # mint every concept key; mint roots only for even ck (odd roots stay
+    # unminted/unpromoted)
+    minted = base.select(
+        L("Concept").alias("ontology_type"),
+        L("lc-names").alias("source_system"),
+        F.concat(L("n"), (ck % 7).cast("string")).alias("source_id"),
+        F.concat(L("cid-n"), (ck % 7).cast("string")).alias("canonical_id"),
+    ).unionByName(
+        base.filter(ck % 2 == 0).select(
+            L("Work").alias("ontology_type"),
+            L("sierra-system-number").alias("source_system"),
+            F.concat(L("v"), cks).alias("source_id"),
+            F.concat(L("cid-v"), cks).alias("canonical_id"),
+        )
+    ).distinct()
+    out = embed_canonical_ids(docs, minted)
+    g = lambda p: F.get_json_object(F.col("doc_json"), p)  # noqa: E731
+    return out.select(
+        L("q98").alias("probe"),
+        F.col("doc_id").alias("k"),
+        F.concat_ws(
+            "|",
+            F.coalesce(g("$.canonicalId"), L("-")),
+            F.coalesce(g("$.type"), L("-")),
+            F.coalesce(g("$.identifiedType"), L("-")),
+            F.coalesce(g("$.items[0].canonicalId"), L("-")),
+            F.coalesce(g("$.items[0].type"), L("-")),
+            F.coalesce(g("$.predecessorIdentifier.value"), L("-")),
+        ).alias("v"),
+    )
+
+
 def _z91_tei_paths(spark, sf_dir):
     """Round-5 TEI path↔id fold probe inside q74 (plans/tei_paths.py): 30
     manuscripts (ck 1081..1110) across the five PathIdManager arms —
@@ -6259,6 +6340,7 @@ def _q74_composite_probes(spark, sf_dir):
         _z95_calm_indexer(spark, sf_dir),
         _z96_shard_sink(spark, sf_dir),
         _z97_image_documents(spark, sf_dir),
+        _z98_id_embedder(spark, sf_dir),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -10188,6 +10270,24 @@ def oracle_sql() -> dict[str, str]:
         ) AS iq
         UNION ALL
         SELECT 'q97', 'orphans', '3'
+        -- q98: id-minter embedder — recursive extraction + canonical-id
+        -- embedding with identifiedType promotion; odd roots unminted
+        UNION ALL
+        SELECT 'q98', 'ed' || c,
+               (CASE WHEN even THEN 'cid-v' || c ELSE '-' END)
+               || '|' || (CASE WHEN NOT even THEN 'Identifiable'
+                          WHEN kk = 0 THEN 'NewType' ELSE 'Identified' END)
+               || '|' || (CASE WHEN kk = 0 AND NOT even THEN 'NewType'
+                          ELSE '-' END)
+               || '|cid-n' || n7 || '|Identified|'
+               || (CASE WHEN kk = 2 THEN 'p' || c ELSE '-' END)
+        FROM (
+          SELECT CAST(c_custkey AS VARCHAR) AS c,
+                 CAST(c_custkey % 3 AS INT) AS kk,
+                 c_custkey % 2 = 0 AS even,
+                 CAST(c_custkey % 7 AS VARCHAR) AS n7
+          FROM customer WHERE c_custkey BETWEEN 1431 AND 1460
+        ) AS emq
         -- q93: embargoed-holdings refresher — note-matched dates collapse
         -- with each other and with the 5-day stopgap sweep
         UNION ALL
