@@ -471,6 +471,20 @@ def _q22_ngram_jaccard(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q99_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.contamination_hits):
+    every 37th document plays the benchmark/test set; the rest of the
+    corpus is flagged by distinct shared 3-shingle count — the standard
+    n-gram-overlap decontamination pass run before pretraining.  The
+    benchmark side broadcasts; the corpus side is one scan."""
+    from catalogue_pipeline_spark.operators.dedup import contamination_hits
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    rest = docs.filter(F.col("doc_id") % 37 != 0)
+    return contamination_hits(rest, bench, k=3)
+
+
 def _q23_token_stats(spark, sf_dir):
     """Token counting: whitespace, chars/4 subword estimate, and a BPE-ish
     GPT-2-style pretokenizer regex count."""
@@ -7317,6 +7331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q17 demoted round 6 to make window room for the q94 soak: J8/O4
         # stay driver-checked via q58/q60 and q77's rem_* probes
         "z17_set_difference": _q17_set_difference,
+        "z99_decontaminate": _q99_decontaminate,
         "z79_axiell_transform": _z79_axiell_transform,
         "z80_folio_transform": _z80_folio_transform,
         "z81_folio_sync": _z81_folio_sync,
@@ -7461,6 +7476,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
         FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
         WHERE inter / (sa.sz + sb.sz - inter) >= 0.2
+    """
+    sql["z99_decontaminate"] = f"""
+        WITH sh AS (
+          SELECT doc_id AS id, unnest(list_distinct(
+            CASE WHEN len({words}) >= 3 THEN
+              list_transform(range(1, len({words}) - 1), i -> array_to_string(({words})[i:i+2], ' '))
+            ELSE [array_to_string({words}, ' ')] END)) AS sh
+          FROM documents),
+        b AS (SELECT DISTINCT sh FROM sh WHERE id % 37 = 0)
+        SELECT id AS doc_id, count(*) AS n_hits
+        FROM sh JOIN b USING (sh)
+        WHERE id % 37 <> 0
+        GROUP BY id
     """
     sql["z23_token_stats"] = """
         SELECT doc_id, length(text) AS n_chars,

@@ -364,3 +364,54 @@ def embedding_near_duplicates(
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b"), "cosine")
     )
+
+
+# ------------------------------------------------------------ decontamination
+def contamination_hits(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination, the training-data counterpart of the
+    dedup family: flag corpus documents sharing ≥1 k-word shingle with a
+    benchmark/test set (the standard n-gram-overlap decontamination used
+    before pretraining).  Returns ``(doc_id, n_hits)`` — the number of
+    DISTINCT benchmark shingles the document contains.
+
+    Scale shape: the benchmark side is test sets — small — so its
+    distinct shingle set is broadcast; the corpus side is one scan +
+    explode with the only shuffle the per-document hit count.  No
+    all-pairs anything."""
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("sh"),
+    )
+    b = benchmark.select(
+        F.explode(word_shingles(F.col(text_col), k)).alias("sh")
+    ).distinct()
+    # word_shingles is per-document distinct, so count(*) == distinct hits
+    return (
+        d.join(F.broadcast(b), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop corpus documents contaminated by the benchmark (≥ min_hits
+    shared k-shingles) — an anti-join against contamination_hits."""
+    bad = contamination_hits(
+        docs, benchmark, k=k, id_col=id_col, text_col=text_col
+    ).filter(F.col("n_hits") >= min_hits)
+    return docs.join(
+        bad.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    )

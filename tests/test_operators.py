@@ -333,3 +333,34 @@ def test_multimodal_resize_and_audio_plans(spark):
         (r["start_ms"], r["end_ms"]) for r in sample_audio_windows(media, 1000, 500).collect()
     )
     assert win == [(0, 1000), (500, 1500), (1000, 2000), (1500, 2300), (2000, 2300)]
+
+
+def test_decontamination_flags_and_drops(spark):
+    # a doc sharing one 3-shingle with the benchmark is flagged; an
+    # unrelated doc survives; benchmark contamination counts DISTINCT
+    # shared shingles
+    from catalogue_pipeline_spark.operators.dedup import (
+        contamination_hits,
+        decontaminate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text with no overlap whatsoever here"),
+            (3, "quick brown fox appears twice quick brown fox indeed"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox story")], "doc_id long, text string"
+    )
+    hits = {r.doc_id: r.n_hits for r in contamination_hits(docs, bench).collect()}
+    # shared shingle: 'quick brown fox' (doc 3 contains it twice but
+    # shingles are per-doc distinct → 1 hit)
+    assert hits == {1: 1, 3: 1}
+    kept = sorted(r.doc_id for r in decontaminate(docs, bench).collect())
+    assert kept == [2]
+    # min_hits=2 keeps the single-shingle overlaps
+    kept2 = sorted(r.doc_id for r in decontaminate(docs, bench, min_hits=2).collect())
+    assert kept2 == [1, 2, 3]
