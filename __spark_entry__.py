@@ -485,6 +485,17 @@ def _q99_decontaminate(spark, sf_dir):
     return contamination_hits(rest, bench, k=3)
 
 
+def _q100_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (operators/textstats.
+    stratified_sample): 7 docs per source ranked by salted md5 — the
+    data-mixing primitive, reproducible across partitionings."""
+    from catalogue_pipeline_spark.operators.textstats import stratified_sample
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    out = stratified_sample(docs, "source", 7, salt="mix-v1")
+    return out.select("doc_id", "source")
+
+
 def _q23_token_stats(spark, sf_dir):
     """Token counting: whitespace, chars/4 subword estimate, and a BPE-ish
     GPT-2-style pretokenizer regex count."""
@@ -7332,6 +7343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stay driver-checked via q58/q60 and q77's rem_* probes
         "z17_set_difference": _q17_set_difference,
         "z99_decontaminate": _q99_decontaminate,
+        "z100_stratified_sample": _q100_stratified_sample,
         "z79_axiell_transform": _z79_axiell_transform,
         "z80_folio_transform": _z80_folio_transform,
         "z81_folio_sync": _z81_folio_sync,
@@ -7489,6 +7501,17 @@ def oracle_sql() -> dict[str, str]:
         FROM sh JOIN b USING (sh)
         WHERE id % 37 <> 0
         GROUP BY id
+    """
+    sql["z100_stratified_sample"] = """
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || chr(31) || 'mix-v1'),
+                            doc_id
+                 ) AS rk
+          FROM documents
+        ) WHERE rk <= 7
     """
     sql["z23_token_stats"] = """
         SELECT doc_id, length(text) AS n_chars,

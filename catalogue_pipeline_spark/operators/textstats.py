@@ -129,3 +129,28 @@ def fingerprint64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         F.col(id_col).alias("id"),
         portable_hash64(norm_text(F.col(text_col))).alias("fingerprint"),
     )
+
+
+def stratified_sample(
+    docs,
+    strata_col: str = "source",
+    n_per_stratum: int = 10,
+    salt: str = "mix-v1",
+    id_col: str = "doc_id",
+):
+    """Deterministic stratified sampling — the data-mixing primitive: take
+    the top ``n_per_stratum`` documents per stratum ranked by a salted
+    md5 of the id.  Fully reproducible across runs/partitionings (no RNG,
+    the repo-wide determinism rule) and re-saltable for fresh draws.
+    One hash + one per-stratum window; at 100 TB the only shuffle is the
+    stratum repartition, and skewed strata stay balanced because the
+    rank key is uniform."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws("\x1f", F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )

@@ -364,3 +364,31 @@ def test_decontamination_flags_and_drops(spark):
     # min_hits=2 keeps the single-shingle overlaps
     kept2 = sorted(r.doc_id for r in decontaminate(docs, bench, min_hits=2).collect())
     assert kept2 == [1, 2, 3]
+
+
+def test_stratified_sample_deterministic_across_partitionings(spark):
+    from catalogue_pipeline_spark.operators.textstats import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", "s" + str(i % 3)) for i in range(60)],
+        "doc_id long, text string, source string",
+    )
+    a = sorted(
+        (r.doc_id, r.source)
+        for r in stratified_sample(docs, "source", 5).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.source)
+        for r in stratified_sample(docs.repartition(13), "source", 5).collect()
+    )
+    assert a == b and len(a) == 15
+    # quota respected per stratum
+    from collections import Counter
+
+    assert set(Counter(s for _, s in a).values()) == {5}
+    # a different salt draws a different sample
+    c = sorted(
+        (r.doc_id, r.source)
+        for r in stratified_sample(docs, "source", 5, salt="mix-v2").collect()
+    )
+    assert c != a
