@@ -142,15 +142,32 @@ def stratified_sample(
     the top ``n_per_stratum`` documents per stratum ranked by a salted
     md5 of the id.  Fully reproducible across runs/partitionings (no RNG,
     the repo-wide determinism rule) and re-saltable for fresh draws.
-    One hash + one per-stratum window; at 100 TB the only shuffle is the
-    stratum repartition, and skewed strata stay balanced because the
-    rank key is uniform."""
+
+    Two-phase top-N so no single task ever sorts a whole stratum (the
+    realistic mixing case is 5-20 strata over 100 TB — a plain
+    ``Window.partitionBy(stratum)`` would funnel terabytes to one
+    reducer).  Phase 1 ranks within ``(stratum, input_partition)`` —
+    the shuffle key carries the input partition id, so a hot stratum
+    spreads across as many tasks as it has input splits — and keeps the
+    local top ``n_per_stratum``.  Phase 2 runs the exact per-stratum
+    window over the ≤ n_per_stratum × n_partitions survivors.  The
+    salted md5 rank is a total order, so the global top-n of a stratum
+    is contained in the union of its per-partition top-n and the output
+    is byte-identical to the single-window form for any input
+    partitioning (z100 oracle + determinism test)."""
     from pyspark.sql import Window
 
     h = F.md5(F.concat_ws("\x1f", F.col(id_col).cast("string"), F.lit(salt)))
-    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
-    return (
-        docs.withColumn("_rk", F.row_number().over(w))
+    d = docs.withColumn("_h", h).withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy(strata_col, "_pid").orderBy("_h", F.col(id_col))
+    survivors = (
+        d.withColumn("_rk", F.row_number().over(w_local))
         .filter(F.col("_rk") <= n_per_stratum)
-        .drop("_rk")
+        .drop("_rk", "_pid")
+    )
+    w = Window.partitionBy(strata_col).orderBy("_h", F.col(id_col))
+    return (
+        survivors.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk", "_h")
     )

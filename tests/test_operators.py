@@ -392,3 +392,38 @@ def test_stratified_sample_deterministic_across_partitionings(spark):
         for r in stratified_sample(docs, "source", 5, salt="mix-v2").collect()
     )
     assert c != a
+
+
+def test_stratified_sample_two_phase_hot_stratum(spark):
+    """Many partitions, one hot stratum: the two-phase top-N must equal the
+    exact single-window answer (the md5 rank is total, so per-partition
+    top-n unioned then re-ranked is lossless), and the plan must rank
+    phase 1 on (stratum, input partition) so no task sorts a whole
+    stratum."""
+    from pyspark.sql import functions as F
+
+    from catalogue_pipeline_spark.operators.textstats import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", "hot" if i % 50 else "cold") for i in range(2000)],
+        "doc_id long, text string, source string",
+    ).repartition(32)
+    got = sorted(
+        (r.doc_id, r.source)
+        for r in stratified_sample(docs, "source", 7, salt="mix-v1").collect()
+    )
+    # brute-force oracle: exact top-7 per stratum by the same salted rank
+    h = F.md5(F.concat_ws("\x1f", F.col("doc_id").cast("string"), F.lit("mix-v1")))
+    exp = sorted(
+        (r.doc_id, r.source)
+        for s in ("hot", "cold")
+        for r in docs.filter(F.col("source") == s)
+        .orderBy(h, "doc_id")
+        .limit(7)
+        .collect()
+    )
+    assert got == exp and len(got) == 14
+    # plan shape: first Window partitions on (source, _pid) — the hot
+    # stratum spreads over input partitions instead of one reducer
+    plan = stratified_sample(docs, "source", 7)._jdf.queryExecution().executedPlan().toString()
+    assert "_pid" in plan
