@@ -6283,6 +6283,176 @@ def _z83_related_sections(spark, sf_dir):
     )
 
 
+def _z101_wikidata_source(spark, sf_dir):
+    """Wikidata linked-ontology source probe inside q74
+    (plans/wikidata_source.py; reference sparql_query_builder.py:1-180,
+    linked_ontology_source.py:1-144, linked_ontology_node_source.py:11-57,
+    linked_ontology_edge_source.py:11-57): 30 customers (ck 1461..1490,
+    kk = ck % 5) synthesize a SAME_AS edge stream with two linked ids
+    L{ck}, M{ck} per Q{ck}:
+
+      * ontology-valid: L for kk != 0, M always; transformer-valid: L for
+        kk 1,2, M for kk 0,3 — so the first ontology-valid edge is L
+        except kk 0 (M), and the node source yields kk 0,1,2 only.  kk 3
+        is the first-edge-wins arm: its later M edge is transformer-valid
+        but must NOT resurrect it;
+      * concept parents: P{ck} for kk 0,1 (duplicated across both parent
+        edge types for kk 0 — dedup), R{ck} for kk 3, a seen-parent
+        (Q1461) for kk 4 — excluded; the names run adds no parents;
+      * edge source (names mode): same_as target gate (kk 0 keeps M,
+        kk 1,2 keep L), from-side current-transformer gate, internal
+        edges gated on wikidata-ontology targets (P/R targets drop,
+        Q→Q{ck-1} instance_of for kk 2 keeps), people edges kept in
+        names mode and dropped in concepts mode;
+      * closed-form grammar strings (all-ids loc/mesh, edge, items arms),
+        distributed chunked-VALUES clauses (chunk 12 over the 30 ids),
+        and binding-id extraction with the genid→NULL arm."""
+    from catalogue_pipeline_spark.plans.wikidata_source import (
+        all_ids_query,
+        chunked_values_clauses,
+        edge_query,
+        extract_wikidata_id_col,
+        filtered_edges,
+        filtered_node_ids,
+        items_query,
+    )
+
+    L = F.lit
+    ck = F.col("c_custkey")
+    cks = ck.cast("string")
+    base = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .filter((ck >= 1461) & (ck <= 1490))
+        .select(
+            ck.cast("long").alias("ck"),
+            (ck % 5).cast("int").alias("kk"),
+            F.concat(L("Q"), cks).alias("q"),
+            F.concat(L("L"), cks).alias("l"),
+            F.concat(L("M"), cks).alias("m"),
+        )
+    )
+    kk = F.col("kk")
+    qs = F.col("q")
+    same_as = base.select(
+        (F.col("ck") * 2).alias("seq"),
+        qs.alias("from_id"),
+        F.col("l").alias("to_id"),
+    ).unionByName(
+        base.select(
+            (F.col("ck") * 2 + 1).alias("seq"),
+            qs.alias("from_id"),
+            F.col("m").alias("to_id"),
+        )
+    )
+    vo = (
+        base.filter(kk != 0)
+        .select(F.col("l").alias("id"))
+        .unionByName(base.select(F.col("m").alias("id")))
+    )
+    vt = (
+        base.filter(kk.isin(1, 2))
+        .select(F.col("l").alias("id"))
+        .unionByName(base.filter(kk.isin(0, 3)).select(F.col("m").alias("id")))
+    )
+    ckstr = F.col("ck").cast("string")
+    internal = None
+    for cond, to_expr, etype in (
+        (kk.isin(0, 1), F.concat(L("P"), ckstr), "instance_of"),
+        (kk == 0, F.concat(L("P"), ckstr), "subclass_of"),
+        (kk == 3, F.concat(L("R"), ckstr), "subclass_of"),
+        (kk == 4, L("Q1461"), "instance_of"),
+        (kk == 2, F.concat(L("Q"), (F.col("ck") - 1).cast("string")), "instance_of"),
+        (kk == 1, F.concat(L("Q"), (F.col("ck") + 1).cast("string")), "has_spouse"),
+    ):
+        part = base.filter(cond).select(
+            qs.alias("from_id"), to_expr.alias("to_id"), L(etype).alias("edge_type")
+        )
+        internal = part if internal is None else internal.unionByName(part)
+    parent_edges = internal.filter(
+        F.col("edge_type").isin("instance_of", "subclass_of")
+    )
+
+    nodes_c = filtered_node_ids(same_as, vo, vt, "concepts", parent_edges)
+    nid_rows = nodes_c.select(
+        L("wd").alias("probe"),
+        F.concat(L("nid:"), F.col("id")).alias("k"),
+        L("y").alias("v"),
+    )
+    names_n = (
+        filtered_node_ids(same_as, vo, vt, "names", parent_edges)
+        .agg(F.count("*").alias("_n"))
+        .select(
+            L("wd").alias("probe"),
+            L("names_n").alias("k"),
+            F.col("_n").cast("string").alias("v"),
+        )
+    )
+    wd_ids = base.select(qs.alias("id"))
+    edge_args = dict(
+        same_as_edges=same_as.drop("seq"),
+        internal_edges=internal,
+        linked_ontology="loc",
+        valid_transformer_ids=vt,
+        current_node_ids=nodes_c,
+        wikidata_ontology_ids=wd_ids,
+    )
+    e_names = filtered_edges(node_type="names", **edge_args)
+    e_rows = e_names.select(
+        L("wd").alias("probe"),
+        F.concat(L("e:"), F.col("edge_type"), L(":"), F.col("from_id")).alias("k"),
+        F.col("to_id").alias("v"),
+    )
+    e_concepts = filtered_edges(node_type="concepts", **edge_args)
+    e_stats = e_concepts.agg(
+        F.sum(F.when(F.col("edge_type") == "has_spouse", 1).otherwise(0)).alias("_sp"),
+        F.count("*").alias("_n"),
+    ).select(
+        L("wd").alias("probe"),
+        L("e:spouse_in_concepts").alias("k"),
+        F.coalesce(F.col("_sp"), L(0)).cast("string").alias("v"),
+    )
+    e_total = e_concepts.agg(F.count("*").alias("_n")).select(
+        L("wd").alias("probe"),
+        L("e:concepts_n").alias("k"),
+        F.col("_n").cast("string").alias("v"),
+    )
+    xid_rows = base.select(
+        L("wd").alias("probe"),
+        F.concat(L("xid:"), ckstr).alias("k"),
+        F.coalesce(
+            extract_wikidata_id_col(
+                F.when(
+                    kk == 4,
+                    F.concat(
+                        L("http://www.wikidata.org/.well-known/genid/"), ckstr
+                    ),
+                ).otherwise(F.concat(L("http://www.wikidata.org/entity/Q"), ckstr)),
+                L("uri"),
+            ),
+            L("<null>"),
+        ).alias("v"),
+    )
+    chunk_rows = chunked_values_clauses(wd_ids, chunk_size=12).select(
+        L("wd").alias("probe"),
+        F.concat(L("chunk:"), F.col("chunk_id").cast("string")).alias("k"),
+        F.col("values_clause").alias("v"),
+    )
+    qry_rows = spark.createDataFrame(
+        [
+            ("wd", "qry:allids:loc", all_ids_query("loc")),
+            ("wd", "qry:allids:mesh", all_ids_query("mesh")),
+            ("wd", "qry:edge:instance_of", edge_query(["Q2", "Q1"], "instance_of")),
+            ("wd", "qry:edge:same_as_mesh", edge_query(["Q1"], "same_as_mesh")),
+            ("wd", "qry:items:concepts", items_query(["Q1"], "concepts")),
+        ],
+        "probe string, k string, v string",
+    )
+    out = nid_rows
+    for p in (names_n, e_rows, e_stats, e_total, xid_rows, chunk_rows, qry_rows):
+        out = out.unionByName(p)
+    return out
+
+
 def _q74_composite_probes(spark, sf_dir):
     """Seven single-aggregate probes folded into ONE driver row so the
     driver's 50-query correctness window spends its slots on whole operator
@@ -6366,6 +6536,7 @@ def _q74_composite_probes(spark, sf_dir):
         _z96_shard_sink(spark, sf_dir),
         _z97_image_documents(spark, sf_dir),
         _z98_id_embedder(spark, sf_dir),
+        _z101_wikidata_source(spark, sf_dir),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -10356,6 +10527,74 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (0), (1), (2), (3), (4)) AS jj(j)
           ) AS u(d)
         ) AS eh(d)
+        -- wd: wikidata linked-ontology source — node-id filtering
+        -- (first-valid-edge-wins, transformer gate, concept parents),
+        -- edge-source gates, SPARQL grammar strings, chunked VALUES,
+        -- binding-id extraction
+        UNION ALL
+        SELECT 'wd', 'nid:Q' || CAST(c_custkey AS VARCHAR), 'y'
+        FROM customer WHERE c_custkey BETWEEN 1461 AND 1490
+          AND c_custkey % 5 IN (0, 1, 2)
+        UNION ALL
+        SELECT 'wd', 'nid:P' || CAST(c_custkey AS VARCHAR), 'y'
+        FROM customer WHERE c_custkey BETWEEN 1461 AND 1490
+          AND c_custkey % 5 IN (0, 1)
+        UNION ALL
+        SELECT 'wd', 'nid:R' || CAST(c_custkey AS VARCHAR), 'y'
+        FROM customer WHERE c_custkey BETWEEN 1461 AND 1490
+          AND c_custkey % 5 = 3
+        UNION ALL
+        SELECT 'wd', 'names_n',
+               CAST((SELECT count(*) FROM customer
+                     WHERE c_custkey BETWEEN 1461 AND 1490
+                       AND c_custkey % 5 IN (0, 1, 2)) AS VARCHAR)
+        UNION ALL
+        SELECT 'wd', 'e:same_as_loc:Q' || CAST(c_custkey AS VARCHAR),
+               (CASE WHEN c_custkey % 5 = 0 THEN 'M' ELSE 'L' END)
+               || CAST(c_custkey AS VARCHAR)
+        FROM customer WHERE c_custkey BETWEEN 1461 AND 1490
+          AND c_custkey % 5 IN (0, 1, 2)
+        UNION ALL
+        SELECT 'wd', 'e:instance_of:Q' || CAST(c_custkey AS VARCHAR),
+               'Q' || CAST(c_custkey - 1 AS VARCHAR)
+        FROM customer WHERE c_custkey BETWEEN 1461 AND 1490
+          AND c_custkey % 5 = 2
+        UNION ALL
+        SELECT 'wd', 'e:has_spouse:Q' || CAST(c_custkey AS VARCHAR),
+               'Q' || CAST(c_custkey + 1 AS VARCHAR)
+        FROM customer WHERE c_custkey BETWEEN 1461 AND 1490
+          AND c_custkey % 5 = 1
+        UNION ALL
+        SELECT 'wd', 'e:spouse_in_concepts', '0'
+        UNION ALL
+        SELECT 'wd', 'e:concepts_n',
+               CAST((SELECT count(*) FROM customer
+                     WHERE c_custkey BETWEEN 1461 AND 1490
+                       AND c_custkey % 5 IN (0, 1, 2))
+                    + (SELECT count(*) FROM customer
+                       WHERE c_custkey BETWEEN 1461 AND 1490
+                         AND c_custkey % 5 = 2) AS VARCHAR)
+        UNION ALL
+        SELECT 'wd', 'xid:' || CAST(c_custkey AS VARCHAR),
+               CASE WHEN c_custkey % 5 = 4 THEN '<null>'
+                    ELSE 'Q' || CAST(c_custkey AS VARCHAR) END
+        FROM customer WHERE c_custkey BETWEEN 1461 AND 1490
+        UNION ALL
+        SELECT 'wd', 'chunk:' || CAST(CAST(floor((rn - 1) / 12) AS INT) AS VARCHAR),
+               string_agg('wd:Q' || CAST(wck AS VARCHAR), ' ' ORDER BY wck)
+        FROM (SELECT c_custkey AS wck,
+                     row_number() OVER (ORDER BY c_custkey) AS rn
+              FROM customer
+              WHERE c_custkey BETWEEN 1461 AND 1490) AS wch
+        GROUP BY CAST(floor((rn - 1) / 12) AS INT)
+        UNION ALL
+        SELECT 'wd', wq.k, wq.v FROM (VALUES
+            ('qry:allids:loc', 'SELECT ?item WHERE {{ ?item wdt:P244 ?locId. }}'),
+            ('qry:allids:mesh', 'SELECT ?item WHERE {{ ?item wdt:P486 ?meshId. }}'),
+            ('qry:edge:instance_of', 'SELECT DISTINCT ?fromItem ?toItem WHERE {{ VALUES ?fromItem {{ wd:Q1 wd:Q2 }} ?fromItem wdt:P31 ?toItem. FILTER (!wikibase:isSomeValue(?toItem)) }}'),
+            ('qry:edge:same_as_mesh', 'SELECT DISTINCT ?fromItem ?toItem WHERE {{ VALUES ?fromItem {{ wd:Q1 }} ?fromItem p:P486/ps:P486 ?toItem. FILTER (!wikibase:isSomeValue(?toItem)) }}'),
+            ('qry:items:concepts', 'SELECT DISTINCT ?item (SAMPLE(?itemLabel) as ?itemLabel) (SAMPLE(?itemDescription) as ?itemDescription) (SAMPLE(?itemAltLabel) as ?itemAltLabel) WHERE {{ VALUES ?item {{ wd:Q1 }} OPTIONAL {{ SERVICE wikibase:label {{ bd:serviceParam wikibase:language "en,mul". ?item rdfs:label ?itemLabel. ?item schema:description ?itemDescription. ?item skos:altLabel ?itemAltLabel. }} }} }} GROUP BY ?item')
+          ) AS wq(k, v)
     """
 
     # q75: the works-ingestor document builder — every synthesized work's
