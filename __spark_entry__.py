@@ -7461,8 +7461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_deep_hierarchy": _q78_deep_hierarchy,
         "q42_lsh_near_dup": _q42_lsh_near_dup,
         "q26_cosine_topk": _q26_cosine_topk,
-        "q35_lsh_topk": _q35_lsh_topk,
-        "q52_ivf_topk": _q52_ivf_topk,
+        "q99_decontaminate": _q99_decontaminate,
+        "q100_stratified_sample": _q100_stratified_sample,
         "q40_media_features": _q40_media_features,
         "q38_snapshot_sync": _q38_snapshot_sync,
         "q45_period_parse": _q45_period_parse,
@@ -7513,8 +7513,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q17 demoted round 6 to make window room for the q94 soak: J8/O4
         # stay driver-checked via q58/q60 and q77's rem_* probes
         "z17_set_difference": _q17_set_difference,
-        "z99_decontaminate": _q99_decontaminate,
-        "z100_stratified_sample": _q100_stratified_sample,
+        # q35/q52 demoted round 7 to window-promote decontamination and
+        # stratified sampling: the ANN family stays driver-checked via
+        # q26 (exact cosine) and q42 (LSH near-dup); z35/z52 keep the
+        # LSH-topk/IVF oracles in the local sweep
+        "z35_lsh_topk": _q35_lsh_topk,
+        "z52_ivf_topk": _q52_ivf_topk,
         "z79_axiell_transform": _z79_axiell_transform,
         "z80_folio_transform": _z80_folio_transform,
         "z81_folio_sync": _z81_folio_sync,
@@ -7660,7 +7664,7 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
         WHERE inter / (sa.sz + sb.sz - inter) >= 0.2
     """
-    sql["z99_decontaminate"] = f"""
+    sql["q99_decontaminate"] = f"""
         WITH sh AS (
           SELECT doc_id AS id, unnest(list_distinct(
             CASE WHEN len({words}) >= 3 THEN
@@ -7673,7 +7677,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE id % 37 <> 0
         GROUP BY id
     """
-    sql["z100_stratified_sample"] = """
+    sql["q100_stratified_sample"] = """
         SELECT doc_id, source FROM (
           SELECT doc_id, source,
                  row_number() OVER (
@@ -8286,7 +8290,7 @@ def oracle_sql() -> dict[str, str]:
     )
     cqn = "sqrt(list_sum(list_transform(q.embedding, x -> x * x)))"
     ccn = "sqrt(list_sum(list_transform(c.embedding, x -> x * x)))"
-    sql["q52_ivf_topk"] = f"""
+    sql["z52_ivf_topk"] = f"""
         WITH cl AS (SELECT vec_id, {cl_vec} AS embedding FROM embeddings),
         scored AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -9525,7 +9529,7 @@ def oracle_sql() -> dict[str, str]:
     # q35: LSH top-k is tuned (planes/tables) so retrieval recall is exactly
     # 1.0 on the test corpus — the retrieved set then equals the exact top-k,
     # so the brute-force SQL (same as q26) is a true oracle for the scale path.
-    sql["q35_lsh_topk"] = sql["q26_cosine_topk"]
+    sql["z35_lsh_topk"] = sql["q26_cosine_topk"]
     # q71: closed-form expectation of the Sierra subjects/contributors
     # extraction — the oracle recomputes both serialized lists (types,
     # labels, roles, identifiers incl. label-derived values, harmonisation
