@@ -6453,6 +6453,132 @@ def _z101_wikidata_source(spark, sf_dir):
     return out
 
 
+def _z102_ingestor_loader(spark, sf_dir):
+    """Ingestor loader/indexer bookkeeping probe inside q74
+    (plans/ingestor_loader.py; reference base_transformer.py:107-146,
+    ingestor_loader.py:46-88, ingestor_indexer.py:45-84, events.py:64-96):
+    130 docs from orders (o_orderkey < 130, payload
+    ``doc:{key}:{status}``) sharded at batch 16 →
+
+      * per-shard manifest rows (``{start:08d}-{end:08d}`` names,
+        record_count + jsonl content_length from the distributed
+        global-offset rank — no single-reducer sort);
+      * the loader report totals (n_objects:records:bytes);
+      * the indexer's listing round-trip: shard uris re-parsed, record
+        count re-derived from the NAME (end - start);
+      * the S3 path-prefix grammar (full+job / windows-no-job / by_id
+        short-join and >5-ids hash arms);
+      * bulk-error triage (status 'F' → version conflict)."""
+    from catalogue_pipeline_spark.plans.ingestor_loader import (
+        loader_report,
+        objects_from_listing,
+        path_prefix,
+        shard_plan,
+        triage_bulk_errors,
+    )
+    from datetime import datetime as _dt
+
+    L = F.lit
+    docs = (
+        spark.read.parquet(_t(sf_dir, "orders"))
+        .filter(F.col("o_orderkey") < 130)
+        .select(
+            F.col("o_orderkey").cast("long").alias("id"),
+            F.concat(
+                L("doc:"),
+                F.col("o_orderkey").cast("string"),
+                L(":"),
+                F.col("o_orderstatus"),
+            ).alias("payload"),
+        )
+    )
+    plan = shard_plan(
+        docs, order_col="id", batch_size=16, payload_col="payload",
+        prefix="s3://bkt/p", load_format="jsonl",
+    )
+    shard_rows = plan.select(
+        L("il").alias("probe"),
+        F.concat(L("shard:"), F.col("file_name")).alias("k"),
+        F.concat(
+            F.col("record_count").cast("string"),
+            L(":"),
+            F.col("content_length").cast("string"),
+        ).alias("v"),
+    )
+    report_row = loader_report(plan).select(
+        L("il").alias("probe"),
+        L("report").alias("k"),
+        F.concat(
+            F.col("n_objects").cast("string"),
+            L(":"),
+            F.col("record_count").cast("string"),
+            L(":"),
+            F.col("total_file_size").cast("string"),
+        ).alias("v"),
+    )
+    listing = plan.select(
+        F.regexp_replace(F.col("uri"), "^s3://bkt/", "").alias("key"),
+        F.col("content_length").alias("size"),
+    )
+    obj_rows = objects_from_listing(
+        listing, load_format="jsonl", bucket="bkt"
+    ).select(
+        L("il").alias("probe"),
+        F.concat(L("obj:"), F.col("file_name")).alias("k"),
+        F.col("record_count").cast("string").alias("v"),
+    )
+    grammar_rows = spark.createDataFrame(
+        [
+            (
+                "il",
+                "pfx:full",
+                path_prefix(
+                    "concepts", "2025-05-05", graph_date="2026-01-01",
+                    index_date="2025-06-06", job_id="20250930T0930",
+                ),
+            ),
+            (
+                "il",
+                "pfx:window",
+                path_prefix(
+                    "works", "2025-05-05",
+                    window=(_dt(2025, 1, 1, 0, 0), _dt(2025, 1, 1, 0, 15)),
+                    job_id="ignored",
+                ),
+            ),
+            ("il", "pfx:ids", path_prefix("images", "d", ids=["b1", "a2"])),
+            (
+                "il",
+                "pfx:idhash",
+                path_prefix("images", "d", ids=[f"id{i}" for i in range(6)]),
+            ),
+        ],
+        "probe string, k string, v string",
+    )
+    triage_row = triage_bulk_errors(
+        docs.select(
+            F.when(
+                F.col("payload").endswith(":F"),
+                L("version_conflict_engine_exception"),
+            )
+            .otherwise(L("mapper_parsing_exception"))
+            .alias("error_type")
+        )
+    ).select(
+        L("il").alias("probe"),
+        L("triage").alias("k"),
+        F.concat(
+            F.col("version_conflict_count").cast("string"),
+            L(":"),
+            F.col("other_error_count").cast("string"),
+        ).alias("v"),
+    )
+    out = shard_rows
+    for p in (report_row, obj_rows, grammar_rows, triage_row):
+        out = out.unionByName(p)
+    return out
+
+
 def _q74_composite_probes(spark, sf_dir):
     """Seven single-aggregate probes folded into ONE driver row so the
     driver's 50-query correctness window spends its slots on whole operator
@@ -6537,6 +6663,7 @@ def _q74_composite_probes(spark, sf_dir):
         _z97_image_documents(spark, sf_dir),
         _z98_id_embedder(spark, sf_dir),
         _z101_wikidata_source(spark, sf_dir),
+        _z102_ingestor_loader(spark, sf_dir),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -9980,6 +10107,20 @@ def oracle_sql() -> dict[str, str]:
             f"ELSE CAST(({total}) % 11 AS VARCHAR) END)"
         )
 
+    # il probe: shard subquery shared by the manifest / report / listing arms
+    il_shards = """
+        SELECT CAST(floor(rn0 / 16) AS BIGINT) AS shard,
+               min(rn0) AS st, max(rn0) + 1 AS en, count(*) AS n,
+               sum(length(payload) + 1) AS bytes
+        FROM (
+          SELECT 'doc:' || CAST(o_orderkey AS VARCHAR) || ':' || o_orderstatus
+                   AS payload,
+                 row_number() OVER (ORDER BY o_orderkey) - 1 AS rn0
+          FROM orders WHERE o_orderkey < 130
+        ) AS il_r
+        GROUP BY 1
+    """
+
     sql["q74_composite_probes"] = f"""
         SELECT 'q04' AS probe, CAST(user_id AS VARCHAR) AS k,
                strftime(max_ts, '%Y-%m-%d %H:%M:%S.%f') || ':'
@@ -10599,6 +10740,40 @@ def oracle_sql() -> dict[str, str]:
             ('qry:edge:same_as_mesh', 'SELECT DISTINCT ?fromItem ?toItem WHERE {{ VALUES ?fromItem {{ wd:Q1 }} ?fromItem p:P486/ps:P486 ?toItem. FILTER (!wikibase:isSomeValue(?toItem)) }}'),
             ('qry:items:concepts', 'SELECT DISTINCT ?item (SAMPLE(?itemLabel) as ?itemLabel) (SAMPLE(?itemDescription) as ?itemDescription) (SAMPLE(?itemAltLabel) as ?itemAltLabel) WHERE {{ VALUES ?item {{ wd:Q1 }} OPTIONAL {{ SERVICE wikibase:label {{ bd:serviceParam wikibase:language "en,mul". ?item rdfs:label ?itemLabel. ?item schema:description ?itemDescription. ?item skos:altLabel ?itemAltLabel. }} }} }} GROUP BY ?item')
           ) AS wq(k, v)
+        -- il: ingestor loader/indexer bookkeeping — offset-range shard
+        -- manifest (batch 16 over 130 order docs), loader report totals,
+        -- listing round-trip (record count from the file NAME), path
+        -- grammar, bulk-error triage
+        UNION ALL
+        SELECT 'il',
+               'shard:' || lpad(CAST(st AS VARCHAR), 8, '0') || '-'
+                        || lpad(CAST(en AS VARCHAR), 8, '0'),
+               CAST(n AS VARCHAR) || ':' || CAST(bytes AS VARCHAR)
+        FROM ({il_shards}) AS il_s
+        UNION ALL
+        SELECT 'il', 'report',
+               CAST(count(*) AS VARCHAR) || ':' || CAST(sum(n) AS VARCHAR)
+               || ':' || CAST(sum(bytes) AS VARCHAR)
+        FROM ({il_shards}) AS il_s
+        UNION ALL
+        SELECT 'il',
+               'obj:' || lpad(CAST(st AS VARCHAR), 8, '0') || '-'
+                      || lpad(CAST(en AS VARCHAR), 8, '0'),
+               CAST(en - st AS VARCHAR)
+        FROM ({il_shards}) AS il_s
+        UNION ALL
+        SELECT 'il', ilp.k, ilp.v FROM (VALUES
+            ('pfx:full', 'graph-2026-01-01/pipeline-2025-05-05/ingestor_concepts/index-2025-06-06/full/job-20250930T0930'),
+            ('pfx:window', 'graph-prod/pipeline-2025-05-05/ingestor_works/index-2025-05-05/windows/20250101T0000-20250101T0015'),
+            ('pfx:ids', 'graph-prod/pipeline-d/ingestor_images/index-d/by_id/a2_b1'),
+            ('pfx:idhash', 'graph-prod/pipeline-d/ingestor_images/index-d/by_id/hash_8d1e738d0cf3')
+          ) AS ilp(k, v)
+        UNION ALL
+        SELECT 'il', 'triage',
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS VARCHAR)
+               || ':' ||
+               CAST(sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS VARCHAR)
+        FROM orders WHERE o_orderkey < 130
     """
 
     # q75: the works-ingestor document builder — every synthesized work's
