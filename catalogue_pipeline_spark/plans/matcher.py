@@ -36,7 +36,7 @@ semantics + the lake's commit CAS.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -84,6 +84,51 @@ def matcher_result(state_region: DataFrame) -> DataFrame:
 DRIVER_REGION_MAX = 200_000
 
 
+def read_matcher_state(
+    spark: SparkSession, table: LakeTable, snapshot_id: int | None = None
+) -> DataFrame:
+    """MOR-aware matcher state: when delta files are present (a
+    ``write_mode='delta'`` ingest), resolve to the latest written row per
+    work_id — every row of a delta batch carries that batch's
+    ``batch_seq``, so (batch_seq, version) descending picks the newest
+    labels. With no deltas (the COW default) this is a plain read with
+    zero added cost (the check is metadata-only)."""
+    if not table.delta_buckets(snapshot_id):
+        return table.read(spark, snapshot_id=snapshot_id)
+    raw = table.read(spark, snapshot_id=snapshot_id)
+    w = Window.partitionBy("work_id").orderBy(
+        F.col("batch_seq").desc(), F.col("version").desc()
+    )
+    return (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def compact_matcher(
+    spark: SparkSession, table: LakeTable, changeset_id: str = "matcher-compact"
+) -> int | None:
+    """Fold merge-on-read matcher deltas into base files — only the
+    delta-carrying buckets are rewritten (the cdc.merge.compact cadence,
+    applied to the matcher table). Returns the new snapshot id, or None
+    when there is nothing to fold."""
+    dbuckets = table.delta_buckets()
+    if not dbuckets:
+        return None
+    resolved = read_matcher_state(spark, table)
+    nb = table.num_buckets
+    rows = resolved.filter(bucket_expr("work_id", nb).isin(dbuckets))
+    snap = table.overwrite_buckets(
+        rows,
+        buckets=dbuckets,
+        changeset_id=changeset_id,
+        summary={"operation": "matcher-compact"},
+        sort_cols=["work_id"],
+    )
+    return snap.snapshot_id
+
+
 def update_graph(
     spark: SparkSession,
     table: LakeTable,
@@ -91,14 +136,30 @@ def update_graph(
     batch_seq: int,
     changeset_id: str,
     driver_region_max: int = DRIVER_REGION_MAX,
+    write_mode: str = "cow",
 ) -> tuple[int | None, DataFrame]:
     """Apply one batch of work updates; returns (snapshot_id | None,
     matcher_result over the affected region). snapshot_id None = V3 no-op.
 
     ``updates`` columns: work_id, version int, candidates array<string>,
     suppressed boolean.
+
+    ``write_mode``: ``'cow'`` (default) copy-on-write replaces every
+    affected bucket — read-optimized, but k uniformly-hashed changed
+    works touch min(k, num_buckets) buckets, so the per-window write cost
+    carries a min(1, k/B)·corpus byte term (the round-7 window-soak
+    finding). ``'delta'`` appends ONLY the recomputed region as
+    merge-on-read delta files — change-proportional bytes per window, the
+    same trade the CDC ingest path makes — with reads resolving
+    latest-batch-wins per work_id (``read_matcher_state``) until
+    ``compact_matcher`` folds the deltas on cadence. Delta rows are all
+    stamped with this batch's ``batch_seq`` (the resolution key: one row
+    per work_id per batch, later batches outrank earlier ones). The V1
+    version gate is unchanged — an incoming update always carries the
+    newest batch_seq, so equal-version re-sends still win exactly as in
+    COW mode (WorkGraphUpdater.scala:44-78).
     """
-    state = table.read(spark)
+    state = read_matcher_state(spark, table)
 
     up = updates.select(
         "work_id",
@@ -214,6 +275,25 @@ def update_graph(
     result = matcher_result(new_state)
     if not changed:
         return None, result
+
+    if write_mode == "delta":
+        # merge-on-read: append just the recomputed region, stamped with
+        # this batch's seq so reads resolve latest-batch-wins — bytes
+        # written scale with the CHANGE, never the corpus
+        snap = table.append(
+            new_state.withColumn(
+                "batch_seq", F.lit(batch_seq).cast("int")
+            ).select(*STATE_COLS),
+            changeset_id=changeset_id,
+            summary={
+                "operation": "matcher-update",
+                "mode": "delta",
+                "batch_seq": batch_seq,
+            },
+            sort_cols=["work_id"],
+            kind="delta",
+        )
+        return snap.snapshot_id, result
 
     # copy-on-write only the buckets holding affected rows
     nb = table.num_buckets

@@ -1,0 +1,97 @@
+"""Matcher merge-on-read write mode (round-7 window-soak finding): delta
+appends must be state-equivalent to the COW path batch for batch, resolve
+through ``read_matcher_state``, and fold cleanly via ``compact_matcher``
+— the change-proportional-bytes answer to the COW bucket-rewrite term."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from catalogue_pipeline_spark.plans.matcher import (
+    compact_matcher,
+    create_matcher_table,
+    read_matcher_state,
+    update_graph,
+)
+
+UP_SCHEMA = "work_id string, version int, candidates array<string>, suppressed boolean"
+
+# a 4-batch scenario exercising chain merge, unlink split, version
+# rejection, and same-version relink — the WorkGraphUpdaterTest arcs
+BATCHES = [
+    [("A", 1, ["B"], False), ("B", 1, [], False), ("X", 1, [], False)],
+    [("B", 2, ["C", "D"], False), ("C", 1, [], False), ("D", 1, [], False)],
+    [("A", 1, [], False), ("X", 2, ["C"], False)],  # same-version unlink + new link
+    [("D", 1, [], False)],  # version 1 < stored 1? equal: re-accepted no-op shape
+]
+
+
+def _state(spark, table):
+    rows = read_matcher_state(spark, table).collect()
+    return sorted(
+        (r["work_id"], r["version"], r["component"], r["subgraph_id"],
+         tuple(r["candidates"]), r["suppressed"])
+        for r in rows
+    )
+
+
+def _run(spark, tmp_path, name, write_mode, compact_every=None):
+    table = create_matcher_table(str(tmp_path / name), num_buckets=4)
+    for seq, rows in enumerate(BATCHES, start=1):
+        df = spark.createDataFrame(rows, UP_SCHEMA)
+        update_graph(
+            spark, table, df, batch_seq=seq, changeset_id=f"b{seq}",
+            write_mode=write_mode,
+        )
+        if compact_every and seq % compact_every == 0:
+            compact_matcher(spark, table, changeset_id=f"c{seq}")
+    return table
+
+
+def test_delta_mode_state_equals_cow(spark, tmp_path):
+    cow = _run(spark, tmp_path, "cow", "cow")
+    mor = _run(spark, tmp_path, "mor", "delta")
+    assert _state(spark, cow) == _state(spark, mor)
+    # and the raw MOR table really is append-only: multiple rows per key
+    raw = mor.read(spark)
+    assert raw.count() > read_matcher_state(spark, mor).count()
+
+
+def test_compaction_preserves_state_and_clears_deltas(spark, tmp_path):
+    mor = _run(spark, tmp_path, "mor", "delta")
+    before = _state(spark, mor)
+    snap = compact_matcher(spark, mor)
+    assert snap is not None
+    assert mor.delta_buckets() == []
+    assert _state(spark, mor) == before
+    # idempotent: nothing left to fold
+    assert compact_matcher(spark, mor) is None
+    # post-compaction reads take the plain (no-window) path and agree
+    assert _state(spark, mor) == before
+
+
+def test_interleaved_compaction_equals_cow(spark, tmp_path):
+    cow = _run(spark, tmp_path, "cow", "cow")
+    mor = _run(spark, tmp_path, "mor", "delta", compact_every=2)
+    assert _state(spark, cow) == _state(spark, mor)
+
+
+def test_delta_mode_version_gate_still_rejects(spark, tmp_path):
+    table = create_matcher_table(str(tmp_path / "g"), num_buckets=4)
+    df1 = spark.createDataFrame([("A", 2, ["B"], False), ("B", 1, [], False)], UP_SCHEMA)
+    update_graph(spark, table, df1, batch_seq=1, changeset_id="b1", write_mode="delta")
+    df2 = spark.createDataFrame([("A", 1, [], False)], UP_SCHEMA)
+    snap, _ = update_graph(
+        spark, table, df2, batch_seq=2, changeset_id="b2", write_mode="delta"
+    )
+    assert snap is None  # stale version: V3 no-op, nothing appended
+    comps = {
+        frozenset(
+            r["work_id"]
+            for r in read_matcher_state(spark, table).collect()
+            if r["component"] == c and r["version"] >= 0
+        )
+        for c in {
+            r["component"] for r in read_matcher_state(spark, table).collect()
+        }
+    }
+    assert frozenset({"A", "B"}) in comps

@@ -19,7 +19,13 @@ so per-window cost must not inherit a corpus term.
 
 Knobs: SOAK_SEED_WORKS (default 50,000), SOAK_ADD (20,000 new
 works/window), SOAK_UPD (5,000 updates/window), SOAK_WINDOWS (10),
-SPARK_GRAFT_CPUS (32).  Prints one JSON line with per-window rows.
+SOAK_MATCHER_MODE ('cow' default | 'delta' = merge-on-read appends with
+compact_matcher every SOAK_COMPACT_EVERY windows, default 4),
+SOAK_INDEX_MODE ('cow' default merge_into_state | 'delta' = the CDC
+append_delta ingest with merge.compact on the same cadence),
+SPARK_GRAFT_CPUS (32).  Prints one JSON line with per-window rows,
+including the bytes the matcher table wrote per window — the COW-vs-MOR
+write-amplification comparison.
 """
 
 from __future__ import annotations
@@ -42,9 +48,12 @@ from catalogue_pipeline_spark.cdc import (  # noqa: E402
     merge_into_state,
     resolve_lww,
 )
+from catalogue_pipeline_spark.cdc.merge import append_delta, compact  # noqa: E402
 from catalogue_pipeline_spark.lake import LakeTable  # noqa: E402
 from catalogue_pipeline_spark.plans.matcher import (  # noqa: E402
+    compact_matcher,
     create_matcher_table,
+    read_matcher_state,
     update_graph,
 )
 from catalogue_pipeline_spark.plans.merger import match_and_merge  # noqa: E402
@@ -109,6 +118,9 @@ def main() -> None:
     upd_n = int(os.environ.get("SOAK_UPD", "5000"))
     windows = int(os.environ.get("SOAK_WINDOWS", "10"))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    matcher_mode = os.environ.get("SOAK_MATCHER_MODE", "cow")
+    index_mode = os.environ.get("SOAK_INDEX_MODE", "cow")
+    compact_every = int(os.environ.get("SOAK_COMPACT_EVERY", "4"))
 
     spark = build_session(
         "bench-window-soak", master=f"local[{cpus}]", shuffle_partitions=cpus
@@ -122,11 +134,30 @@ def main() -> None:
             f"{work}/index", STATE_SCHEMA, bucket_key="conv_id", num_buckets=64
         )
 
+        seen_files: dict[str, int] = {}
+
+        def matcher_bytes_added() -> int:
+            """Bytes of matcher data files first seen this window —
+            the write-amplification meter for the COW-vs-MOR comparison."""
+            added = 0
+            for f in mt.snapshot().files:
+                p = f["path"]
+                if p not in seen_files:
+                    try:
+                        seen_files[p] = os.path.getsize(
+                            os.path.join(mt.data_dir, p)
+                        )
+                    except OSError:
+                        seen_files[p] = 0
+                    added += seen_files[p]
+            return added
+
         def run_window(w: int, updates, measured: bool) -> None:
             ts = T0 + dt.timedelta(minutes=15 * w)
             t0 = time.time()
             _snap, result = update_graph(
-                spark, mt, updates, batch_seq=w + 1, changeset_id=f"soak-w{w}"
+                spark, mt, updates, batch_seq=w + 1, changeset_id=f"soak-w{w}",
+                write_mode=matcher_mode,
             )
             # affected work ids, materialized once (the result is lazy)
             ids = (
@@ -137,7 +168,7 @@ def main() -> None:
             n_affected = ids.count()
             # J6 multiget of the affected region, then the merger over it —
             # change-proportional: the merge never sees unaffected works
-            region = mt.read(spark).join(ids, "work_id", "left_semi")
+            region = read_matcher_state(spark, mt).join(ids, "work_id", "left_semi")
             w_in = region.select(
                 "work_id",
                 F.when(F.col("work_id").startswith("s/"), F.lit("sierra"))
@@ -172,9 +203,16 @@ def main() -> None:
                 F.lit(ts.isoformat()).cast("timestamp").alias("ts"),
                 F.lit(3).cast("int").alias("schema_ver"),
             )
-            merge_into_state(
-                spark, ix, resolve_lww(reg.normalize(docs)), changeset_id=f"soak-w{w}"
-            )
+            resolved = resolve_lww(reg.normalize(docs))
+            if index_mode == "delta":
+                append_delta(spark, ix, resolved, changeset_id=f"soak-w{w}")
+            else:
+                merge_into_state(spark, ix, resolved, changeset_id=f"soak-w{w}")
+            if compact_every and w % compact_every == 0:
+                if matcher_mode == "delta":
+                    compact_matcher(spark, mt, changeset_id=f"soak-compact-{w}")
+                if index_mode == "delta":
+                    compact(spark, ix, changeset_id=f"soak-ix-compact-{w}")
             secs = time.time() - t0
             if measured:
                 entry = {
@@ -183,10 +221,12 @@ def main() -> None:
                     "affected_works": n_affected,
                     "corpus_rows": mt.metadata_count(),
                     "index_rows": ix.metadata_count(),
+                    "matcher_bytes_written": matcher_bytes_added(),
                 }
                 per_window.append(entry)
                 print(json.dumps(entry), file=sys.stderr)
             else:
+                matcher_bytes_added()  # mark seed files seen, not counted
                 print(
                     f"seed window: {secs:.1f}s corpus={mt.metadata_count()}",
                     file=sys.stderr,
@@ -216,6 +256,11 @@ def main() -> None:
             "upd_per_window": upd_n,
             "windows": windows,
             "cpus": cpus,
+            "matcher_mode": matcher_mode,
+            "index_mode": index_mode,
+            "matcher_bytes_total": sum(
+                e["matcher_bytes_written"] for e in per_window
+            ),
             "first_half_mean_sec": round(sum(secs[:half]) / half, 2),
             "second_half_mean_sec": round(sum(secs[half:]) / (len(secs) - half), 2),
             "last_over_first": round(secs[-1] / secs[0], 2),
