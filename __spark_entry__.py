@@ -471,6 +471,23 @@ def _q22_ngram_jaccard(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q103_gopher_repetition(spark, sf_dir):
+    """Gopher repetition filters (operators/textstats.gopher_repetition;
+    Rae et al. 2021 Table A1): duplicate-line / paragraph fractions plus
+    top-{2,3}-gram and duplicated-5-gram character fractions over the
+    documents table, with newlines injected deterministically (every
+    literal ' value ' becomes a line break) so the line metrics exercise
+    real multi-line inputs.  One explode + one (id, n, gram) groupBy —
+    the linear distributed shape."""
+    from catalogue_pipeline_spark.operators.textstats import gopher_repetition
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" value "), F.lit("\n")).alias("text"),
+    )
+    return gopher_repetition(docs, top_ns=(2, 3), dup_ns=(5,))
+
+
 def _q99_decontaminate(spark, sf_dir):
     """Benchmark decontamination (operators/dedup.contamination_hits):
     every 37th document plays the benchmark/test set; the rest of the
@@ -7645,6 +7662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q26 (exact cosine) and q42 (LSH near-dup); z35/z52 keep the
         # LSH-topk/IVF oracles in the local sweep
         "z35_lsh_topk": _q35_lsh_topk,
+        "z103_gopher_repetition": _q103_gopher_repetition,
         "z52_ivf_topk": _q52_ivf_topk,
         "z79_axiell_transform": _z79_axiell_transform,
         "z80_folio_transform": _z80_folio_transform,
@@ -7814,6 +7832,88 @@ def oracle_sql() -> dict[str, str]:
                  ) AS rk
           FROM documents
         ) WHERE rk <= 7
+    """
+    sql["z103_gopher_repetition"] = r"""
+        WITH gd AS (
+          SELECT doc_id, replace(text, ' value ', chr(10)) AS t FROM documents
+        ),
+        lu AS (
+          SELECT doc_id, trim(s.u) AS u
+          FROM gd, unnest(string_split(t, chr(10))) AS s(u)
+          WHERE trim(s.u) <> ''
+        ),
+        lc AS (
+          SELECT doc_id, u, count(*) AS c, length(u) AS l
+          FROM lu GROUP BY doc_id, u
+        ),
+        lagg AS (
+          SELECT doc_id,
+                 round(CAST(sum(c) - count(*) AS DOUBLE) / sum(c), 6)
+                   AS dup_line_frac,
+                 round(COALESCE(sum(CASE WHEN c > 1 THEN (c - 1) * l END), 0)
+                       / CAST(sum(c * l) AS DOUBLE), 6) AS dup_line_char_frac
+          FROM lc GROUP BY doc_id
+        ),
+        pu AS (
+          SELECT doc_id, trim(s.u) AS u
+          FROM gd, unnest(regexp_split_to_array(t, '\n\s*\n')) AS s(u)
+          WHERE trim(s.u) <> ''
+        ),
+        pc AS (
+          SELECT doc_id, u, count(*) AS c, length(u) AS l
+          FROM pu GROUP BY doc_id, u
+        ),
+        pagg AS (
+          SELECT doc_id,
+                 round(CAST(sum(c) - count(*) AS DOUBLE) / sum(c), 6)
+                   AS dup_para_frac,
+                 round(COALESCE(sum(CASE WHEN c > 1 THEN (c - 1) * l END), 0)
+                       / CAST(sum(c * l) AS DOUBLE), 6) AS dup_para_char_frac
+          FROM pc GROUP BY doc_id
+        ),
+        w AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(t), '\s+'),
+                             x -> x <> '') AS ws,
+                 CAST(length(t) AS DOUBLE) AS tc
+          FROM gd
+        ),
+        g AS (
+          SELECT doc_id, tc, n.n AS n,
+                 array_to_string(ws[i.i : i.i + n.n - 1], ' ') AS gram
+          FROM w, (VALUES (2), (3), (5)) AS n(n),
+               LATERAL unnest(generate_series(1, len(ws) - n.n + 1)) AS i(i)
+          WHERE len(ws) >= n.n
+        ),
+        gc AS (
+          SELECT doc_id, n, gram, max(tc) AS tc, count(*) AS c,
+                 length(gram) AS l
+          FROM g GROUP BY doc_id, n, gram
+        ),
+        gagg AS (
+          SELECT doc_id, n,
+                 round(CASE WHEN max(tc) > 0
+                            THEN max(c * l) / max(tc) ELSE 0 END, 6) AS topf,
+                 round(CASE WHEN max(tc) > 0
+                            THEN COALESCE(sum(CASE WHEN c > 1 THEN c * l END), 0)
+                                 / max(tc)
+                            ELSE 0 END, 6) AS dupf
+          FROM gc GROUP BY doc_id, n
+        )
+        SELECT gd.doc_id,
+               COALESCE(lagg.dup_line_frac, 0.0) AS dup_line_frac,
+               COALESCE(lagg.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+               COALESCE(pagg.dup_para_frac, 0.0) AS dup_para_frac,
+               COALESCE(pagg.dup_para_char_frac, 0.0) AS dup_para_char_frac,
+               COALESCE(g2.topf, 0.0) AS top_2gram_char_frac,
+               COALESCE(g3.topf, 0.0) AS top_3gram_char_frac,
+               COALESCE(g5.dupf, 0.0) AS dup_5gram_char_frac
+        FROM gd
+        LEFT JOIN lagg ON gd.doc_id = lagg.doc_id
+        LEFT JOIN pagg ON gd.doc_id = pagg.doc_id
+        LEFT JOIN gagg g2 ON gd.doc_id = g2.doc_id AND g2.n = 2
+        LEFT JOIN gagg g3 ON gd.doc_id = g3.doc_id AND g3.n = 3
+        LEFT JOIN gagg g5 ON gd.doc_id = g5.doc_id AND g5.n = 5
     """
     sql["z23_token_stats"] = """
         SELECT doc_id, length(text) AS n_chars,

@@ -171,3 +171,168 @@ def stratified_sample(
         .filter(F.col("_rk") <= n_per_stratum)
         .drop("_rk", "_h")
     )
+
+
+def gopher_repetition(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 10),
+) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021 "Scaling Language
+    Models", Table A1 — the standard pretraining repetition-removal
+    rules; public paper, no reference-repo analog):
+
+      * ``dup_line_frac`` — duplicate lines / total lines, counting every
+        occurrence beyond a line's first (= 1 − distinct/total);
+      * ``dup_line_char_frac`` — characters of those surplus occurrences
+        / total line characters;
+      * ``dup_para_frac`` / ``dup_para_char_frac`` — the same over
+        paragraphs (split on blank line ``\\n\\n``);
+      * ``top_{n}gram_char_frac`` (n ∈ top_ns) — characters of the single
+        most frequent word n-gram (count × len(gram), space-joined) /
+        total text characters;
+      * ``dup_{n}gram_char_frac`` (n ∈ dup_ns) — characters of ALL
+        occurrences of n-grams appearing more than once / total text
+        characters. (The paper avoids double-counting overlaps; this
+        implementation counts count×len per duplicated gram — the exact
+        formula is fixed here so the DuckDB oracle reproduces it.)
+
+    Words are whitespace runs of the trimmed raw text (no lowercasing —
+    Gopher operates on raw text). All fractions rounded to 6 dp.
+
+    Scale shape: line/paragraph stats are per-doc array expressions
+    (zero shuffle); n-gram stats are ONE explode over (doc, n) and ONE
+    groupBy (id, n, gram) — linear, change-proportional, no per-doc
+    quadratic HOFs. At 100 TB the gram shuffle is the cost, keyed fine
+    (id, n, gram) so it salts itself.
+    """
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    t = F.col("t")
+    d = docs.select(
+        F.col(id_col).alias("id"), F.coalesce(F.col(text_col), F.lit("")).alias("t")
+    )
+
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "")
+    total_chars = F.length(t).cast("double")
+
+    def _unit_stats(split_pat: str, prefix: str):
+        units = F.filter(
+            F.transform(F.split(t, split_pat), lambda x: F.trim(x)),
+            lambda x: x != "",
+        )
+        n_units = F.size(units).cast("double")
+        n_dupes = (F.size(units) - F.size(F.array_distinct(units))).cast("double")
+        # char-weighted: aggregate over distinct units, adding
+        # (occurrences − 1) × len for each unit seen more than once.
+        # Bounded: distinct-units × units per doc — a DOCUMENT is the
+        # group, never the corpus (docs are KB-sized; fine per-row).
+        dup_chars = F.aggregate(
+            F.array_distinct(units),
+            F.lit(0).cast("double"),
+            lambda acc, u: acc
+            + (
+                F.size(F.filter(units, lambda y: y == u)) - F.lit(1)
+            ).cast("double")
+            * F.length(u).cast("double"),
+        )
+        unit_chars = F.aggregate(
+            units, F.lit(0).cast("double"), lambda acc, u: acc + F.length(u)
+        )
+        return {
+            f"{prefix}_frac": F.round(
+                F.when(n_units > 0, n_dupes / n_units).otherwise(F.lit(0.0)), 6
+            ),
+            f"{prefix}_char_frac": F.round(
+                F.when(unit_chars > 0, dup_chars / unit_chars).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ),
+        }
+
+    line_stats = _unit_stats(r"\n", "dup_line")
+    para_stats = _unit_stats(r"\n\s*\n", "dup_para")
+    base = d.select(
+        "id",
+        total_chars.alias("_tc"),
+        words.alias("_ws"),
+        *[c.alias(k) for k, c in {**line_stats, **para_stats}.items()],
+    )
+
+    # one (doc, n, gram) explode for every requested n
+    gram_arrays = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("n"),
+                F.when(
+                    F.size(F.col("_ws")) >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(F.col("_ws")) - n + 1),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(F.col("_ws"), i, F.lit(n))
+                        ),
+                    ),
+                )
+                .otherwise(F.array().cast("array<string>"))
+                .alias("grams"),
+            )
+            for n in all_ns
+        ]
+    )
+    grams = (
+        base.select("id", "_tc", F.explode(gram_arrays).alias("_g"))
+        .select(
+            "id",
+            "_tc",
+            F.col("_g.n").alias("n"),
+            F.explode_outer(F.col("_g.grams")).alias("gram"),
+        )
+    )
+    counts = grams.groupBy("id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt"), F.first("_tc").alias("_tc")
+    )
+    gram_chars = F.length(F.col("gram")).cast("double")
+    per_n = counts.groupBy("id", "n").agg(
+        F.max(
+            F.when(F.col("gram").isNotNull(), F.col("cnt") * gram_chars).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("_top_chars"),
+        F.sum(
+            F.when(
+                F.col("gram").isNotNull() & (F.col("cnt") > 1),
+                F.col("cnt") * gram_chars,
+            ).otherwise(F.lit(0.0))
+        ).alias("_dup_chars"),
+        F.first("_tc").alias("_tc"),
+    )
+    frac = lambda c: F.round(  # noqa: E731
+        F.when(F.col("_tc") > 0, c / F.col("_tc")).otherwise(F.lit(0.0)), 6
+    )
+    metrics = per_n.select(
+        "id",
+        "n",
+        frac(F.col("_top_chars")).alias("_topf"),
+        frac(F.col("_dup_chars")).alias("_dupf"),
+    )
+    pivoted = metrics.groupBy("id").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("_topf"))).alias(
+                f"top_{n}gram_char_frac"
+            )
+            for n in top_ns
+        ],
+        *[
+            F.max(F.when(F.col("n") == n, F.col("_dupf"))).alias(
+                f"dup_{n}gram_char_frac"
+            )
+            for n in dup_ns
+        ],
+    )
+    return (
+        base.drop("_tc", "_ws")
+        .join(pivoted, "id", "left")
+        .withColumnRenamed("id", id_col)
+    )

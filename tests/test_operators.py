@@ -427,3 +427,44 @@ def test_stratified_sample_two_phase_hot_stratum(spark):
     # stratum spreads over input partitions instead of one reducer
     plan = stratified_sample(docs, "source", 7)._jdf.queryExecution().executedPlan().toString()
     assert "_pid" in plan
+
+
+def test_gopher_repetition_hand_case(spark):
+    """Rae et al. 2021 Table-A1 rules on a hand-computed document."""
+    from catalogue_pipeline_spark.operators.textstats import gopher_repetition
+
+    text = "a b a b c\na b a b c\nx y"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = gopher_repetition(
+        docs, top_ns=(2,), dup_ns=(2,)
+    ).collect()[0]
+    # lines: 3, distinct 2 -> dup frac 1/3; chars 9+9+3=21, surplus 9
+    assert r["dup_line_frac"] == round(1 / 3, 6)
+    assert r["dup_line_char_frac"] == round(9 / 21, 6)
+    # no blank lines -> a single paragraph, nothing duplicated
+    assert r["dup_para_frac"] == 0.0 and r["dup_para_char_frac"] == 0.0
+    # 2-grams over 12 words: 'a b'x4 'b a'x2 'b c'x2 'c a' 'c x' 'x y';
+    # total_chars = len(text) = 23
+    assert r["top_2gram_char_frac"] == round(4 * 3 / 23, 6)
+    assert r["dup_2gram_char_frac"] == round((4 + 2 + 2) * 3 / 23, 6)
+
+
+def test_gopher_repetition_edges(spark):
+    from catalogue_pipeline_spark.operators.textstats import gopher_repetition
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),                       # empty -> all zeros
+            (2, "one two"),                # shorter than n=5 -> 0 for 5-grams
+            (3, "p q\n\np q\n\nz"),        # duplicate paragraphs
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_repetition(docs).collect()}
+    assert got[1]["dup_line_frac"] == 0.0
+    assert got[1]["top_2gram_char_frac"] == 0.0
+    assert got[2]["dup_5gram_char_frac"] == 0.0
+    assert got[2]["top_2gram_char_frac"] == round(7 / 7, 6)  # one 2-gram
+    # paragraphs of doc 3: ['p q','p q','z'] -> dup 1/3, chars (1*3)/7
+    assert got[3]["dup_para_frac"] == round(1 / 3, 6)
+    assert got[3]["dup_para_char_frac"] == round(3 / 7, 6)
