@@ -152,7 +152,19 @@ def _q01_cdc_apply(spark, sf_dir):
     """A2/J1-J5: in-memory LWW apply of the whole changelog (SURVEY §2.4 A2,
     §2.3 J1-J5; reference TransformableOps.scala:135-183)."""
     reg = SchemaRegistry()
-    resolved = resolve_lww(reg.normalize(_changelog(spark, sf_dir)))
+    log = reg.normalize(_changelog(spark, sf_dir))
+    # The events table is one parquet row group — an unsplittable 1-task
+    # scan.  Hash-repartition on the group keys FIRST (explicit N so AQE
+    # cannot coalesce it away) so the serial scan stage only decodes and
+    # ships rows, and resolve_lww's sort-aggregate reuses this exchange
+    # (guide §2.4) and runs core-parallel instead of partially sort-
+    # aggregating 1M rows inside the single scan task.  The partial-agg
+    # loss is ~nil here: ~0.8 keys per event, so map-side combine shrank
+    # almost nothing anyway.
+    log = log.repartition(
+        spark.sparkContext.defaultParallelism, "conv_id", "turn_idx"
+    )
+    resolved = resolve_lww(log)
     return resolved.filter(F.col("deleted") == "false").select(
         "conv_id", "turn_idx", "role", "text", "tool", "ts"
     )
@@ -600,9 +612,17 @@ def _q29_top_orders(spark, sf_dir):
     orders = spark.read.parquet(_t(sf_dir, "orders"))
     li = spark.read.parquet(_t(sf_dir, "lineitem"))
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    # guide §3.1/§3.2: reduce before broadcasting — pre-join orders with the
+    # filtered customer dim (1/5 selectivity) and broadcast THAT, so the
+    # lineitem probe builds a ~300k-entry relation instead of the full 1.5M-
+    # row orders relation, non-matching lineitem rows drop at the first (and
+    # only) probe, and the (o_orderkey, o_orderdate) partial aggregate sees
+    # 1/5 of the rows.  Same rows out, one broadcast instead of two big ones.
+    o = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "o_orderdate"
+    )
     j = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))

@@ -264,14 +264,19 @@ def visible_transcripts(state: DataFrame) -> DataFrame:
 # per-bucket partial aggregate until compaction.
 
 
-def reduce_state(raw: DataFrame) -> DataFrame:
+def reduce_state(raw: DataFrame, extra_group_cols: tuple[str, ...] = ()) -> DataFrame:
     """Reduce raw state rows (base + deltas, possibly many rows per key) to
     one row per key by merging both max-registers. Identity on already-
-    reduced input. Partial-aggregates map-side like resolve_lww."""
+    reduced input. Partial-aggregates map-side like resolve_lww.
+
+    ``extra_group_cols``: leading group columns functionally dependent on
+    ``conv_id`` (the table bucket) — same grouping, but lets a bucket-keyed
+    exchange be shared with the bucketed write that follows (guide §2.4);
+    the extra columns ride through to the output."""
     # deleted == "true" iff op_pri == 1 (resolve.py invariant), so the winner
     # struct carries only primitives — the deleted string stays out of the
     # shuffle/sort buffers and is recomputed after the aggregate
-    agg = raw.groupBy("conv_id", "turn_idx").agg(
+    agg = raw.groupBy(*extra_group_cols, "conv_id", "turn_idx").agg(
         F.max(F.struct("ts", "op_pri", "offset")).alias("w"),
         F.max(
             F.when(
@@ -287,6 +292,7 @@ def reduce_state(raw: DataFrame) -> DataFrame:
         ).alias("nd"),
     )
     return agg.select(
+        *extra_group_cols,
         "conv_id",
         "turn_idx",
         F.col("nd.role").alias("role"),
@@ -307,11 +313,32 @@ def read_state(spark: SparkSession, table: LakeTable, snapshot_id: int | None = 
                buckets: list[int] | None = None) -> DataFrame:
     """The reduced (one row per key) view of the table, whatever mix of base
     and delta files the snapshot holds. Cheap when compacted: reduce_state is
-    the identity on unique keys and skipped entirely when no deltas exist."""
+    the identity on unique keys and skipped entirely when no deltas exist.
+
+    Split read (the round-7 verdict's change-proportional-read fix): the
+    reduce aggregate — a corpus-proportional exchange when run over the whole
+    table — is applied ONLY to the buckets that actually carry delta files;
+    clean buckets hold one row per key by construction and are unioned
+    through untouched. A key lives in exactly one bucket, so the union equals
+    the full-table reduce row-for-row, but the shuffle is bounded by the
+    compaction cadence instead of the corpus."""
     snap = table.snapshot(snapshot_id)
-    has_delta = any(f.get("kind", "base") == "delta" for f in snap.files)
-    raw = table.read(spark, snapshot_id=snapshot_id, buckets=buckets)
-    return reduce_state(raw) if has_delta else raw
+    req = None if buckets is None else set(buckets)
+    dbuckets = {
+        f["bucket"]
+        for f in snap.files
+        if f.get("kind", "base") == "delta" and (req is None or f["bucket"] in req)
+    }
+    if not dbuckets:
+        return table.read(spark, snapshot_id=snapshot_id, buckets=buckets)
+    all_req = {f["bucket"] for f in snap.files} if req is None else req
+    clean = sorted(all_req - dbuckets)
+    dirty = reduce_state(
+        table.read(spark, snapshot_id=snapshot_id, buckets=sorted(dbuckets))
+    )
+    if not clean:
+        return dirty
+    return table.read(spark, snapshot_id=snapshot_id, buckets=clean).unionByName(dirty)
 
 
 def append_delta(
@@ -320,13 +347,21 @@ def append_delta(
     resolved: DataFrame,
     changeset_id: str,
     range_summary: dict | None = None,
+    pre_bucketed: bool = False,
 ) -> tuple[int | None, ApplyMetrics]:
     """MOR ingest: append the resolved change set as delta files — no join
     against existing state, no bucket rewrite. Metrics cover the in-batch
     view only (events_in/keys_in/in-batch dedup_drops); state-relative
     splits (insert vs update, late arrivals) are deferred to compaction,
-    which is the explicit MOR trade."""
+    which is the explicit MOR trade.
+
+    ``pre_bucketed``: ``resolved`` came from ``resolve_lww_bucketed`` — it
+    already carries the bucket column and a bucket-keyed exchange, so the
+    write reuses that partitioning instead of re-shuffling (guide §2.4:
+    one exchange for resolve + layout)."""
     from pyspark.sql import Observation
+
+    from ..lake.table import _BUCKET_COL
 
     # metrics ride the write job itself (df.observe — the A7 mechanism),
     # so delta ingest is exactly ONE pass over the resolved batch: no
@@ -335,11 +370,13 @@ def append_delta(
     observed = resolved.observe(
         obs, F.count(F.lit(1)).alias("keys"), F.sum("n_events").alias("nev")
     )
+    keep = [_BUCKET_COL, *STATE_COLS] if pre_bucketed else STATE_COLS
     added = table.write_data_files(
-        observed.select(*STATE_COLS),
+        observed.select(*keep),
         changeset_id=changeset_id,
         sort_cols=["conv_id", "turn_idx"],
         kind="delta",
+        pre_bucketed=pre_bucketed,
     )
     got = obs.get
     m = ApplyMetrics()
@@ -372,12 +409,28 @@ def compact(
     target = buckets if buckets is not None else table.delta_buckets()
     if not target:
         return None
-    reduced = reduce_state(table.read(spark, buckets=target))
+    # bucket-aligned reduce (guide §2.4): repartition the raw rows by the
+    # table bucket once, run the reduce grouped by (bucket, key) on that
+    # exchange, and hand the still-bucket-partitioned result straight to the
+    # writer — one exchange + one sort instead of a (key-hash) reduce
+    # exchange followed by a (bucket) write exchange. Raw delta rows are
+    # unique per key within each file, so map-side combine had nothing to
+    # fold anyway.
+    from ..lake.table import _BUCKET_COL, bucket_expr
+
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    raw = table.read(spark, buckets=target).withColumn(
+        _BUCKET_COL, bucket_expr(table.bucket_key, table.num_buckets)
+    )
+    reduced = reduce_state(
+        raw.repartition(n, F.col(_BUCKET_COL)), extra_group_cols=(_BUCKET_COL,)
+    )
     snap = table.overwrite_buckets(
         reduced,
         buckets=target,
         changeset_id=changeset_id,
         summary={"operation": "compact", "buckets": sorted(target)},
         sort_cols=["conv_id", "turn_idx"],
+        pre_bucketed=True,
     )
     return snap.snapshot_id

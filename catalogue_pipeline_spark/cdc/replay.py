@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from ..lake.table import LakeTable
 from .checkpoints import CheckpointStore
 from .merge import ApplyMetrics, append_delta, merge_into_state
-from .resolve import resolve_lww
+from .resolve import resolve_lww, resolve_lww_bucketed
 from .schema import STATE_SCHEMA, SchemaRegistry
 
 
@@ -144,19 +144,32 @@ class ReplayDriver:
 
     def apply_range(self, r: Range, attempt: int = 1) -> tuple[int | None, ApplyMetrics]:
         batch = self.registry.normalize(self.read_range(r))
-        resolved = resolve_lww(batch)
         changeset_id = f"{r.range_id}-a{attempt}"
-        apply_fn = append_delta if self.mode == "delta" else merge_into_state
-        return apply_fn(
+        summary = {
+            "range_id": r.range_id,
+            "offset_start": r.start,
+            "offset_end": r.end,
+        }
+        if self.mode == "delta":
+            # bucket-keyed resolve: ONE exchange + one sort serve both the
+            # LWW aggregate and the per-bucket delta layout (guide §2.4;
+            # resolve.resolve_lww_bucketed) — the write then reuses the
+            # partitioning instead of re-shuffling the resolved rows.
+            resolved = resolve_lww_bucketed(batch, self.table.num_buckets)
+            return append_delta(
+                self.spark,
+                self.table,
+                resolved,
+                changeset_id=changeset_id,
+                range_summary=summary,
+                pre_bucketed=True,
+            )
+        return merge_into_state(
             self.spark,
             self.table,
-            resolved,
+            resolve_lww(batch),
             changeset_id=changeset_id,
-            range_summary={
-                "range_id": r.range_id,
-                "offset_start": r.start,
-                "offset_end": r.end,
-            },
+            range_summary=summary,
         )
 
     def run(

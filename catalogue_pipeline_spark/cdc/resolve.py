@@ -67,12 +67,18 @@ def with_op_pri(df: DataFrame) -> DataFrame:
     )
 
 
-def resolve_lww(batch: DataFrame) -> DataFrame:
+def resolve_lww(batch: DataFrame, extra_group_cols: tuple[str, ...] = ()) -> DataFrame:
     """Reduce a normalized binlog batch to one row per ``(conv_id, turn_idx)``
     holding both max-registers.
 
     Output columns: RESOLVED_COLS (state columns + ``n_events``, the number of
     raw events folded into the key — feeds the dedup_drops metric).
+
+    ``extra_group_cols``: additional leading group columns that are
+    FUNCTIONALLY DEPENDENT on ``conv_id`` (e.g. the table bucket) — the
+    grouping is then identical, but a pre-established hash partitioning on
+    those columns is reused by the aggregate (guide §2.4). The extra columns
+    ride through to the output.
     """
     ev = with_op_pri(batch)
     # The winner struct carries op_pri, NOT the op string: op_pri == 1 iff
@@ -82,7 +88,7 @@ def resolve_lww(batch: DataFrame) -> DataFrame:
     # tools/probe_resolve_variants.py): local[16] resolve 4.0 s → 3.0 s and
     # 4→16-core scaling efficiency 0.54 → 0.73 — bytes-per-row through the
     # exchange is the scaling limiter for this string-heavy workload.
-    agg = ev.groupBy("conv_id", "turn_idx").agg(
+    agg = ev.groupBy(*extra_group_cols, "conv_id", "turn_idx").agg(
         F.max(F.struct("ts", "op_pri", "offset")).alias("w"),
         # max ignores nulls ⇒ null register when the key only ever saw deletes
         F.max(
@@ -94,6 +100,7 @@ def resolve_lww(batch: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
     )
     return agg.select(
+        *extra_group_cols,
         "conv_id",
         "turn_idx",
         F.col("nd.role").alias("role"),
@@ -109,3 +116,34 @@ def resolve_lww(batch: DataFrame) -> DataFrame:
         .alias("deleted"),
         "n_events",
     )
+
+
+def resolve_lww_bucketed(batch: DataFrame, num_buckets: int) -> DataFrame:
+    """resolve_lww with its shuffle keyed by the TARGET TABLE's bucket — the
+    delta-ingest fast path (guide §2.4: two operations keyed the same way
+    share one exchange).
+
+    The plan becomes: scan → exchange(bucket) → complete sort-aggregate on
+    (bucket, conv_id, turn_idx) → bucketed write, i.e. ONE exchange and ONE
+    sort serve both the LWW reduce and the per-bucket file layout
+    (``append_delta(pre_bucketed=True)`` skips its own repartition, and the
+    sort-aggregate's output ordering satisfies the writer's sort). The
+    two-exchange shape it replaces shuffled the partially-aggregated batch
+    on (conv_id, turn_idx) and then re-shuffled the resolved rows on the
+    bucket — and on this workload map-side combine shrank almost nothing
+    (keys are spread across input files), so dropping the partial aggregate
+    costs ~no extra shuffle bytes while removing a stage barrier and a sort.
+
+    The explicit partition count (session shuffle partitions) keeps AQE from
+    coalescing the exchange below core count: the downstream sort + parquet
+    encode is CPU-bound, and 64 MB-advisory coalescing would serialize it.
+
+    Identical output to resolve_lww plus the leading bucket column
+    (bucket = f(conv_id), so the grouping is the same grouping).
+    """
+    from ..lake.table import _BUCKET_COL, bucket_expr
+
+    n = int(batch.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ev = batch.withColumn(_BUCKET_COL, bucket_expr("conv_id", num_buckets))
+    ev = ev.repartition(n, F.col(_BUCKET_COL))
+    return resolve_lww(ev, extra_group_cols=(_BUCKET_COL,))

@@ -338,6 +338,7 @@ class LakeTable:
         changeset_id: str,
         sort_cols: list[str] | None = None,
         kind: str = "base",
+        pre_bucketed: bool = False,
     ) -> list[dict]:
         """Write ``df`` as new data files (one directory per changeset),
         bucketed by the table's bucket key, sorted within files for stats
@@ -351,6 +352,11 @@ class LakeTable:
         2.4M-row write, this box): sorted-zstd 5.9 s vs sorted-snappy 3.1 s
         at local[16], and 4→16-core write scaling 0.31 → 0.51 — zstd's
         per-column-chunk compression was the non-scaling term.
+
+        ``pre_bucketed``: the caller already carries ``_BUCKET_COL`` and an
+        exchange keyed on it (e.g. ``resolve_lww_bucketed``) — skip this
+        function's own bucket column + repartition so the upstream exchange
+        is the only one (guide §2.4).
         """
         key = self.bucket_key
         nb = self.num_buckets
@@ -359,10 +365,17 @@ class LakeTable:
         wdf = df
         writer_opts = {"compression": "snappy"} if kind == "delta" else {}
         if key is not None:
-            wdf = wdf.withColumn(_BUCKET_COL, bucket_expr(key, nb))
-            # one output file per affected bucket: repartition on the bucket
-            # column, then partitionBy writes a directory per bucket
-            wdf = wdf.repartition(F.col(_BUCKET_COL))
+            if not pre_bucketed:
+                wdf = wdf.withColumn(_BUCKET_COL, bucket_expr(key, nb))
+                # one output file per affected bucket: repartition on the
+                # bucket column (EXPLICIT partition count: AQE's 64MB-advisory
+                # coalescing would otherwise shrink this exchange to a few
+                # tasks and serialize the CPU-bound sort+encode write stage),
+                # then partitionBy writes a directory per bucket
+                wdf = wdf.repartition(
+                    int(wdf.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+                    F.col(_BUCKET_COL),
+                )
             if sort_cols:
                 # lead with the bucket column: FileFormatWriter requires
                 # rows ordered by the partitionBy column and inserts its
@@ -403,8 +416,10 @@ class LakeTable:
         return added
 
     def append(self, df: DataFrame, changeset_id: str, summary: dict | None = None,
-               sort_cols: list[str] | None = None, kind: str = "base") -> Snapshot:
-        added = self.write_data_files(df, changeset_id, sort_cols=sort_cols, kind=kind)
+               sort_cols: list[str] | None = None, kind: str = "base",
+               pre_bucketed: bool = False) -> Snapshot:
+        added = self.write_data_files(df, changeset_id, sort_cols=sort_cols, kind=kind,
+                                      pre_bucketed=pre_bucketed)
         s = {"operation": "append", "changeset_id": changeset_id}
         s.update(summary or {})
         return self.commit(added, set(), s)
@@ -418,12 +433,14 @@ class LakeTable:
         schema: StructType | None = None,
         sort_cols: list[str] | None = None,
         expected_parent: int | None = None,
+        pre_bucketed: bool = False,
     ) -> Snapshot:
         """Copy-on-write replace of a bucket subset in ONE atomic snapshot —
         the physical form of MERGE INTO (added files + removed files commit
         together, like Iceberg's overwrite+append single transaction,
         pipeline_store.py:205-235)."""
-        added = self.write_data_files(df, changeset_id, sort_cols=sort_cols)
+        added = self.write_data_files(df, changeset_id, sort_cols=sort_cols,
+                                      pre_bucketed=pre_bucketed)
         bs = set(buckets)
         parent = self.snapshot()
         removed = {f["path"] for f in parent.files if f["bucket"] in bs}

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .fanout import fan_out
+
 # a large 61-bit Mersenne prime for the permutation universe
 MERSENNE_P = (1 << 61) - 1
 
@@ -106,7 +108,7 @@ def ngram_jaccard_pairs(
     compares longs (collision probability over distinct shingles is
     ~|S|²/2⁶⁵, irrelevant below trillions of shingles).
     """
-    sh = docs.select(
+    sh = fan_out(docs).select(
         F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), k)).alias("sh")
     ).select("id", F.xxhash64("sh").alias("sh"))
     if materialize:
@@ -161,7 +163,7 @@ def minhash_signatures(
     """(id, sig: array<bigint>[num_perm]) — min over shingles of
     (a_i·h(shingle)+b_i) mod p per permutation. One explode + one groupBy
     (map-side combinable mins)."""
-    sh = docs.select(
+    sh = fan_out(docs).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), k)).alias("sh"),
     ).withColumn("h", portable_hash64(F.col("sh")))
@@ -249,7 +251,7 @@ def lsh_near_duplicates(
     bands/num_perm for the recall the corpus demands (the exact join remains
     available as the oracle).
     """
-    sh = docs.select(
+    sh = fan_out(docs).select(
         F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), k)).alias("sh")
     ).select("id", F.xxhash64("sh").alias("sh"))
     # one shingle table feeds signature minning, candidate buckets AND both
@@ -384,7 +386,7 @@ def contamination_hits(
     distinct shingle set is broadcast; the corpus side is one scan +
     explode with the only shuffle the per-document hit count.  No
     all-pairs anything."""
-    d = docs.select(
+    d = fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(F.col(text_col), k)).alias("sh"),
     )

@@ -41,9 +41,17 @@ def cosine_topk_bruteforce(
     k: int = 10,
 ) -> DataFrame:
     """Exact top-k neighbours per query: (query_id, neighbor_id, cosine, rank).
-    The corpus side is typically the big one; Spark broadcasts the smaller
-    query side automatically (AQE)."""
-    c = corpus.select(
+
+    Physical shape (guide §3.1): the CORPUS is the streamed side and the
+    (small) query set is broadcast, so the O(|corpus| x |queries|) cosine
+    arithmetic runs in the corpus tasks — one per scan split after
+    ``fan_out`` — instead of being built into a broadcast relation and
+    evaluated single-threaded on the handful of query rows. The per-
+    partition WindowGroupLimit then prunes to <=k rows per query before the
+    one small exchange."""
+    from .fanout import fan_out
+
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         _norm(F.col(vec_col)).alias("cn"),
@@ -54,7 +62,7 @@ def cosine_topk_bruteforce(
         _norm(F.col(vec_col)).alias("qn"),
     )
     scored = (
-        q.crossJoin(c)
+        c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )

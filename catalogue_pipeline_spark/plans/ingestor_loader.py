@@ -137,6 +137,14 @@ def global_offsets(
     ranged = docs.repartitionByRange(int(n_part), F.col(order_col)).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # Pin ONE physical partitioning for both consumers below: range
+    # boundaries come from sampling, so if the per-partition counts and the
+    # local ranks evaluated `ranged` through two independently-planned
+    # subtrees (exchange reuse off, AQE replan), they could see different
+    # partitionings and emit duplicate/skipped global offsets. The lazy
+    # localCheckpoint materializes the ranged layout once and both branches
+    # read the same RDD.
+    ranged = ranged.localCheckpoint(eager=False)
     # tiny frame: one row per partition — the single-reducer window over
     # it is bounded by the partition count, never by the data
     counts = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt"))

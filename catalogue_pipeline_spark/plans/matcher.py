@@ -92,10 +92,28 @@ def read_matcher_state(
     work_id — every row of a delta batch carries that batch's
     ``batch_seq``, so (batch_seq, version) descending picks the newest
     labels. With no deltas (the COW default) this is a plain read with
-    zero added cost (the check is metadata-only)."""
-    if not table.delta_buckets(snapshot_id):
+    zero added cost (the check is metadata-only).
+
+    Split read (round-7 verdict item 1 — change-proportional reads): the
+    latest-batch-wins window shuffles whatever it is given, so it runs ONLY
+    over the delta-carrying buckets (bounded by the compaction cadence);
+    clean base buckets hold one row per work_id by construction and union
+    through with no exchange. A work_id hashes to exactly one bucket, so
+    this equals the full-table window row-for-row."""
+    dbuckets = table.delta_buckets(snapshot_id)
+    if not dbuckets:
         return table.read(spark, snapshot_id=snapshot_id)
-    raw = table.read(spark, snapshot_id=snapshot_id)
+    clean = sorted(
+        {f["bucket"] for f in table.snapshot(snapshot_id).files} - set(dbuckets)
+    )
+    dirty = _resolve_latest(table.read(spark, snapshot_id=snapshot_id, buckets=dbuckets))
+    if not clean:
+        return dirty
+    return table.read(spark, snapshot_id=snapshot_id, buckets=clean).unionByName(dirty)
+
+
+def _resolve_latest(raw: DataFrame) -> DataFrame:
+    """Latest-batch-wins per work_id over a base+delta row mix."""
     w = Window.partitionBy("work_id").orderBy(
         F.col("batch_seq").desc(), F.col("version").desc()
     )
@@ -116,9 +134,10 @@ def compact_matcher(
     dbuckets = table.delta_buckets()
     if not dbuckets:
         return None
-    resolved = read_matcher_state(spark, table)
-    nb = table.num_buckets
-    rows = resolved.filter(bucket_expr("work_id", nb).isin(dbuckets))
+    # read + resolve ONLY the delta-carrying buckets (the split-read fast
+    # path) — the previous full-state read + post-hoc bucket filter paid a
+    # corpus-proportional window to rewrite a delta-bounded bucket set
+    rows = _resolve_latest(table.read(spark, buckets=dbuckets))
     snap = table.overwrite_buckets(
         rows,
         buckets=dbuckets,
