@@ -395,7 +395,7 @@ class LakeTable:
         return self._manifest_from_dir(out_dir, rel_dir, kind=kind)
 
     def _manifest_from_dir(self, out_dir: str, rel_dir: str, kind: str = "base") -> list[dict]:
-        added: list[dict] = []
+        entries: list[tuple[str, int, str]] = []  # (rel_path, bucket, full)
         for root, _dirs, fnames in os.walk(out_dir):
             for fn in sorted(fnames):
                 if not fn.endswith(".parquet"):
@@ -404,16 +404,20 @@ class LakeTable:
                 bucket = 0
                 if f"{_BUCKET_COL}=" in rel_root:
                     bucket = int(rel_root.split(f"{_BUCKET_COL}=")[-1].split("/")[0])
-                full = os.path.join(root, fn)
-                added.append(
-                    {
-                        "path": os.path.join(rel_root, fn),
-                        "bucket": bucket,
-                        "rows": _parquet_rows(full),
-                        "kind": kind,
-                    }
+                entries.append(
+                    (os.path.join(rel_root, fn), bucket, os.path.join(root, fn))
                 )
-        return added
+        # footer reads are independent, latency-bound syscalls — a commit of
+        # B bucket files paid B serial opens (~0.2-0.3 s per range at B=64,
+        # on the ingest hot path); a small thread pool overlaps them
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, max(len(entries), 1))) as pool:
+            rows = list(pool.map(lambda t: _parquet_rows(t[2]), entries))
+        return [
+            {"path": rel, "bucket": bucket, "rows": r, "kind": kind}
+            for (rel, bucket, _full), r in zip(entries, rows)
+        ]
 
     def append(self, df: DataFrame, changeset_id: str, summary: dict | None = None,
                sort_cols: list[str] | None = None, kind: str = "base",

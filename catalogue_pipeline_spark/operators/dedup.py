@@ -288,16 +288,32 @@ def lsh_near_duplicates(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh")), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), F.col("sh")), ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    # Exact verify on PER-DOC SHINGLE ARRAYS instead of re-joining the
+    # exploded shingle table twice (guide §2.3 "shuffle keys and metadata
+    # instead of payloads" / §3.3 "explode before a join multiplies the
+    # shuffle"): the old shape shipped ~|shingles| rows per candidate side
+    # through a (id, sh) shuffle — measured 3.2 s of a 5.4 s query at sf1 —
+    # while the intersection only needs each doc's shingle set ONCE. One
+    # groupBy folds the (already per-doc-distinct) hashes back into a
+    # ~|docs| array table; two joins attach both sides' arrays to the
+    # candidate pairs (AQE broadcasts the small side); |∩| is a per-pair
+    # array_intersect. Identical jaccard arithmetic: arrays are distinct,
+    # so size/intersect equal the old count-based |A|,|B|,|∩|.
+    arrs = sh.groupBy("id").agg(F.collect_list("sh").alias("shs"))
     return (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        cand.join(
+            arrs.select(F.col("id").alias("id_a"), F.col("shs").alias("sh_a")), "id_a"
+        )
+        .join(
+            arrs.select(F.col("id").alias("id_b"), F.col("shs").alias("sh_b")), "id_b"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            F.size("sh_a").alias("sz_a"),
+            F.size("sh_b").alias("sz_b"),
+        )
         .withColumn(
             "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
         )

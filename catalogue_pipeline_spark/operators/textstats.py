@@ -210,7 +210,13 @@ def gopher_repetition(
     """
     all_ns = sorted(set(top_ns) | set(dup_ns))
     t = F.col("t")
-    d = docs.select(
+    from .fanout import fan_out
+
+    # the per-doc dup-line/para aggregates and the gram explode are the
+    # compute; a single-row-group input would otherwise pin them to the
+    # 1-task scan (see fanout.py) — results are per-doc + groupBy, so
+    # partitioning-independent
+    d = fan_out(docs).select(
         F.col(id_col).alias("id"), F.coalesce(F.col(text_col), F.lit("")).alias("t")
     )
 

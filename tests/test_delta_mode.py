@@ -102,3 +102,29 @@ def test_auto_compaction_cadence(spark, tmp_path):
     oracle.apply_all([r.asDict() for r in spark.read.parquet(binlog).collect()])
     got = sorted(tuple(r) for r in read_state(spark, dl.table).collect())
     assert got == sorted(oracle.state_rows())
+
+
+def test_read_state_split_read_reduces_only_delta_buckets(spark, tmp_path):
+    """Round-8 split-read: with deltas confined to a strict bucket subset,
+    read_state must equal the full reduce row-for-row while its plan carries
+    exactly ONE exchange (the reduce over delta buckets); clean base buckets
+    union through with no shuffle."""
+    from catalogue_pipeline_spark.cdc.merge import reduce_state
+
+    binlog = str(tmp_path / "binlog")
+    write_binlog(generate_binlog(spark, N, n_convs=50, turns_per_conv=6, seed=9), binlog, 4)
+    dl = _mk(spark, tmp_path, "delta", "delta")
+    dl.run(plan_ranges(0, N, range_size=400))
+    compact(spark, dl.table, changeset_id="c-all")
+    assert dl.table.delta_buckets() == []
+    # one surgical delta append: a single conversation → one bucket
+    dl.replay_selective(conv_ids=["c1"], changeset_id="touch-one")
+    dbuckets = set(dl.table.delta_buckets())
+    all_buckets = {f["bucket"] for f in dl.table.snapshot().files}
+    assert dbuckets and dbuckets < all_buckets
+
+    out = read_state(spark, dl.table)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    full = reduce_state(dl.table.read(spark))
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, full.collect()))

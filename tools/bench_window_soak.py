@@ -214,10 +214,22 @@ def main() -> None:
                 if index_mode == "delta":
                     compact(spark, ix, changeset_id=f"soak-ix-compact-{w}")
             secs = time.time() - t0
+            # read-side meter (round-8 split-read evidence): wall time of a
+            # full matcher-state resolve at this window's snapshot, plus how
+            # many buckets the latest-batch-wins window actually covers —
+            # with the split read this tracks the delta buckets (compaction
+            # cadence), not the corpus
+            t_r = time.time()
+            read_matcher_state(spark, mt).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            resolve_secs = time.time() - t_r
             if measured:
                 entry = {
                     "window": w,
                     "seconds": round(secs, 2),
+                    "resolve_read_seconds": round(resolve_secs, 2),
+                    "delta_buckets": len(mt.delta_buckets()),
                     "affected_works": n_affected,
                     "corpus_rows": mt.metadata_count(),
                     "index_rows": ix.metadata_count(),
