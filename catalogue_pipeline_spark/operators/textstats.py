@@ -190,14 +190,25 @@ def gopher_repetition(
         / total line characters;
       * ``dup_para_frac`` / ``dup_para_char_frac`` — the same over
         paragraphs (split on blank line ``\\n\\n``);
-      * ``top_{n}gram_char_frac`` (n ∈ top_ns) — characters of the single
-        most frequent word n-gram (count × len(gram), space-joined) /
-        total text characters;
+      * ``top_{n}gram_char_frac`` (n ∈ top_ns) — max over n-grams of
+        count × len(gram) (space-joined chars) / total text characters.
+        INTENTIONAL deviation from Rae et al. Table A1, which takes the
+        single MOST-FREQUENT gram's count × len: under the product-max a
+        longer-but-slightly-less-frequent gram can supply the numerator.
+        The product-max is the quantity a repetition filter actually
+        thresholds (chars consumed by one repeated phrase), needs no
+        count-then-length tie-break, and is what the DuckDB oracle
+        (z103) encodes — the formula is frozen here;
       * ``dup_{n}gram_char_frac`` (n ∈ dup_ns) — characters of ALL
         occurrences of n-grams appearing more than once / total text
         characters. (The paper avoids double-counting overlaps; this
         implementation counts count×len per duplicated gram — the exact
-        formula is fixed here so the DuckDB oracle reproduces it.)
+        formula is fixed here so the DuckDB oracle reproduces it.
+        Consequence: the value is NOT bounded by 1.0 — overlapping
+        occurrences can push it past 1 (a unit test asserts 24/23), so
+        downstream thresholds must treat it as a ratio on [0, ∞), not a
+        probability; calibrate cutoffs against this formula, not the
+        paper's non-overlapping one.)
 
     Words are whitespace runs of the trimmed raw text (no lowercasing —
     Gopher operates on raw text). All fractions rounded to 6 dp.

@@ -113,7 +113,16 @@ def read_matcher_state(
 
 
 def _resolve_latest(raw: DataFrame) -> DataFrame:
-    """Latest-batch-wins per work_id over a base+delta row mix."""
+    """Latest-batch-wins per work_id over a base+delta row mix.
+
+    Determinism contract: ``(batch_seq desc, version desc)`` is a total
+    order per work_id because batch_seq is UNIQUE-MONOTONIC per applied
+    batch — a hard single-writer invariant of the matcher loop (the lake
+    commit CAS rejects a second writer, and a failed-commit retry re-sends
+    the SAME batch content under a new changeset, never a reused batch_seq
+    with different rows). Two rows with equal (work_id, batch_seq) can
+    therefore only be byte-identical re-appends, for which either pick is
+    the same row."""
     w = Window.partitionBy("work_id").orderBy(
         F.col("batch_seq").desc(), F.col("version").desc()
     )
@@ -177,6 +186,19 @@ def update_graph(
     version gate is unchanged — an incoming update always carries the
     newest batch_seq, so equal-version re-sends still win exactly as in
     COW mode (WorkGraphUpdater.scala:44-78).
+
+    Operating rule (SCALE.md round 8; measured terms from the round-7/8
+    window soaks): per window, COW writes min(1, k/B)·corpus bytes (k =
+    changed works, B = buckets) while delta writes ~|region| bytes
+    (measured flat ~2.85 MB/window at constant 33k-work change) plus a
+    read-side resolve bounded by the delta buckets accumulated since the
+    last compaction. COW is the better default only while the corpus is
+    small enough that min(1, k/B)·corpus ≲ |region| — i.e. corpus ≲
+    region·B/k — or when reads vastly outnumber writes and zero read
+    overhead matters. Past that crossover (any production-size corpus
+    under a steady change stream), run delta with compaction cadence c
+    chosen so c·k/B stays ≪ 1 (deltas confined to a bucket subset keeps
+    the split-read exchange change-proportional).
     """
     state = read_matcher_state(spark, table)
 
