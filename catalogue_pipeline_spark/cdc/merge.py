@@ -84,17 +84,32 @@ def merge_into_state(
     resolved: DataFrame,
     changeset_id: str,
     range_summary: dict | None = None,
+    batch: DataFrame | None = None,
 ) -> tuple[int | None, ApplyMetrics]:
     """Apply a resolved change set (output of resolve_lww) to ``table``.
 
     Returns ``(snapshot_id, metrics)``; snapshot_id is None when the merge
     was a complete no-op (nothing committed — V3).
+
+    ``batch``: optionally, the raw (pre-resolve) batch ``resolved`` was
+    derived from. When given, the affected-bucket discovery runs as a
+    scan + distinct over the batch's key column instead of materializing
+    the full LWW aggregate one pass early (guide §1.2 "don't compute
+    things you throw away": the buckets are the same either way — resolve
+    groups by conv_id and neither invents nor drops keys — but the
+    aggregate's exchange+sort is wasted on a bucket list). ``resolved``
+    then feeds only the merge join, so it needs no cache of its own; the
+    persisted join output covers the stats/write reuse.
     """
     nb = table.num_buckets
     src = resolved.withColumn("_b", bucket_expr("conv_id", nb))
-    # resolve (binlog scan + LWW aggregate) feeds two consumers — the
-    # affected-bucket discovery and the merge join — cache it once
-    src = src.persist(StorageLevel.MEMORY_AND_DISK)
+    if batch is None:
+        # resolve (binlog scan + LWW aggregate) feeds two consumers — the
+        # affected-bucket discovery and the merge join — cache it once
+        src = src.persist(StorageLevel.MEMORY_AND_DISK)
+        affected_src = src.select("_b")
+    else:
+        affected_src = batch.select(bucket_expr("conv_id", nb).alias("_b"))
 
     # state side pruned to affected buckets only — file-level pruning via the
     # bucket manifest, not a post-scan filter; read_state reduces any
@@ -102,7 +117,7 @@ def merge_into_state(
     # id NOW and pass it as expected_parent at commit: if another writer
     # lands in between, we get a CommitConflict instead of silently dropping
     # its files from the overlapping buckets (lost update).
-    affected = sorted(r["_b"] for r in src.select("_b").distinct().collect())
+    affected = sorted(r["_b"] for r in affected_src.distinct().collect())
     base_sid = table.current_snapshot_id()
     tgt = read_state(spark, table, snapshot_id=base_sid, buckets=affected)
 
@@ -237,7 +252,8 @@ def merge_into_state(
         return snap.snapshot_id, m
     finally:
         new.unpersist()
-        src.unpersist()
+        if batch is None:
+            src.unpersist()
 
 
 def visible_transcripts(state: DataFrame) -> DataFrame:

@@ -164,12 +164,16 @@ class ReplayDriver:
                 range_summary=summary,
                 pre_bucketed=True,
             )
+        # batch= lets the affected-bucket discovery run as a scan+distinct
+        # on the raw keys instead of materializing the LWW aggregate one
+        # pass early (same bucket set by construction; see merge_into_state)
         return merge_into_state(
             self.spark,
             self.table,
             resolve_lww(batch),
             changeset_id=changeset_id,
             range_summary=summary,
+            batch=batch,
         )
 
     def run(

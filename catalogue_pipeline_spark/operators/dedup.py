@@ -251,21 +251,44 @@ def lsh_near_duplicates(
     bands/num_perm for the recall the corpus demands (the exact join remains
     available as the oracle).
     """
-    sh = fan_out(docs).select(
-        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), k)).alias("sh")
-    ).select("id", F.xxhash64("sh").alias("sh"))
-    # one shingle table feeds signature minning, candidate buckets AND both
-    # exact-verify sides — evaluate once
-    sh = sh.localCheckpoint(eager=False)
-
+    # Per-doc shingle-hash ARRAY + per-doc minhash via higher-order mins —
+    # shuffle-free signatures (guide §2.4 "remove shuffles outright"): the
+    # previous shape exploded to a ~20×-input (id, shingle-hash) table,
+    # checkpointed it, and ran TWO corpus-proportional groupBy exchanges
+    # over it (one folding 16 mins, one folding the arrays back for the
+    # verify).  Both aggregates were per-doc reductions of values computed
+    # from the doc's own shingles, so they are pure projections over the
+    # per-doc array: array_min(transform(...)) per permutation.  Verified
+    # identical output; local timing parity (the interpreted HOF trades
+    # evenly against the shuffles here), but at corpus scale this removes
+    # every shuffle whose volume tracks |shingles| — the only exchanges
+    # left are band rows (bands/doc) and candidate pairs.
+    #
     # Fast in-engine minhash: perm_i(x) = xxhash64(x, i) — a deterministic
     # independent hash per permutation, entirely JVM-side (no decimal mod
     # arithmetic). SQL portability is NOT needed here: q42's oracle is the
     # exact Jaccard join, independent of the candidate hash family (the
     # portable md5 variant lives in minhash_signatures for q33).
-    sig = sh.groupBy("id").agg(
-        *[F.min(F.xxhash64("sh", F.lit(seed), F.lit(i))).alias(f"m{i}") for i in range(num_perm)]
+    base = fan_out(docs).select(
+        F.col(id_col).alias("id"),
+        F.transform(word_shingles(F.col(text_col), k), lambda s: F.xxhash64(s)).alias(
+            "shs"
+        ),
     )
+    sig = base.select(
+        "id",
+        "shs",
+        *[
+            F.array_min(
+                F.transform("shs", lambda h: F.xxhash64(h, F.lit(seed), F.lit(i)))
+            ).alias(f"m{i}")
+            for i in range(num_perm)
+        ],
+    )
+    # sig (one row per doc: array + 16 mins) feeds the band rows AND both
+    # verify sides — evaluate the shingling once; doc-count-sized, unlike
+    # the exploded table the old shape checkpointed
+    sig = sig.localCheckpoint(eager=False)
     rows_per_band = num_perm // bands
     band_rows = sig.select(
         "id",
@@ -288,18 +311,18 @@ def lsh_near_duplicates(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # Exact verify on PER-DOC SHINGLE ARRAYS instead of re-joining the
-    # exploded shingle table twice (guide §2.3 "shuffle keys and metadata
-    # instead of payloads" / §3.3 "explode before a join multiplies the
-    # shuffle"): the old shape shipped ~|shingles| rows per candidate side
-    # through a (id, sh) shuffle — measured 3.2 s of a 5.4 s query at sf1 —
-    # while the intersection only needs each doc's shingle set ONCE. One
-    # groupBy folds the (already per-doc-distinct) hashes back into a
-    # ~|docs| array table; two joins attach both sides' arrays to the
+    # Exact verify on the PER-DOC SHINGLE ARRAYS (guide §2.3 "shuffle keys
+    # and metadata instead of payloads" / §3.3 "explode before a join
+    # multiplies the shuffle"): two joins attach both sides' arrays to the
     # candidate pairs (AQE broadcasts the small side); |∩| is a per-pair
-    # array_intersect. Identical jaccard arithmetic: arrays are distinct,
-    # so size/intersect equal the old count-based |A|,|B|,|∩|.
-    arrs = sh.groupBy("id").agg(F.collect_list("sh").alias("shs"))
+    # array_intersect.  Arrays are per-doc distinct (word_shingles), so
+    # size/intersect equal the count-based |A|,|B|,|∩| of the exploded
+    # self-join oracle.  The round-8 first cut built these arrays by
+    # collect_list over the exploded table (measured: replacing the two
+    # explode-rejoins cut q42 from ~5.4 s to ~2.3 s warm at sf1); the
+    # array-native shingling above now yields them as a projection with no
+    # groupBy at all.
+    arrs = sig.select("id", "shs")
     return (
         cand.join(
             arrs.select(F.col("id").alias("id_a"), F.col("shs").alias("sh_a")), "id_a"

@@ -109,6 +109,26 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     assert (5, 6) not in cand
 
 
+def test_lsh_near_duplicates_equals_exact_join(spark, docs):
+    """Round-8 array-native LSH internals (per-doc shingle-hash arrays +
+    HOF minhash, no exploded-table groupBy): output must still equal the
+    exact all-pairs Jaccard join wherever LSH recall is ~1 (identical
+    docs; at 16 perms/16 bands a J=1.0 pair is never missed)."""
+    from catalogue_pipeline_spark.operators.dedup import lsh_near_duplicates
+
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in ngram_jaccard_pairs(docs, threshold=0.99).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in lsh_near_duplicates(
+            docs, threshold=0.99, num_perm=16, bands=16
+        ).collect()
+    }
+    assert lsh == exact and (1, 2) in lsh  # the identical-doc pairs
+
+
 def test_simhash_similarity_orders(spark, docs):
     codes = {r["id"]: r["simhash"] for r in simhash64(docs).collect()}
     def ham(a, b):
